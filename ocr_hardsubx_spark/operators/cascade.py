@@ -1,0 +1,146 @@
+"""Two-stage cascade + non-max suppression over DOM region trees.
+
+Mirrors the reference's cost-ordered cascade (SURVEY.md §4 O1):
+
+  stage 1  — cheap incremental features, gate p >= 0.2 plus area bounds
+             (inline gate in er_merge, ``/root/reference/erfilter.c:817-832``)
+  NMS      — keep locally-maximal-probability regions along ancestor paths
+             (er_save max/min-probability-ancestor tracking erfilter.c:872-925;
+             er_tree_nonmax_suppression erfilter.c:1062-1102)
+  stage 2  — expensive features on survivors only, gate p >= 0.5
+             (er_tree_filter erfilter.c:928-1059)
+
+Feature computation is vectorized with numpy across ALL regions of an Arrow
+batch at once (potentially thousands of documents); only the NMS path-scan
+walks per-document trees (they are tiny, and document-local by
+construction — no shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import (
+    MAX_AREA_FRAC,
+    MIN_AREA_ABS,
+    MIN_AREA_FRAC,
+    MIN_PROB_DIFF,
+    STAGE1_MIN_PROB,
+    STAGE2_MIN_PROB,
+)
+from ..functions.scoring import StumpModel
+from .parse import Region, med_crossings, region_crossings
+
+INFLEXION_MIN_DIFF = 0.2  # |profile diff| below this is noise, not an inflexion
+
+
+def num_inflexions(profiles: list[float]) -> float:
+    """Sign changes of significant diffs in children's content profiles
+    (num_inflexion_points analog, reference erfilter.c:958-990)."""
+    n = 0
+    last_sign = 0
+    prev = None
+    for v in profiles:
+        if prev is not None:
+            d = v - prev
+            if abs(d) > INFLEXION_MIN_DIFF:
+                s = 1 if d > 0 else -1
+                if last_sign and s != last_sign:
+                    n += 1
+                last_sign = s
+        prev = v
+    return float(n)
+
+
+def feature_matrix(regions: list[Region], inline_events: list[int]) -> np.ndarray:
+    """(n_regions, 7) float64 feature matrix; columns per model_store spec.
+    Stage 1 uses X[:, :4], stage 2 the full matrix."""
+    n = len(regions)
+    X = np.empty((n, 7), dtype=np.float64)
+    for i, r in enumerate(regions):
+        perimeter = 2 * r.n_elements
+        raw_span = max(1, r.raw_span)
+        X[i, 0] = r.area / max(1, perimeter)
+        X[i, 1] = r.link_area / max(1, r.area)
+        X[i, 2] = 1.0 - r.islands
+        X[i, 3] = med_crossings(region_crossings(r, inline_events))
+        X[i, 4] = r.skipped_chars / raw_span
+        X[i, 5] = r.area / raw_span
+        X[i, 6] = num_inflexions(r.child_profiles)
+    return X
+
+
+def stage1_gate(X: np.ndarray, areas: np.ndarray, doc_total: np.ndarray,
+                nm1: StumpModel) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized stage-1 accept mask + probabilities.
+
+    Gate (er_merge, erfilter.c:817-832): p >= minProbability AND
+    minArea*N <= area <= maxArea*N AND the w>2/h>2 analog (area >= 3).
+    ``doc_total`` is N (total doc text chars) aligned per region.
+    """
+    p = nm1.probability(X[:, :4])
+    lo = np.maximum(MIN_AREA_ABS, MIN_AREA_FRAC * doc_total)
+    hi = MAX_AREA_FRAC * doc_total
+    mask = (p >= STAGE1_MIN_PROB) & (areas >= lo) & (areas <= hi)
+    return mask, p
+
+
+def stage2_gate(X: np.ndarray, nm2: StumpModel) -> tuple[np.ndarray, np.ndarray]:
+    """Stage-2 accept mask + probabilities (er_tree_filter gate,
+    erfilter.c:1018-1021). Area bounds were already enforced at stage 1."""
+    p = nm2.probability(X)
+    return p >= STAGE2_MIN_PROB, p
+
+
+def nonmax_suppression(regions: list[Region], accepted_idx: np.ndarray,
+                       prob: np.ndarray) -> list[int]:
+    """Keep locally-maximal regions along ancestor chains of the accepted
+    forest (one document).
+
+    Faithful to er_save (erfilter.c:900-917): along each root->leaf path
+    track the max- and min-probability ancestors; when a node becomes the
+    new max and (maxP >= minProbability and maxP - minP > minProbabilityDiff)
+    it takes the local_maxima flag and clears its predecessor's.  Forest
+    roots start flagged (the reference's whole-image root plays this role).
+    Rejected regions are spliced out first: each accepted region's parent
+    is its nearest accepted ancestor (er_merge child-splicing analog,
+    erfilter.c:847-862).
+    """
+    if len(accepted_idx) == 0:
+        return []
+    acc = set(int(i) for i in accepted_idx)
+    by_id = {r.region_id: r for r in regions}
+    # splice: nearest accepted ancestor
+    parent_of: dict[int, int] = {}
+    for i in accepted_idx:
+        p = by_id[int(i)].parent_id
+        while p != -1 and p not in acc:
+            p = by_id[p].parent_id
+        parent_of[int(i)] = p
+    children: dict[int, list[int]] = {int(i): [] for i in accepted_idx}
+    roots = []
+    for i, p in parent_of.items():
+        if p == -1:
+            roots.append(i)
+        else:
+            children[p].append(i)
+    pr = {int(i): float(prob[k]) for k, i in enumerate(accepted_idx)}
+
+    flag: dict[int, bool] = {}
+    # iterative DFS carrying (node, max_anc, min_anc)
+    stack = [(r, r, r) for r in roots]
+    for r in roots:
+        flag[r] = True
+    while stack:
+        node, mx, mn = stack.pop()
+        if node != mn and pr[node] < pr[mn]:
+            mn = node
+        if node != mx and pr[node] > pr[mx]:
+            # node supersedes the previous max ancestor (erfilter.c:900-917)
+            if pr[node] >= STAGE1_MIN_PROB and pr[node] - pr[mn] > MIN_PROB_DIFF:
+                flag[node] = True
+                flag[mx] = False
+            mx = node
+        for c in children[node]:
+            stack.append((c, mx, mn))
+    return sorted(i for i in flag if flag.get(i))

@@ -1,0 +1,94 @@
+"""Region grouping: pairs -> closest sibling -> sequences (text blocks).
+
+Web analog of the reference's exhaustive grouping (SURVEY.md §2.5):
+
+  isValidPair     (``/root/reference/erfilter.c:1506-1596``): geometric gates
+                  (non-overlap, order, height ratio >= 0.4, gap in
+                  [-0.4, 2.2] x avg size) + color consistency
+  closest sibling (erfilter.c:1187-1241): keep nearest valid partner
+  sequences       (erfilter.c:1259-1311): agglomerate compatible pairs,
+                  longest-wins subsumption
+
+Our analogs: regions are document-order text blocks; "height" is text
+length, "gap" is the char distance between consecutive blocks in the
+document stream, "color consistency" is link-density style distance.
+Sequences are connected components of the kept pair graph (union-find —
+the reference's agglomerate-then-subsume loop computes the same maximal
+groups); a region with no valid partner forms a singleton group, which is
+the degenerate sequence the reference recovers via its feedback loop
+(erfilter.c:1313-1463).
+
+Everything here is document-local: it runs inside the fused vectorized
+stage on one document's few surviving regions; the *relational shadow*
+(range self-join + window top-1) is exposed in __spark_entry__ queries.
+"""
+
+from __future__ import annotations
+
+from ..config import (
+    PAIR_GAP_HI,
+    PAIR_GAP_LO,
+    PAIR_MAX_STYLE_DIST,
+    PAIR_MIN_LENGTH_RATIO,
+)
+from .parse import Region
+
+
+def is_valid_pair(a: Region, b: Region) -> bool:
+    """Gate for an ordered pair (a before b) of kept regions."""
+    if b.start < a.end:          # non-overlap + order (erfilter.c:1508-1527)
+        return False
+    la, lb = a.area, b.area
+    if min(la, lb) / max(1, max(la, lb)) < PAIR_MIN_LENGTH_RATIO:
+        return False             # height_ratio analog (erfilter.c:1529)
+    avg = 0.5 * (la + lb)
+    gap = b.start - a.end
+    if not (PAIR_GAP_LO * avg <= gap <= PAIR_GAP_HI * avg):
+        return False             # centroid-distance band (erfilter.c:1545)
+    if abs(a.link_density - b.link_density) > PAIR_MAX_STYLE_DIST:
+        return False             # color-consistency analog (erfilter.c:1553-1595)
+    return True
+
+
+def group_regions(kept: list[Region]) -> list[list[Region]]:
+    """Group a document's kept regions into ordered text blocks.
+
+    Returns groups ordered by start offset; each group's members ordered by
+    start offset.  Union-find over closest-sibling pairs.
+    """
+    kept = sorted(kept, key=lambda r: r.start)
+    n = len(kept)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[ry] = rx
+
+    # closest-sibling: for each left region, link only the nearest valid
+    # right partner (erfilter.c:1187-1241 top-1 per group)
+    for i in range(n):
+        best = -1
+        best_gap = None
+        for j in range(i + 1, n):
+            if is_valid_pair(kept[i], kept[j]):
+                gap = kept[j].start - kept[i].end
+                if best_gap is None or gap < best_gap:
+                    best, best_gap = j, gap
+        if best >= 0:
+            union(i, best)
+
+    groups: dict[int, list[Region]] = {}
+    for i, r in enumerate(kept):
+        groups.setdefault(find(i), []).append(r)
+    out = sorted(groups.values(), key=lambda g: g[0].start)
+    for gid, g in enumerate(out):
+        for r in g:
+            r.group_id = gid
+    return out

@@ -1,0 +1,107 @@
+"""Grouping gates (G1-G5) and consecutive dedup (R3)."""
+
+from ocr_hardsubx_spark.operators.dedup import dedup_consecutive
+from ocr_hardsubx_spark.operators.grouping import (
+    group_regions,
+    is_valid_pair,
+)
+from ocr_hardsubx_spark.operators.parse import Region
+
+
+def _r(rid, start, area, link_area=0):
+    r = Region(rid, -1, 1, "p", start, start, 0, 0)
+    r.end = start + area
+    r.area = area
+    r.link_area = link_area
+    return r
+
+
+def test_pair_order_and_overlap():
+    a, b = _r(0, 0, 100), _r(1, 150, 100)
+    assert is_valid_pair(a, b)
+    assert not is_valid_pair(b, a)          # wrong order
+    c = _r(2, 50, 100)                      # overlaps a
+    assert not is_valid_pair(a, c)
+
+
+def test_pair_length_ratio_boundary():
+    a = _r(0, 0, 100)
+    assert is_valid_pair(a, _r(1, 110, 40))      # ratio 0.4 exactly: valid
+    assert not is_valid_pair(a, _r(1, 110, 39))  # 0.39 < 0.4
+
+
+def test_pair_gap_band():
+    a = _r(0, 0, 100)
+    # avg=100 -> gap must be in [-40, 220]
+    assert is_valid_pair(a, _r(1, 100 + 220, 100))
+    assert not is_valid_pair(a, _r(1, 100 + 221, 100))
+
+
+def test_pair_style_distance():
+    a = _r(0, 0, 100, link_area=0)
+    assert is_valid_pair(a, _r(1, 150, 100, link_area=20))      # .2 ok
+    assert not is_valid_pair(a, _r(1, 150, 100, link_area=30))  # .3 > .2
+
+
+def test_grouping_chains_consecutive_blocks():
+    rs = [_r(0, 0, 100), _r(1, 120, 110), _r(2, 260, 100),
+          _r(3, 5000, 90)]
+    groups = group_regions(rs)
+    assert [len(g) for g in groups] == [3, 1]
+    assert [r.group_id for r in rs] == [0, 0, 0, 1]
+
+
+def test_grouping_singletons_kept():
+    rs = [_r(0, 0, 100), _r(1, 10000, 5)]
+    groups = group_regions(rs)
+    assert len(groups) == 2
+
+
+def test_closest_sibling_prefers_nearest():
+    a, near, far = _r(0, 0, 100), _r(1, 120, 100), _r(2, 250, 100)
+    groups = group_regions([a, near, far])
+    # a links to near; near links to far -> all one group (transitive)
+    assert len(groups) == 1
+
+
+# --- dedup ---------------------------------------------------------------
+
+def test_dedup_drops_empty():
+    assert dedup_consecutive(["", "a", ""]) == [1]
+
+
+def test_dedup_identical_run_keeps_one():
+    assert dedup_consecutive(["nav menu"] * 5) == [0]
+
+
+def test_dedup_near_duplicate_dropped():
+    a = "Home About Contact Products Services"
+    b = "Home About Contact Products Service!"  # 2 edits / 37 -> 0.946
+    assert dedup_consecutive([a, b]) == [0]
+
+
+def test_dedup_distinct_kept():
+    assert dedup_consecutive(["first paragraph here",
+                              "totally different text"]) == [0, 1]
+
+
+def test_dedup_alternating_ab_keeps_all():
+    # similarity is vs previous KEPT block only (consecutive semantics)
+    a = "aaaaaaaaaaaaaaaaaaaa"
+    b = "bbbbbbbbbbbbbbbbbbbb"
+    assert dedup_consecutive([a, b, a, b]) == [0, 1, 2, 3]
+
+
+def test_dedup_run_with_gap_resets():
+    a = "aaaaaaaaaaaaaaaaaaaa"
+    c = "cccccccccccccccccccc"
+    # a, a (dropped), c, a (kept again: prev kept is c)
+    assert dedup_consecutive([a, a, c, a]) == [0, 2, 3]
+
+
+def test_dedup_idempotent():
+    texts = ["same block here", "same block here", "other text",
+             "", "other text!"]
+    kept = dedup_consecutive(texts)
+    again = dedup_consecutive([texts[i] for i in kept])
+    assert again == list(range(len(kept)))
