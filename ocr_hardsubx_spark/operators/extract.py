@@ -1,0 +1,180 @@
+"""The fused Spark extraction stage (flagship job, G9/detectRegions analog).
+
+One Arrow-vectorized ``mapInPandas`` stage runs the whole
+detect -> classify -> recognize -> dedup pipeline per document
+(reference ``/root/reference/erfilter.c:1730-1762`` detectRegions):
+parse, stage-1 cascade, NMS, stage-2 cascade, grouping, normalization,
+consecutive dedup.  Stages 1+2 are fused in the same batch so document
+bytes are never re-shipped (SURVEY.md §2.4 C6), and stump scoring is
+vectorized with numpy across ALL regions of the batch at once — exactly
+two ensemble evaluations per Arrow batch, zero per-row Python UDFs
+(north_star hard requirement; the plan shows MapInPandas, never
+BatchEvalPython — enforced by tests/test_spark_pipeline.py).
+
+Classifier tables ride a SparkContext broadcast (a few KB) and are
+rehydrated into numpy arrays once per executor (reference S2,
+erfilter.c:241-251).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+from ..config import GROUP_JOINER
+from ..functions.normalize import normalize_text
+from ..functions.scoring import StumpModel
+from ..sources.model_store import (
+    N_FEATURES_NM1,
+    N_FEATURES_NM2,
+    load_models,
+)
+from .cascade import feature_matrix, nonmax_suppression, stage1_gate, stage2_gate
+from .dedup import dedup_consecutive
+from .grouping import group_regions
+from .parse import parse_document
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+EXTRACTED_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, "
+    "spans array<struct<start:int,end:int,text:string>>, "
+    "extracted_text string, n_regions int, n_kept int"
+)
+
+# per-executor model cache: broadcast id -> (nm1, nm2)
+_MODEL_CACHE: dict[int, tuple[StumpModel, StumpModel]] = {}
+
+
+def _models_from_broadcast(bc) -> tuple[StumpModel, StumpModel]:
+    if bc is None:
+        return load_models()
+    key = id(bc)
+    if key not in _MODEL_CACHE:
+        rows1, rows2 = bc.value
+        _MODEL_CACHE[key] = (
+            StumpModel.from_rows(rows1, N_FEATURES_NM1),
+            StumpModel.from_rows(rows2, N_FEATURES_NM2),
+        )
+    return _MODEL_CACHE[key]
+
+
+def extract_pandas_batch(pdf: pd.DataFrame, nm1: StumpModel,
+                         nm2: StumpModel) -> pd.DataFrame:
+    """Run the full pipeline on one Arrow batch of documents."""
+    n_docs = len(pdf)
+    docs = []
+    for html in pdf["html"]:
+        regions, stream, events = parse_document(html)
+        X = feature_matrix(regions, events)
+        docs.append((regions, stream, X))
+
+    # ---- stage 1, one vectorized scoring call for the whole batch ----
+    if n_docs:
+        X_all = np.vstack([d[2] for d in docs])
+        areas = np.fromiter(
+            (r.area for d in docs for r in d[0]), dtype=np.float64,
+            count=X_all.shape[0])
+        totals = np.concatenate([
+            np.full(len(d[0]), d[0][0].area if d[0] else 0, dtype=np.float64)
+            for d in docs])
+        mask1_all, p1_all = stage1_gate(X_all, areas, totals, nm1)
+    out_spans: list[list] = []
+    out_text: list[str] = []
+    out_nreg: list[int] = []
+    out_nkept: list[int] = []
+
+    # ---- per-document NMS, collecting stage-2 candidates ----
+    offs = 0
+    kept_per_doc: list[list[int]] = []
+    X2_rows: list[np.ndarray] = []
+    for regions, stream, X in docs:
+        n = len(regions)
+        mask1 = mask1_all[offs:offs + n]
+        p1 = p1_all[offs:offs + n]
+        acc1 = np.nonzero(mask1)[0]
+        kept_ids = nonmax_suppression(regions, acc1, p1[acc1])
+        kept_per_doc.append(kept_ids)
+        if kept_ids:
+            X2_rows.append(X[kept_ids, :])
+        offs += n
+
+    # ---- stage 2, one vectorized scoring call ----
+    if X2_rows:
+        X2_all = np.vstack(X2_rows)
+        mask2_all, p2_all = stage2_gate(X2_all, nm2)
+    off2 = 0
+    for (regions, stream, X), kept_ids in zip(docs, kept_per_doc):
+        out_nreg.append(len(regions))
+        if not kept_ids:
+            out_spans.append([])
+            out_text.append("")
+            out_nkept.append(0)
+            continue
+        k = len(kept_ids)
+        mask2 = mask2_all[off2:off2 + k]
+        p2 = p2_all[off2:off2 + k]
+        off2 += k
+        by_id = {r.region_id: r for r in regions}
+        survivors = []
+        for rid, ok, p in zip(kept_ids, mask2, p2):
+            if ok:
+                r = by_id[rid]
+                r.probability = float(p)
+                survivors.append(r)
+        if not survivors:
+            out_spans.append([])
+            out_text.append("")
+            out_nkept.append(0)
+            continue
+        groups = group_regions(survivors)
+        texts = []
+        for g in groups:
+            member_texts = [normalize_text(stream[r.start:r.end]) for r in g]
+            km = dedup_consecutive(member_texts)
+            texts.append("\n".join(member_texts[i] for i in km))
+        kept_idx = dedup_consecutive(texts)
+        out_spans.append([
+            {"start": int(groups[i][0].start), "end": int(groups[i][-1].end),
+             "text": texts[i]}
+            for i in kept_idx
+        ])
+        out_text.append(GROUP_JOINER.join(texts[i] for i in kept_idx))
+        out_nkept.append(len(survivors))
+
+    return pd.DataFrame({
+        "url": pdf["url"].values,
+        "warc_ts": pdf["warc_ts"].values if "warc_ts" in pdf else pd.NaT,
+        "lang": pdf["lang"].values if "lang" in pdf else None,
+        "spans": out_spans,
+        "extracted_text": out_text,
+        "n_regions": pd.array(out_nreg, dtype="int32"),
+        "n_kept": pd.array(out_nkept, dtype="int32"),
+    })
+
+
+def extract_documents(df: "DataFrame", spark: "SparkSession | None" = None) -> "DataFrame":
+    """documents(url, warc_ts, html, ...) -> extracted(url, warc_ts, lang,
+    spans, extracted_text, n_regions, n_kept).
+
+    Column pruning: only url/warc_ts/html/lang enter the stage (the parquet
+    scan's ReadSchema drops everything else — verified in tests).
+    """
+    cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
+    df = df.select(*cols)
+    bc = None
+    if spark is not None:
+        nm1, nm2 = load_models()
+        bc = spark.sparkContext.broadcast(
+            (nm1.to_rows(1), nm2.to_rows(2)))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nm1, nm2 = _models_from_broadcast(bc)
+        for pdf in batches:
+            yield extract_pandas_batch(pdf, nm1, nm2)
+
+    return df.mapInPandas(gen, schema=EXTRACTED_SCHEMA)
