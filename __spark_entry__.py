@@ -1,38 +1,104 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship extraction job on /root/testdata/sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()  — DuckDB-equivalent SQL per query (driver correctness gate).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from ocr_hardsubx_spark.plans import dataset_queries as dq  # noqa: E402
+from ocr_hardsubx_spark.plans import queries as q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: detect->classify->recognize->dedup extraction.
+
+    The sandbox testdata `documents` table carries plain text (no html
+    column), so the page bytes are synthesized JVM-side from the text
+    payload (deterministic wrapper with nav/footer boilerplate), then fed
+    through the real extraction stage.  The fixture-corpus byte-identity
+    gate lives in queries()['extract_pipeline'].
+    """
+    from pyspark.sql import functions as F
+
+    from ocr_hardsubx_spark.operators.extract import extract_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nav = ('<nav><ul><li><a href="/">Home</a></li><li><a href="/a">About'
+           '</a></li><li><a href="/c">Contact</a></li>'
+           '<li><a href="/p">Products</a></li></ul></nav>')
+    pages = docs.select(
+        F.concat(F.lit("https://synth.example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>doc</title></head><body>" + nav),
+                F.lit('<div class="content"><p>'),
+                F.col("text"),
+                F.lit("</p></div>" + nav + "</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("lang"),
+    )
+    return extract_documents(pages, spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction engine (flagship + scale features)
+        "extract_pipeline": q.extract_pipeline,
+        "partition_prune": q.partition_prune,
+        # relational shadows of the pipeline's physical primitives
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "q_stump_scoring": q.q_stump_scoring,
+        "q_window_dedup": q.q_window_dedup,
+        "q_top1_per_group": q.q_top1_per_group,
+        "q_pair_range_join": q.q_pair_range_join,
+        "q_nms_running_max": q.q_nms_running_max,
+        "q_broadcast_dim_join": q.q_broadcast_dim_join,
+        # training-data pipeline operators
+        "q_dedup_exact": dq.q_dedup_exact,
+        "q_minhash_bands": dq.q_minhash_bands,
+        "q_minhash_dup_candidates": dq.q_minhash_dup_candidates,
+        "q_simhash": dq.q_simhash,
+        "q_jaccard_nearby": dq.q_jaccard_nearby,
+        "q_ann_cosine_topk": dq.q_ann_cosine_topk,
+        "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed,
+        "q_token_stats": dq.q_token_stats,
+        "q_quality_score": dq.q_quality_score,
+        "q_lang_id": dq.q_lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_pipeline": q.extract_pipeline_sql(),
+        "partition_prune": q.partition_prune_sql(),
+        "q1_pricing_summary": q.q1_pricing_summary_sql(),
+        "q_stump_scoring": q.q_stump_scoring_sql(),
+        "q_window_dedup": q.q_window_dedup_sql(),
+        "q_top1_per_group": q.q_top1_per_group_sql(),
+        "q_pair_range_join": q.q_pair_range_join_sql(),
+        "q_nms_running_max": q.q_nms_running_max_sql(),
+        "q_broadcast_dim_join": q.q_broadcast_dim_join_sql(),
+        "q_dedup_exact": dq.q_dedup_exact_sql(),
+        "q_minhash_bands": dq.q_minhash_bands_sql(),
+        "q_minhash_dup_candidates": dq.q_minhash_dup_candidates_sql(),
+        "q_simhash": dq.q_simhash_sql(),
+        "q_jaccard_nearby": dq.q_jaccard_nearby_sql(),
+        "q_ann_cosine_topk": dq.q_ann_cosine_topk_sql(),
+        "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed_sql(),
+        "q_token_stats": dq.q_token_stats_sql(),
+        "q_quality_score": dq.q_quality_score_sql(),
+        "q_lang_id": dq.q_lang_id_sql(),
+    }

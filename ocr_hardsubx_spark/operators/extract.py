@@ -168,6 +168,9 @@ def extract_documents(df: "DataFrame", spark: "SparkSession | None" = None) -> "
     df = df.select(*cols)
     bc = None
     if spark is not None:
+        from ..plans.packaging import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)  # --py-files equivalent
         nm1, nm2 = load_models()
         bc = spark.sparkContext.broadcast(
             (nm1.to_rows(1), nm2.to_rows(2)))

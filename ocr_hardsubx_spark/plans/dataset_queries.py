@@ -1,0 +1,430 @@
+"""Training-data pipeline operators over documents/embeddings.
+
+The operations a 100 TB training-data pipeline needs beyond the extraction
+engine itself (driver brief): deduplication (exact, MinHash+LSH, SimHash,
+token Jaccard), approximate similarity search over embeddings, and text
+analysis (token counting, quality scoring, language ID).  Every operator is
+expressed with built-in JVM-side expressions (no Python UDFs) and has a
+DuckDB oracle shadow.
+
+Scale notes per operator are in each docstring — the point is that each
+plan survives 100x data: hash-partitioned aggs, band-bucket joins instead
+of all-pairs, broadcast of the tiny query side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_BANDS = 4  # MinHash LSH bands
+
+STOP_EN = ["the", "and", "of", "to", "a", "in", "is", "it"]
+STOP_DE = ["der", "und", "die", "das", "ist", "nicht", "ein", "zu"]
+STOP_FR = ["le", "et", "la", "les", "des", "un", "est", "que"]
+STOP_ES = ["el", "y", "la", "los", "de", "un", "es", "que"]
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep the smallest doc_id.
+    At 100 TB this is ONE shuffle on a 16-byte key with partial aggregation
+    map-side; no row texts move, only (hash, id) pairs."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (
+        docs.select(F.md5("text").alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def q_dedup_exact_sql() -> str:
+    return """
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH signatures: shingle -> salted md5 -> min per band.
+    Candidate pairs come from joining on (band, minhash) buckets — an
+    equi-join on a short key, never an all-pairs comparison; at 100 TB the
+    band join shuffles only (band, hash, id) triples (SURVEY §4 O11 salting
+    applies if one bucket is hot)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                    F.element_at(F.col("toks"), i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).where(F.col("shingle") != "")
+    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    return (
+        shingles.crossJoin(F.broadcast(bands))
+        .select(
+            "doc_id", "band",
+            F.md5(F.concat_ws("|", F.col("band"), F.col("shingle")))
+             .alias("h"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def q_minhash_bands_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    shingles AS (
+      SELECT doc_id,
+             unnest([trim(t[i] || ' ' || COALESCE(t[i+1], '') || ' ' ||
+                          COALESCE(t[i+2], ''))
+                     for i in range(1, greatest(len(t) - 2, 1) + 1)])
+               AS shingle
+      FROM toks
+    ),
+    bands AS (SELECT unnest(range({N_BANDS})) AS band)
+    SELECT doc_id, CAST(band AS INTEGER) AS band,
+           min(md5(band || '|' || shingle)) AS minhash
+    FROM shingles CROSS JOIN bands
+    WHERE shingle <> ''
+    GROUP BY doc_id, band
+    """
+
+
+def q_minhash_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: documents sharing any (band, minhash) bucket."""
+    sig = q_minhash_bands(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.minhash") == F.col("b.minhash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_minhash_dup_candidates_sql() -> str:
+    return f"""
+    WITH sig AS ({q_minhash_bands_sql()})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.minhash = b.minhash
+     AND a.doc_id < b.doc_id
+    """
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document: per-token md5 -> 16-bit
+    int -> per-bit +/-1 votes summed over tokens -> sign bits reassembled.
+    Near-dup docs land at small Hamming distance.  All JVM expressions;
+    one shuffle (groupBy doc_id)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    h = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long").alias("hv"),
+    )
+    bit_sums = h.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(16)
+    ])
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+             * F.lit(2 ** i))
+            for i in range(16)
+        ).cast("long").alias("simhash16"),
+    )
+    return sim
+
+
+def q_simhash_sql() -> str:
+    bit_sum = ", ".join(
+        "sum(CASE WHEN (hv // {p}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        .format(p=2 ** i, i=i) for i in range(16)
+    )
+    reassemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(w), 1, 4))::BIGINT AS BIGINT) AS hv
+      FROM tok WHERE w <> ''
+    ),
+    bits AS (SELECT doc_id, {bit_sum} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({reassemble} AS BIGINT) AS simhash16 FROM bits
+    """
+
+
+def q_jaccard_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard between each doc and its successor (doc_id+1) —
+    the n-gram-Jaccard near-dup check restricted to a candidate pairing
+    (here: adjacency) rather than all-pairs; at scale candidates come from
+    the LSH buckets above."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("s"))
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def q_jaccard_nearby_sql() -> str:
+    return """
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / length(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs a fixed query vector (vec_id 0).
+    The query side is a 1-row broadcast; dot products run as JVM
+    higher-order functions (zip_with + aggregate), no Python.  The
+    IVF/LSH-bucketed scale path is q_ann_lsh_bucketed below."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 4)
+             .alias("cos_sim"),
+        )
+    )
+    # top-k via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # top-k then merge on the driver), NOT a global window (which would
+    # single-partition the sort at scale); rank is assigned on the k rows.
+    top = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def q_ann_cosine_topk_sql() -> str:
+    return """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])))), 4)
+               AS cos_sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: sign-random-projection LSH — bucket vectors by
+    the sign pattern of dot products with fixed hyperplanes (here the
+    first 4 coordinate axes as deterministic stand-ins), then search only
+    the query's bucket.  At 100 TB the bucket id is the shuffle/partition
+    key; each bucket fits one task."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    bucket = sum(
+        (F.when(F.element_at("embedding", i + 1) >= 0, F.lit(2 ** i))
+         .otherwise(F.lit(0)))
+        for i in range(4)
+    ).cast("int").alias("bucket")
+    return (
+        emb.select(bucket, "vec_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def q_ann_lsh_bucketed_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(4)
+    )
+    return f"""
+    SELECT CAST({terms} AS INTEGER) AS bucket,
+           count(*) AS n_vecs, min(vec_id) AS min_vec_id
+    FROM embeddings GROUP BY 1
+    """
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword proxy
+    (ceil(chars/4) per token, the common 4-chars-per-token heuristic)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.aggregate(
+            toks, F.lit(0),
+            lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"),
+        ).alias("n_subwords"),
+    )
+
+
+def q_token_stats_sql() -> str:
+    return """
+    SELECT doc_id,
+           length(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_actual,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                         w -> CAST(ceil(length(w) / 4.0) AS INTEGER)))
+                AS INTEGER) AS n_subwords
+    FROM documents
+    """
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean word length, stopword ratio —
+    the boilerplate/quality heuristics a pretraining filter applies."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in STOP_EN])))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.length("text") / F.size(toks), 4).alias("mean_word_len"),
+        F.round(stop_hits / F.size(toks), 4).alias("stop_ratio"),
+        (F.size(toks).between(20, 10000)
+         & ((F.length("text") / F.size(toks)).between(2.0, 12.0)))
+        .alias("passes_quality"),
+    )
+
+
+def q_quality_score_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOP_EN)
+    return f"""
+    SELECT doc_id,
+           length(string_split(text, ' ')) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE)
+                 / length(string_split(text, ' ')), 4) AS mean_word_len,
+           round(CAST(length(list_intersect(list_distinct(string_split(text, ' ')),
+                                            [{stop_list}])) AS DOUBLE)
+                 / length(string_split(text, ' ')), 4) AS stop_ratio,
+           (length(string_split(text, ' ')) BETWEEN 20 AND 10000
+            AND CAST(length(text) AS DOUBLE) / length(string_split(text, ' '))
+                BETWEEN 2.0 AND 12.0) AS passes_quality
+    FROM documents
+    """
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-hit voting over 4 wordlists (n-gram
+    heuristic stand-in); deterministic tie order en > de > fr > es."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in (("en", STOP_EN), ("de", STOP_DE),
+                         ("fr", STOP_FR), ("es", STOP_ES))
+    }
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(hits["en"] == best, "en")
+        .when(hits["de"] == best, "de")
+        .when(hits["fr"] == best, "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        *[hits[k].alias(f"hits_{k}") for k in ("en", "de", "fr", "es")],
+        pred.alias("lang_pred"),
+    )
+
+
+def q_lang_id_sql() -> str:
+    def hits(ws):
+        lst = ", ".join(f"'{w}'" for w in ws)
+        return (f"length(list_intersect(list_distinct(string_split(text, ' ')),"
+                f" [{lst}]))")
+
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             {hits(STOP_EN)} AS hits_en, {hits(STOP_DE)} AS hits_de,
+             {hits(STOP_FR)} AS hits_fr, {hits(STOP_ES)} AS hits_es
+      FROM documents
+    )
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr
+                     AND hits_en >= hits_es THEN 'en'
+                WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+                WHEN hits_fr >= hits_es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM h
+    """

@@ -1,0 +1,319 @@
+"""Registered queries + DuckDB oracle shadows (the driver contract).
+
+Each entry pairs a Spark DataFrame program with an ANSI-SQL equivalent the
+DuckDB oracle runs on the same parquet tables (SURVEY.md §5.2.5).  The
+relational queries shadow the engine's physical primitives:
+
+  q1_pricing_summary   partial+final hash aggregation      (O4)
+  q_stump_scoring      broadcast join + hash agg scoring    (C3)
+  q_window_dedup       lag window + Levenshtein consecutive dedup (R3)
+  q_top1_per_group     closest-sibling top-1 window          (G2)
+  q_pair_range_join    theta self-join with band predicates  (G1)
+  q_nms_running_max    ancestor-path running max             (D8)
+  q_broadcast_dim_join broadcast dimension join              (C3)
+
+plus the training-data operators (dedup exact/minhash/jaccard/simhash, ANN
+cosine top-k, token stats, quality score, language ID) over the
+``documents`` / ``embeddings`` tables, and the extraction pipeline itself
+checked byte-for-byte against committed goldens.
+
+Column names are aliased identically on both sides; floats are rounded on
+both sides so value hashes match.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+FIXTURES_DIR = "/root/repo/data/fixtures"
+ORACLE_DOCS = os.path.join(FIXTURES_DIR, "documents_oracle.parquet")
+PART_DOCS = os.path.join(FIXTURES_DIR, "documents_part")
+N_ORACLE_DOCS = 200
+
+STOPWORDS = ["data", "table", "row", "value", "key", "scan", "join", "agg"]
+
+# tiny inline stump table used by the scoring shadow (same shape as the
+# broadcast NM tables: var, le, left_val, right_val)
+SHADOW_STUMPS = [
+    (0, 100.0, -0.5, 0.3), (0, 200.0, -0.2, 0.4), (0, 400.0, 0.1, 0.6),
+    (0, 800.0, 0.2, -0.1), (1, 10.0, -0.4, 0.2), (1, 30.0, -0.1, 0.5),
+    (1, 60.0, 0.3, -0.2), (1, 90.0, 0.1, -0.3),
+]
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def ensure_fixture_corpus() -> None:
+    """Generate (once) the committed fixture corpora used by the
+    extraction queries; deterministic, so regeneration is a no-op."""
+    from ..sources.fixtures import write_documents
+
+    if not os.path.exists(ORACLE_DOCS):
+        write_documents(ORACLE_DOCS, N_ORACLE_DOCS)
+    if not os.path.exists(PART_DOCS):
+        write_documents(PART_DOCS, N_ORACLE_DOCS, partition_by_day=True)
+
+
+# --------------------------------------------------------------------------
+# extraction pipeline (flagship)
+# --------------------------------------------------------------------------
+
+def extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full detect->classify->recognize->dedup over the fixture corpus;
+    oracle = the committed golden text per url (byte-identity gate)."""
+    from ..operators.extract import extract_documents
+
+    ensure_fixture_corpus()
+    docs = spark.read.parquet(ORACLE_DOCS)
+    out = extract_documents(docs, spark)
+    return out.select("url", "extracted_text")
+
+
+def extract_pipeline_sql() -> str:
+    return (f"SELECT url, text AS extracted_text FROM '{ORACLE_DOCS}'")
+
+
+def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning on warc_dt=date(warc_ts) (north_rule): the scan
+    must touch only the matching day directories (asserted in tests)."""
+    ensure_fixture_corpus()
+    df = spark.read.parquet(PART_DOCS)
+    return (
+        df.where(F.col("warc_dt").between("2025-01-01", "2025-01-02"))
+        .groupBy(F.col("warc_dt").cast("string").alias("warc_dt"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.length("text")).alias("golden_bytes"))
+    )
+
+
+def partition_prune_sql() -> str:
+    return (
+        "SELECT CAST(warc_dt AS VARCHAR) AS warc_dt, count(*) AS n_docs, "
+        "sum(length(text)) AS golden_bytes "
+        f"FROM read_parquet('{PART_DOCS}/*/*.parquet', hive_partitioning=true) "
+        "WHERE warc_dt BETWEEN DATE '2025-01-01' AND DATE '2025-01-02' "
+        "GROUP BY 1"
+    )
+
+
+# --------------------------------------------------------------------------
+# relational shadows over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: partial+final hash aggregation (O4 shadow)."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q1_pricing_summary_sql() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_stump_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast stump join + hash-agg vote summation (C3 relational
+    shadow): rows CROSS JOIN broadcast(stumps) -> CASE -> sum per row."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    stumps = spark.createDataFrame(
+        SHADOW_STUMPS, "var int, le double, left_val double, right_val double")
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("f0"),
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("f1"),
+    )
+    scored = feats.crossJoin(F.broadcast(stumps)).select(
+        "doc_id",
+        F.when(
+            F.when(F.col("var") == 0, F.col("f0")).otherwise(F.col("f1"))
+            <= F.col("le"), F.col("left_val")
+        ).otherwise(F.col("right_val")).alias("vote"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("vote"), 6).alias("votes"))
+    )
+
+
+def q_stump_scoring_sql() -> str:
+    vals = ", ".join(f"({v}, {le}, {l}, {r})" for v, le, l, r in SHADOW_STUMPS)
+    return f"""
+    WITH stumps(var, le, left_val, right_val) AS (VALUES {vals}),
+    feats AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS f0,
+             CAST(length(string_split(text, ' ')) AS DOUBLE) AS f1
+      FROM documents
+    )
+    SELECT doc_id,
+           round(sum(CASE WHEN (CASE WHEN var = 0 THEN f0 ELSE f1 END) <= le
+                          THEN left_val ELSE right_val END), 6) AS votes
+    FROM feats CROSS JOIN stumps
+    GROUP BY doc_id
+    """
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-dedup relational shadow (R3): lag window + Levenshtein
+    similarity vs previous doc within each source stream."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    prefix = F.substring(F.col("text"), 1, 64)
+    prev = F.lag(prefix).over(w)
+    d = docs.select(
+        "doc_id", "source", prefix.alias("cur"), prev.alias("prev"))
+    sim = (
+        F.lit(1.0)
+        - F.levenshtein("cur", "prev")
+        / F.greatest(F.length("cur"), F.length("prev"))
+    )
+    return (
+        d.withColumn(
+            "is_dup",
+            F.when(F.col("prev").isNull(), F.lit(False)).otherwise(sim >= 0.85),
+        )
+        .select("doc_id", "source", "is_dup")
+    )
+
+
+def q_window_dedup_sql() -> str:
+    return """
+    WITH d AS (
+      SELECT doc_id, source, substring(text, 1, 64) AS cur,
+             lag(substring(text, 1, 64)) OVER
+               (PARTITION BY source ORDER BY doc_id) AS prev
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN prev IS NULL THEN false
+                ELSE (1.0 - CAST(levenshtein(cur, prev) AS DOUBLE)
+                      / greatest(length(cur), length(prev))) >= 0.85
+           END AS is_dup
+    FROM d
+    """
+
+
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest-sibling top-1-per-group shadow (G2)."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("top_price"))
+    )
+
+
+def q_top1_per_group_sql() -> str:
+    return """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+    FROM (
+      SELECT *, row_number() OVER
+        (PARTITION BY o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """
+
+
+def q_pair_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-gate theta self-join shadow (G1): equi key + band predicate
+    (events of the same user within a 10-minute forward window)."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return (
+        pairs.groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_pair_range_join_sql() -> str:
+    return """
+    SELECT a.user_id AS user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.user_id
+    """
+
+
+def q_nms_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor-path running-max shadow (D8): max/min over the path prefix."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.max("value").over(w), 6).alias("run_max"),
+        F.round(F.min("value").over(w), 6).alias("run_min"),
+    )
+
+
+def q_nms_running_max_sql() -> str:
+    return """
+    SELECT user_id, event_id,
+           round(max(value) OVER w, 6) AS run_max,
+           round(min(value) OVER w, 6) AS run_min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join shadow: revenue by part brand."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_broadcast_dim_join_sql() -> str:
+    return """
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """

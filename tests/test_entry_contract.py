@@ -1,0 +1,81 @@
+"""Replicates the driver's correctness gate: every queries() entry runs on
+Spark AND its oracle_sql() runs on DuckDB over the same parquet tables;
+row counts, sorted schemas, and order-insensitive values must match."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def _rows_set(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(_canon(r[c]) for c in cols) for _, r in pdf.iterrows()
+    )
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_query_has_an_oracle():
+    missing = set(QUERIES) - set(ORACLES)
+    assert not missing, f"rows-only-checked queries (document why): {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    con = _duck()
+    odf = con.execute(ORACLES[name]).df()
+    assert len(sdf) == len(odf), (
+        f"{name}: row count {len(sdf)} vs oracle {len(odf)}")
+    assert sorted(map(str.lower, sdf.columns)) == \
+        sorted(map(str.lower, odf.columns)), (
+        f"{name}: schema {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+    odf.columns = [c for c in odf.columns]
+    a, b = _rows_set(sdf), _rows_set(odf)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+    assert "extracted_text" in df.columns
+    assert all(r["extracted_text"] for r in rows)
