@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling-efficiency protocol).
+
+Default mode: runs the flagship extraction job on the bench corpus plus the
+headline relational/dataset queries at $SPARK_GRAFT_SF_DIR, then prints ONE
+JSON line:
+
+  {"metric": "extraction_throughput", "value": <docs/sec>, "unit": "docs/sec",
+   "queries": {...per-query seconds...}, "sf": ..., ...}
+
+--scaling mode: runs the SAME extraction job on the SAME input at two
+parallelism levels (local[8] vs local[32] — the sandbox stand-in for N vs
+4N executors, BASELINE.md protocol), computes efficiency
+(T_8 / T_32) / 4 and rewrites BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_hardsubx_spark.plans.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+BENCH_CORPUS = f"/root/repo/data/bench/documents_{BENCH_DOCS}"
+SCRATCH = "/root/repo/data/bench/out"
+
+HEADLINE_QUERIES = (
+    "q1_pricing_summary", "q_broadcast_dim_join", "q_top1_per_group",
+    "q_window_dedup", "q_dedup_exact", "q_minhash_dup_candidates",
+    "q_simhash", "q_ann_cosine_topk", "q_token_stats", "q_lang_id",
+)
+
+
+def _gen_chunk(args) -> list:
+    start, n, seed = args
+    from ocr_hardsubx_spark.sources.fixtures import generate_rows
+
+    return list(generate_rows(n, seed=seed, start=start))
+
+
+def ensure_bench_corpus() -> str:
+    """Generate (once, in parallel) the bench corpus partitioned by day."""
+    marker = os.path.join(BENCH_CORPUS, "_COMPLETE")
+    if os.path.exists(marker):
+        return BENCH_CORPUS
+    shutil.rmtree(BENCH_CORPUS, ignore_errors=True)
+    from concurrent.futures import ProcessPoolExecutor
+
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    chunk = 1000
+    tasks = [(s, min(chunk, BENCH_DOCS - s), 42)
+             for s in range(0, BENCH_DOCS, chunk)]
+    rows = []
+    with ProcessPoolExecutor(max_workers=min(CPUS, 16)) as ex:
+        for part in ex.map(_gen_chunk, tasks):
+            rows.extend(part)
+    table = pa.table({
+        "url": [r["url"] for r in rows],
+        "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                            type=pa.timestamp("us", tz="UTC")),
+        "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+        "text": [r["text"] for r in rows],
+        "lang": [r["lang"] for r in rows],
+    })
+    table = table.append_column(
+        "warc_dt", pa.array([r["warc_ts"].date() for r in rows]))
+    os.makedirs(BENCH_CORPUS, exist_ok=True)
+    ds.write_dataset(
+        table, BENCH_CORPUS, format="parquet",
+        partitioning=ds.partitioning(
+            pa.schema([("warc_dt", pa.date32())]), flavor="hive"),
+        existing_data_behavior="delete_matching",
+        max_rows_per_file=5000, max_rows_per_group=1000)
+    with open(marker, "w") as f:
+        f.write(str(BENCH_DOCS))
+    return BENCH_CORPUS
+
+
+def run_extraction(cores: int, reps: int = 3) -> tuple[float, int]:
+    """Fresh session at the given parallelism; returns (median_wall_sec,
+    n_docs).  Each rep is the whole job — read -> extract -> write +
+    manifest commit — on a fresh output dir; session startup and Python
+    worker spin-up are excluded per the BASELINE.md protocol (warm page
+    cache, median of reps)."""
+    from ocr_hardsubx_spark.plans.pipeline import run_extraction_job
+
+    corpus = ensure_bench_corpus()
+    spark = get_spark(app_name=f"bench-extract-{cores}", cores=cores)
+    try:
+        _warm_python_workers(spark, cores)
+        walls, rows = [], 0
+        for rep in range(reps):
+            out = f"{SCRATCH}/extracted_{cores}_{rep}"
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.time()
+            res = run_extraction_job(spark, corpus, out,
+                                     n_partitions=cores * 4)
+            walls.append(time.time() - t0)
+            rows = res["rows"]
+            shutil.rmtree(out, ignore_errors=True)
+        return sorted(walls)[len(walls) // 2], rows
+    finally:
+        spark.stop()
+
+
+def _warm_python_workers(spark, cores: int) -> None:
+    """Spin up the per-core Python workers (imports pandas/numpy/the
+    package) before timing starts.  On a real cluster executors are
+    long-lived, so worker startup is session startup, which the protocol
+    excludes (BASELINE.md: 'excluding Spark session startup')."""
+    import pandas as _pd
+
+    def _noop(batches):
+        from ocr_hardsubx_spark.operators import extract as _e  # noqa: F401
+        for b in batches:
+            yield b
+
+    (spark.range(cores * 4).repartition(cores * 4)
+     .mapInPandas(_noop, schema="id long")
+     .write.format("noop").mode("overwrite").save())
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run local[8] vs local[32] and write BENCH/BASELINE.md")
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cores in (8, 32):
+            wall, n = run_extraction(cores)
+            results[cores] = {"wall_sec": round(wall, 2), "docs": n,
+                              "docs_per_sec": round(n / wall, 1)}
+        eff = (results[8]["wall_sec"] / results[32]["wall_sec"]) / 4.0
+        write_baseline_md(results, eff)
+        print(json.dumps({"metric": "scaling_efficiency_8_to_32",
+                          "value": round(eff, 3), "unit": "ratio",
+                          "detail": results}))
+        return
+
+    wall, n = run_extraction(CPUS)
+    spark = get_spark(app_name="bench-queries", cores=CPUS)
+    try:
+        qtimes = run_queries(spark)
+    finally:
+        spark.stop()
+    print(json.dumps({
+        "metric": "extraction_throughput",
+        "value": round(n / wall, 1),
+        "unit": "docs/sec",
+        "extraction_wall_sec": round(wall, 2),
+        "bench_docs": n,
+        "cores": CPUS,
+        "queries": qtimes,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    }))
+
+
+def write_baseline_md(results: dict, eff: float) -> None:
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    r8, r32 = results[8], results[32]
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — scaling-efficiency evidence
+
+Protocol (BASELINE.md): the SAME extraction job (read -> salted
+repartition -> fused mapInPandas extract -> write + manifest commit) on
+the SAME input ({r8['docs']} synthetic pages, seed=42, hive-partitioned
+by warc_dt) at two parallelism levels, as the sandbox stand-in for N vs
+4N executors.
+
+| parallelism | wall (s) | docs/sec |
+|---|---|---|
+| local[8]  (N)  | {r8['wall_sec']} | {r8['docs_per_sec']} |
+| local[32] (4N) | {r32['wall_sec']} | {r32['docs_per_sec']} |
+
+**Scaling efficiency (T_8 / T_32) / 4 = {eff:.3f}** (bar: >= 0.8)
+
+The job is one fused vectorized stage with no shuffle except the explicit
+salting exchange, so scaling is bounded by Python-worker startup
+amortization and input-split balance (SURVEY.md §4 O6/O11).
+""")
+
+
+if __name__ == "__main__":
+    main()

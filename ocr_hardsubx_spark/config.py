@@ -64,6 +64,9 @@ BLOCK_TAGS = frozenset(
 )
 
 # --- scale knobs (not semantics) ------------------------------------------
-ARROW_MAX_RECORDS_PER_BATCH = 128   # ~64-256 docs per Arrow batch (SURVEY §4 O6)
+ARROW_MAX_RECORDS_PER_BATCH = 512   # docs per Arrow batch (SURVEY §4 O6);
+# swept 128/512/1024 at local[8]/local[32]: 512 (~1.8 MB/batch) is the
+# plateau — 128 pays too many JVM<->Python crossings, 1024 adds latency
+# variance without throughput
 DEFAULT_SHUFFLE_PARTITIONS = 32
-SALT_BUCKETS = 64                   # salting modulus for skewed hosts (O11)
+SALT_BUCKETS = 64                   # legacy knob (salting now uses raw xxhash64)

@@ -45,6 +45,7 @@ EXTRACTED_SCHEMA = (
     "spans array<struct<start:int,end:int,text:string>>, "
     "extracted_text string, n_regions int, n_kept int"
 )
+_PASSTHROUGH_OK = ("input_file",)  # lineage columns carried 1:1 through the stage
 
 # per-executor model cache: broadcast id -> (nm1, nm2)
 _MODEL_CACHE: dict[int, tuple[StumpModel, StumpModel]] = {}
@@ -64,7 +65,8 @@ def _models_from_broadcast(bc) -> tuple[StumpModel, StumpModel]:
 
 
 def extract_pandas_batch(pdf: pd.DataFrame, nm1: StumpModel,
-                         nm2: StumpModel) -> pd.DataFrame:
+                         nm2: StumpModel,
+                         passthrough: tuple = ()) -> pd.DataFrame:
     """Run the full pipeline on one Arrow batch of documents."""
     n_docs = len(pdf)
     docs = []
@@ -146,7 +148,7 @@ def extract_pandas_batch(pdf: pd.DataFrame, nm1: StumpModel,
         out_text.append(GROUP_JOINER.join(texts[i] for i in kept_idx))
         out_nkept.append(len(survivors))
 
-    return pd.DataFrame({
+    cols = {
         "url": pdf["url"].values,
         "warc_ts": pdf["warc_ts"].values if "warc_ts" in pdf else pd.NaT,
         "lang": pdf["lang"].values if "lang" in pdf else None,
@@ -154,18 +156,23 @@ def extract_pandas_batch(pdf: pd.DataFrame, nm1: StumpModel,
         "extracted_text": out_text,
         "n_regions": pd.array(out_nreg, dtype="int32"),
         "n_kept": pd.array(out_nkept, dtype="int32"),
-    })
+    }
+    for c in passthrough:
+        cols[c] = pdf[c].values
+    return pd.DataFrame(cols)
 
 
 def extract_documents(df: "DataFrame", spark: "SparkSession | None" = None) -> "DataFrame":
     """documents(url, warc_ts, html, ...) -> extracted(url, warc_ts, lang,
-    spans, extracted_text, n_regions, n_kept).
+    spans, extracted_text, n_regions, n_kept [, lineage passthrough]).
 
-    Column pruning: only url/warc_ts/html/lang enter the stage (the parquet
-    scan's ReadSchema drops everything else — verified in tests).
+    Column pruning: only url/warc_ts/html/lang (+ declared lineage columns)
+    enter the stage (the parquet scan's ReadSchema drops everything else —
+    verified in tests).
     """
+    passthrough = tuple(c for c in _PASSTHROUGH_OK if c in df.columns)
     cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
-    df = df.select(*cols)
+    df = df.select(*cols, *passthrough)
     bc = None
     if spark is not None:
         from ..plans.packaging import ensure_workers_can_import
@@ -175,9 +182,11 @@ def extract_documents(df: "DataFrame", spark: "SparkSession | None" = None) -> "
         bc = spark.sparkContext.broadcast(
             (nm1.to_rows(1), nm2.to_rows(2)))
 
+    schema = EXTRACTED_SCHEMA + "".join(f", {c} string" for c in passthrough)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         nm1, nm2 = _models_from_broadcast(bc)
         for pdf in batches:
-            yield extract_pandas_batch(pdf, nm1, nm2)
+            yield extract_pandas_batch(pdf, nm1, nm2, passthrough)
 
-    return df.mapInPandas(gen, schema=EXTRACTED_SCHEMA)
+    return df.mapInPandas(gen, schema=schema)

@@ -1,0 +1,205 @@
+"""The production extraction job: pruning, salting, manifests, resume.
+
+north_rule scale features (SURVEY.md §4 O11/O12, §7.6):
+
+* **partition pruning** — input is a hive layout partitioned on
+  ``warc_dt=date(warc_ts)`` (parquet stand-in for the Iceberg table);
+  day-range filters prune directories at plan time (verified via
+  ``PartitionFilters`` in tests).
+* **salted repartition** — documents are redistributed by
+  ``pmod(xxhash64(url), SALT_BUCKETS)`` before the extraction stage so a
+  mega-host's pages (Zipf skew) spread across tasks instead of landing in
+  one input split.
+* **checkpoint manifests + resume** — each run writes its output under
+  ``data/run_id=<id>/`` and then commits a manifest recording per-input-file
+  lineage and metrics ``(input_file, rows, bytes_out, n_partitions,
+  wall_ms)``.  The manifest write is atomic (tmp + rename): a run is
+  visible if and only if its manifest exists.  Resume anti-joins pending
+  input files against committed manifests, so a killed job re-processes
+  only what was never committed and readers never see partial output.
+
+This is a minimal Iceberg-style commit protocol in plain parquet; on a
+real cluster the same job targets an Iceberg table and the manifest
+becomes the table's own snapshot metadata.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import SALT_BUCKETS  # noqa: F401 (kept for config docs)
+from ..operators.extract import extract_documents
+
+MANIFEST_SCHEMA = ("run_id string, input_file string, rows long, "
+                   "bytes_out long, n_partitions int, wall_ms long")
+
+
+def list_input_files(input_path: str) -> list[str]:
+    if os.path.isfile(input_path):
+        return [input_path]
+    return sorted(
+        glob.glob(os.path.join(input_path, "**", "*.parquet"), recursive=True)
+    )
+
+
+def committed_manifests(spark: SparkSession, output_path: str) -> DataFrame:
+    mdir = os.path.join(output_path, "_manifests")
+    files = sorted(glob.glob(os.path.join(mdir, "*.parquet")))
+    if not files:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return spark.read.parquet(*files)
+
+
+def _norm_path(p: str) -> str:
+    """Normalize file path/URI forms (input_file_name() returns file: URIs)."""
+    for prefix in ("file://", "file:"):
+        if p.startswith(prefix):
+            return p[len(prefix):]
+    return p
+
+
+def pending_input_files(spark: SparkSession, input_path: str,
+                        output_path: str) -> list[str]:
+    """Resume planning: input files minus files in committed manifests."""
+    all_files = list_input_files(input_path)
+    done = {
+        _norm_path(r["input_file"])
+        for r in committed_manifests(spark, output_path)
+        .select("input_file").distinct().collect()
+    }
+    return [f for f in all_files if _norm_path(f) not in done]
+
+
+def salt_repartition(df: DataFrame, n_partitions: int) -> DataFrame:
+    """Spread skewed hosts: repartition on the full-url 64-bit hash (O11).
+    Deterministic w.r.t. data, independent of input file layout.
+
+    The salt key space must be >> n_partitions: with only SALT_BUCKETS
+    distinct salts, hashing #buckets values into #partitions leaves some
+    partitions with 2-3 buckets (balls-in-bins), and the slowest task then
+    bounds the whole stage — measured as a 3x wall regression at
+    local[32].  xxhash64(url) gives 2^64 salts, so every partition draws
+    ~rows/n_partitions documents regardless of host skew."""
+    salt = F.xxhash64("url").alias("_salt")
+    return (
+        df.withColumn("_salt", salt)
+        .repartition(n_partitions, "_salt")
+        .drop("_salt")
+    )
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    *,
+    day_range: tuple[str, str] | None = None,
+    max_files: int | None = None,
+    n_partitions: int | None = None,
+    salt: bool = False,
+) -> dict:
+    """One resumable run. Returns the run's metrics summary.
+
+    ``max_files`` limits this run's slice (used by tests to simulate a
+    killed job; a real deployment uses it for incremental backfill).
+
+    ``salt``: the extraction stage's cost is proportional to input BYTES,
+    and scan splits are byte-balanced by construction (maxPartitionBytes),
+    so the map stage needs no exchange even under Zipf host skew — the
+    skew lives in row counts per host, not bytes per split.  Enable
+    salting when the upstream layout is pathological (e.g. one giant
+    unsplittable file per host) or when a downstream host-keyed stage
+    follows; it repartitions on xxhash64(url) (O11) at the cost of
+    shuffling the full html payload once.
+    """
+    t0 = time.time()
+    pending = pending_input_files(spark, input_path, output_path)
+    if max_files is not None:
+        pending = pending[:max_files]
+    if not pending:
+        return {"run_id": None, "files": 0, "rows": 0}
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism * 4
+
+    # size scan splits so the stage gets ~n_partitions byte-balanced tasks
+    total_bytes = sum(os.path.getsize(f) for f in pending)
+    split = max(1 << 20, min(128 << 20, total_bytes // max(1, n_partitions)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
+    df = spark.read.parquet(*pending).withColumn(
+        "input_file", F.input_file_name())
+    if day_range is not None:
+        df = df.where(
+            F.to_date(F.col("warc_ts")).between(day_range[0], day_range[1]))
+    if salt:
+        df = salt_repartition(df, n_partitions)
+
+    # lineage (input_file) is carried 1:1 through the vectorized stage —
+    # no post-stage join, no broadcast of per-row maps
+    extracted = extract_documents(df, spark)
+
+    run_id = uuid.uuid4().hex[:16]
+    data_dir = os.path.join(output_path, "data", f"run_id={run_id}")
+    extracted.write.mode("overwrite").parquet(data_dir)
+
+    # per-input-file metrics from the just-written output (cheap re-scan of
+    # this run's own files only)
+    written = spark.read.parquet(data_dir)
+    metrics = (
+        written.groupBy("input_file")
+        .agg(F.count("*").alias("rows"),
+             F.sum(F.length("extracted_text")).alias("bytes_out"))
+        .collect()
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    rows_total = sum(m["rows"] for m in metrics)
+
+    # atomic manifest commit: tmp file + rename
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(output_path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    by_file = {_norm_path(m["input_file"]): m for m in metrics}
+    rows = [
+        {
+            "run_id": run_id,
+            "input_file": f,
+            "rows": int(by_file[f]["rows"]) if f in by_file else 0,
+            "bytes_out": int(by_file[f]["bytes_out"]) if f in by_file else 0,
+            "n_partitions": n_partitions,
+            "wall_ms": wall_ms,
+        }
+        # every pending file is committed, even if it contributed 0 rows
+        # (e.g. fully pruned by day_range) — it must not be re-processed
+        for f in sorted({*by_file, *map(_norm_path, pending)})
+    ]
+    table = pa.Table.from_pylist(rows)
+    tmp = os.path.join(mdir, f".{run_id}.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(mdir, f"{run_id}.parquet"))
+    return {"run_id": run_id, "files": len(pending), "rows": rows_total,
+            "wall_ms": wall_ms}
+
+
+def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
+    """Read only committed runs (manifest = commit log)."""
+    committed = [
+        r["run_id"]
+        for r in committed_manifests(spark, output_path)
+        .select("run_id").distinct().collect()
+    ]
+    dirs = [
+        d for d in (os.path.join(output_path, "data", f"run_id={r}")
+                    for r in committed)
+        if os.path.isdir(d)
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no committed runs under {output_path}")
+    return spark.read.parquet(*dirs)

@@ -184,7 +184,12 @@ def generate_rows(n: int, seed: int = 42, start: int = 0):
         golden = extract_document(html)["extracted_text"]
         yield {
             "url": url,
-            "warc_ts": EPOCH + dt.timedelta(seconds=97 * i),
+            # 3607s stride: 200 rows span ~8.3 distinct days (FIXTURES.md:
+            # multi-day warc_ts so partition pruning is testable); wrapped
+            # at 30 days so large bench corpora keep a bounded partition
+            # count (identical values for corpora <= ~700 rows)
+            "warc_ts": EPOCH + dt.timedelta(
+                seconds=(3607 * i) % (30 * 86400)),
             "html": html.encode("utf-8"),
             "text": golden,
             "lang": langs[i % 4],

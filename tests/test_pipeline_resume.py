@@ -1,0 +1,104 @@
+"""Scale/infra suite: salting, partition pruning, manifests, resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_hardsubx_spark.plans.pipeline import (
+    committed_manifests,
+    list_input_files,
+    pending_input_files,
+    read_extracted,
+    run_extraction_job,
+    salt_repartition,
+)
+from ocr_hardsubx_spark.sources.fixtures import write_documents
+
+PART_CORPUS = "/root/repo/data/fixtures/documents_part"
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    if not os.path.isdir(PART_CORPUS):
+        write_documents(PART_CORPUS, N_DOCS, partition_by_day=True)
+    return PART_CORPUS
+
+
+def test_partition_pruning_reaches_the_scan(spark, corpus):
+    df = spark.read.parquet(corpus).where(
+        F.col("warc_dt") == "2025-01-01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "warc_dt" in plan.split("PartitionFilters")[1][:200]
+    # pruned count matches the golden day-1 count
+    full = spark.read.parquet(corpus)
+    expected = full.where(F.to_date("warc_ts") == "2025-01-01").count()
+    assert df.count() == expected > 0
+
+
+def test_salting_spreads_megahost(spark, corpus):
+    """Zipf host0000 holds a large share; after salting no task partition
+    should hold more than ~3x the mean."""
+    df = spark.read.parquet(corpus)
+    salted = salt_repartition(df, 16)
+    sizes = (salted.withColumn("pid", F.spark_partition_id())
+             .groupBy("pid").count().collect())
+    counts = [r["count"] for r in sizes]
+    assert sum(counts) == N_DOCS
+    assert max(counts) <= 3 * (sum(counts) / len(counts))
+
+
+def test_run_resume_idempotent(spark, corpus, tmp_path):
+    out = str(tmp_path / "extracted")
+    n_files = len(list_input_files(corpus))
+    assert n_files >= 4, "need multiple input files for resume"
+
+    # run 1: simulate a job killed after 2 files
+    r1 = run_extraction_job(spark, corpus, out, max_files=2)
+    assert r1["files"] == 2
+    assert len(pending_input_files(spark, corpus, out)) == n_files - 2
+
+    # run 2: resume processes the remainder
+    r2 = run_extraction_job(spark, corpus, out)
+    assert r2["files"] == n_files - 2
+
+    # run 3: nothing pending — a no-op
+    r3 = run_extraction_job(spark, corpus, out)
+    assert r3["files"] == 0 and r3["run_id"] is None
+
+    # committed output covers every url exactly once, byte-identical
+    result = read_extracted(spark, out)
+    golden = spark.read.parquet(corpus).select("url", "text")
+    joined = result.join(golden, "url").collect()
+    assert len(joined) == N_DOCS
+    assert result.select("url").distinct().count() == N_DOCS
+    bad = [r["url"] for r in joined if r["extracted_text"] != r["text"]]
+    assert not bad, bad[:3]
+
+
+def test_manifest_lineage_and_metrics(spark, corpus, tmp_path):
+    out = str(tmp_path / "extracted")
+    run_extraction_job(spark, corpus, out)
+    m = committed_manifests(spark, out).collect()
+    assert len(m) == len(list_input_files(corpus))
+    for row in m:
+        assert row["input_file"].startswith("/")  # normalized plain path
+        assert row["rows"] > 0
+        assert row["bytes_out"] > 0
+        assert row["wall_ms"] > 0
+        assert row["n_partitions"] >= 1
+
+
+def test_day_range_run_commits_pruned_files(spark, corpus, tmp_path):
+    """Files fully pruned by the day filter still commit (0 rows) so they
+    are not re-processed on resume."""
+    out = str(tmp_path / "extracted")
+    r = run_extraction_job(spark, corpus, out,
+                           day_range=("2025-01-01", "2025-01-01"))
+    assert r["files"] == len(list_input_files(corpus))
+    assert len(pending_input_files(spark, corpus, out)) == 0
+    result = read_extracted(spark, out)
+    assert result.count() < N_DOCS
+    assert result.count() > 0
