@@ -20,10 +20,22 @@ All features are accumulated bottom-up in one pass: a child's stats fold
 into its parent exactly once when the child's end tag closes (the er_merge
 pattern), so extraction is O(bytes) per document and runs entirely inside
 one Arrow batch — no Spark shuffle is involved (SURVEY.md §2.3 D5).
+
+Two tokenizer drivers feed the same builder:
+
+* the default regex tokenizer (``parse_document``) — a lean scanner that
+  matches stdlib ``html.parser`` semantics (lowercased tag names,
+  charref decoding outside script/style, raw-text mode for script/style,
+  lone ``<`` treated as text) at roughly 3x the speed;
+* the stdlib driver (``parse_document_stdlib``) — kept as the semantic
+  oracle; a hypothesis test asserts both produce identical region trees
+  and text streams.
 """
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 from ..config import (
@@ -100,22 +112,20 @@ class Region:
         return self.link_area / max(1, self.area)
 
 
-class _TreeBuilder(HTMLParser):
-    """Single-pass SAX walk emitting Regions; tolerant of malformed nesting
-    (unmatched end tags are ignored; missing end tags implicitly close)."""
+class _BuilderCore:
+    """Region-tree bookkeeping shared by both tokenizer drivers."""
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.regions: list[Region] = []
         self.stack: list[Region] = []
-        self.chunks: list[str] = []      # document-order text stream
-        self.text_off = 0                # visible chars emitted so far (NB: not
-        # "offset"/"lineno" — those names are used internally by ParserBase)
-        self.raw_off = 0              # visible + skipped chars
-        self.line_no = 0                 # newlines emitted so far
-        self.inline_events: list[int] = []   # line_no per inline-tag start
-        self.skip_depth = 0              # >0 while inside SKIP_CONTENT_TAGS
-        self._in_link = 0                # >0 while inside <a>
+        self.chunks: list[str] = []    # document-order text stream
+        self.text_off = 0              # visible chars emitted (NB: never name
+        # these "offset"/"lineno" — ParserBase uses those internally)
+        self.raw_off = 0               # visible + skipped chars
+        self.line_no = 0               # newlines emitted so far
+        self.inline_events: list[int] = []  # line_no per inline-tag start
+        self.skip_depth = 0            # >0 while inside SKIP_CONTENT_TAGS
+        self._in_link = 0              # >0 while inside <a>
         self._next_id = 0
         # root pseudo-region = whole document (component-tree root,
         # reference: root component = whole image)
@@ -175,10 +185,10 @@ class _TreeBuilder(HTMLParser):
         if self._in_link:
             cur.link_area += n
 
-    # -- HTMLParser callbacks -------------------------------------------------
-    def handle_starttag(self, tag, attrs):
+    # -- tag events -----------------------------------------------------------
+    def starttag(self, tag: str) -> None:
         if tag in VOID_TAGS:
-            self.handle_startendtag(tag, attrs)
+            self.startendtag(tag)
             return
         if tag in SKIP_CONTENT_TAGS:
             self.skip_depth += 1
@@ -188,7 +198,7 @@ class _TreeBuilder(HTMLParser):
             self.inline_events.append(self.line_no)
         self._open(tag)
 
-    def handle_startendtag(self, tag, attrs):
+    def startendtag(self, tag: str) -> None:
         cur = self.stack[-1]
         if tag == "br" and self.skip_depth == 0:
             self._emit_text("\n")
@@ -196,7 +206,7 @@ class _TreeBuilder(HTMLParser):
             cur.islands += 1
         cur.n_elements += 1
 
-    def handle_endtag(self, tag):
+    def endtag(self, tag: str) -> None:
         if tag in VOID_TAGS:
             return
         # find matching open tag; ignore stray end tags
@@ -212,12 +222,12 @@ class _TreeBuilder(HTMLParser):
                     self._close()
                 return
 
-    def handle_data(self, data):
+    def data(self, chunk: str) -> None:
         if self.skip_depth:
-            self.stack[-1].skipped_chars += len(data)
-            self.raw_off += len(data)
+            self.stack[-1].skipped_chars += len(chunk)
+            self.raw_off += len(chunk)
         else:
-            self._emit_text(data)
+            self._emit_text(chunk)
 
     def finish(self) -> None:
         while self.stack:
@@ -225,6 +235,72 @@ class _TreeBuilder(HTMLParser):
             if top.tag in SKIP_CONTENT_TAGS:
                 self.skip_depth -= 1
             self._close()
+
+
+# ---------------------------------------------------------------------------
+# default driver: lean regex tokenizer (~3x stdlib html.parser)
+# ---------------------------------------------------------------------------
+
+# one linear-scan tag matcher; quoted attribute values may contain '>'
+_TAG_RE = re.compile(
+    r"<(?:"
+    r"(?P<end>/\s*(?P<endname>[a-zA-Z][a-zA-Z0-9:._-]*)(?:\"[^\"]*\"|'[^']*'|[^>])*>)"
+    r"|(?P<start>(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*)>)"
+    r"|(?P<comment>!--.*?(?:--!?>|\Z))"
+    r"|(?P<decl>![^>]*(?:>|\Z))"
+    r"|(?P<pi>\?[^>]*(?:>|\Z))"
+    r")",
+    re.S,
+)
+# raw-text (CDATA) closers, matching html.parser's set_cdata_mode behavior:
+# only script/style get raw-text treatment in stdlib html.parser
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script", re.I),
+    "style": re.compile(r"</\s*style", re.I),
+}
+
+
+def _parse_fast(html: str, tb: _BuilderCore) -> None:
+    pos = 0
+    n = len(html)
+    find = html.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            chunk = html[pos:]
+            tb.data(unescape(chunk) if "&" in chunk else chunk)
+            break
+        if lt > pos:
+            chunk = html[pos:lt]
+            tb.data(unescape(chunk) if "&" in chunk else chunk)
+        m = _TAG_RE.match(html, lt)
+        if m is None:
+            tb.data("<")        # lone '<' is text (html.parser semantics)
+            pos = lt + 1
+            continue
+        pos = m.end()
+        name = m.group("name")
+        if name is not None:
+            tag = name.lower()
+            attrs = m.group("attrs")
+            if attrs.rstrip().endswith("/"):
+                tb.startendtag(tag)
+            else:
+                tb.starttag(tag)
+                closer = _CDATA_CLOSE.get(tag)
+                if closer is not None:
+                    # raw-text content: no entity decoding, no nested tags
+                    mm = closer.search(html, pos)
+                    end = mm.start() if mm else n
+                    if end > pos:
+                        tb.data(html[pos:end])
+                    pos = end  # the </script> tag itself matches next round
+            continue
+        endname = m.group("endname")
+        if endname is not None:
+            tb.endtag(endname.lower())
+        # comments / declarations / processing instructions: ignored
 
 
 def parse_document(html: bytes | str) -> tuple[list[Region], str, list[int]]:
@@ -236,8 +312,43 @@ def parse_document(html: bytes | str) -> tuple[list[Region], str, list[int]]:
     """
     if isinstance(html, bytes):
         html = html.decode("utf-8", errors="replace")
-    tb = _TreeBuilder()
-    tb.feed(html)
+    tb = _BuilderCore()
+    _parse_fast(html, tb)
+    tb.finish()
+    return tb.regions, "".join(tb.chunks), tb.inline_events
+
+
+# ---------------------------------------------------------------------------
+# stdlib driver (semantic oracle for the tokenizer)
+# ---------------------------------------------------------------------------
+
+class _StdlibDriver(HTMLParser):
+    def __init__(self, tb: _BuilderCore) -> None:
+        super().__init__(convert_charrefs=True)
+        self.tb = tb
+
+    def handle_starttag(self, tag, attrs):
+        self.tb.starttag(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        self.tb.startendtag(tag)
+
+    def handle_endtag(self, tag):
+        self.tb.endtag(tag)
+
+    def handle_data(self, data):
+        self.tb.data(data)
+
+
+def parse_document_stdlib(html: bytes | str) -> tuple[list[Region], str, list[int]]:
+    """html.parser-driven variant; must produce output identical to
+    parse_document (tested)."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    tb = _BuilderCore()
+    d = _StdlibDriver(tb)
+    d.feed(html)
+    d.close()
     tb.finish()
     return tb.regions, "".join(tb.chunks), tb.inline_events
 

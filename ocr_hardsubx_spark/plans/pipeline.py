@@ -37,7 +37,8 @@ from ..config import SALT_BUCKETS  # noqa: F401 (kept for config docs)
 from ..operators.extract import extract_documents
 
 MANIFEST_SCHEMA = ("run_id string, input_file string, rows long, "
-                   "bytes_out long, n_partitions int, wall_ms long")
+                   "bytes_out long, run_bytes_out long, "
+                   "n_partitions int, wall_ms long")
 
 
 def list_input_files(input_path: str) -> list[str]:
@@ -66,8 +67,15 @@ def _norm_path(p: str) -> str:
 
 def pending_input_files(spark: SparkSession, input_path: str,
                         output_path: str) -> list[str]:
-    """Resume planning: input files minus files in committed manifests."""
+    """Resume planning: input files minus files in committed manifests.
+
+    Manifests are driver-side metadata (a few rows per run); when none
+    exist yet the check is pure-Python — no Spark job on the fresh-start
+    path."""
     all_files = list_input_files(input_path)
+    mdir = os.path.join(output_path, "_manifests")
+    if not glob.glob(os.path.join(mdir, "*.parquet")):
+        return all_files
     done = {
         _norm_path(r["input_file"])
         for r in committed_manifests(spark, output_path)
@@ -144,35 +152,62 @@ def run_extraction_job(
     # no post-stage join, no broadcast of per-row maps
     extracted = extract_documents(df, spark)
 
+    # global run metrics ride the write action itself (Observation = zero
+    # extra jobs); per-file bytes under a day filter fall back to a re-scan
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    extracted = extracted.observe(
+        obs, F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.length("extracted_text")).alias("bytes_out"))
+
     run_id = uuid.uuid4().hex[:16]
     data_dir = os.path.join(output_path, "data", f"run_id={run_id}")
     extracted.write.mode("overwrite").parquet(data_dir)
 
-    # per-input-file metrics from the just-written output (cheap re-scan of
-    # this run's own files only)
-    written = spark.read.parquet(data_dir)
-    metrics = (
-        written.groupBy("input_file")
-        .agg(F.count("*").alias("rows"),
-             F.sum(F.length("extracted_text")).alias("bytes_out"))
-        .collect()
-    )
+    import pyarrow.parquet as pq
+
+    if day_range is None:
+        # extraction maps documents 1:1, so per-file rows == input parquet
+        # footer counts — driver-side metadata, no second Spark job
+        per_file = {
+            _norm_path(f): pq.ParquetFile(f).metadata.num_rows
+            for f in pending
+        }
+        rows_total = sum(per_file.values())
+        # per-file BYTES would need a re-scan; store exact rows per file
+        # (footers) + the exact per-run byte total (observed on the write
+        # action); bytes_out = -1 marks "see run_bytes_out"
+        by_file = {f: {"rows": n, "bytes_out": -1} for f, n in per_file.items()}
+        run_bytes = int(obs.get["bytes_out"] or 0)
+    else:
+        written = spark.read.parquet(data_dir)
+        metrics = (
+            written.groupBy("input_file")
+            .agg(F.count("*").alias("rows"),
+                 F.sum(F.length("extracted_text")).alias("bytes_out"))
+            .collect()
+        )
+        by_file = {_norm_path(m["input_file"]):
+                   {"rows": int(m["rows"]), "bytes_out": int(m["bytes_out"])}
+                   for m in metrics}
+        rows_total = sum(v["rows"] for v in by_file.values())
+        run_bytes = sum(v["bytes_out"] for v in by_file.values())
+
     wall_ms = int((time.time() - t0) * 1000)
-    rows_total = sum(m["rows"] for m in metrics)
 
     # atomic manifest commit: tmp file + rename
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     mdir = os.path.join(output_path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
-    by_file = {_norm_path(m["input_file"]): m for m in metrics}
     rows = [
         {
             "run_id": run_id,
             "input_file": f,
-            "rows": int(by_file[f]["rows"]) if f in by_file else 0,
-            "bytes_out": int(by_file[f]["bytes_out"]) if f in by_file else 0,
+            "rows": by_file[f]["rows"] if f in by_file else 0,
+            "bytes_out": by_file[f]["bytes_out"] if f in by_file else 0,
+            "run_bytes_out": run_bytes,
             "n_partitions": n_partitions,
             "wall_ms": wall_ms,
         }
