@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_nearby": dq.q_jaccard_nearby,
         "q_ann_cosine_topk": dq.q_ann_cosine_topk,
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed,
+        "q_embed_neardup": dq.q_embed_neardup,
         "q_token_stats": dq.q_token_stats,
         "q_quality_score": dq.q_quality_score,
         "q_lang_id": dq.q_lang_id,
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jaccard_nearby": dq.q_jaccard_nearby_sql(),
         "q_ann_cosine_topk": dq.q_ann_cosine_topk_sql(),
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed_sql(),
+        "q_embed_neardup": dq.q_embed_neardup_sql(),
         "q_token_stats": dq.q_token_stats_sql(),
         "q_quality_score": dq.q_quality_score_sql(),
         "q_lang_id": dq.q_lang_id_sql(),

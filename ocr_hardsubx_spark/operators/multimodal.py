@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+A 100 TB training-data pipeline carries media payloads next to text:
+``binary`` columns with typed metadata structs, processed by Arrow-batched
+``mapInPandas`` stages exactly like the html pipeline.  The Spark-side
+plumbing here — schemas, batch iteration, partition behavior, UDF
+signatures — is real and tested; the codec work itself (JPEG decode,
+resampling) is STUBBED behind ``_decode_image``/``_decode_audio`` with a
+deterministic fake, because the sandbox image/audio libraries are absent.
+Swapping the stub for Pillow/libsndfile changes no Spark code.
+
+Operators:
+  attach_media_meta   binary -> struct<format,width,height,n_bytes> metadata
+  image_features      decode (stub) -> resize (stub) -> 8x8 luminance grid
+                      + perceptual hash (real arithmetic on the fake pixels)
+  audio_frame_sample  decode (stub) -> fixed-rate frame sampling offsets
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+MEDIA_META_SCHEMA = ("id long, format string, width int, height int, "
+                     "n_bytes long")
+IMAGE_FEATURES_SCHEMA = ("id long, phash long, grid array<float>, "
+                         "width int, height int")
+AUDIO_FRAMES_SCHEMA = ("id long, n_samples long, frame_offsets array<long>")
+
+_MAGIC = {b"\xff\xd8\xff": "jpeg", b"\x89PNG": "png", b"RIFF": "wav",
+          b"GIF8": "gif"}
+
+
+def sniff_format(payload: bytes) -> str:
+    for magic, fmt in _MAGIC.items():
+        if payload[:len(magic)] == magic:
+            return fmt
+    return "unknown"
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """STUB decode: the real implementation calls Pillow
+    (``Image.open(BytesIO(payload))``).  The deterministic fake derives a
+    pseudo-image from the payload hash so downstream arithmetic (resize,
+    grid, phash) is exercised with stable values."""
+    h = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+    w = 16 + h[8] % 48
+    ht = 16 + h[9] % 48
+    return rng.integers(0, 256, size=(ht, w), dtype=np.uint8)
+
+
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """STUB decode: real implementation uses soundfile/librosa."""
+    h = hashlib.sha256(payload).digest()
+    n = 1000 + int.from_bytes(h[:2], "little") % 9000
+    rng = np.random.default_rng(int.from_bytes(h[8:16], "little"))
+    return rng.standard_normal(n).astype(np.float32)
+
+
+def _resize_grid(img: np.ndarray, k: int = 8) -> np.ndarray:
+    """Block-mean resize to k x k (real arithmetic, runs on the stub)."""
+    h, w = img.shape
+    ys = (np.arange(k + 1) * h) // k
+    xs = (np.arange(k + 1) * w) // k
+    out = np.empty((k, k), dtype=np.float32)
+    for i in range(k):
+        for j in range(k):
+            out[i, j] = img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    return out
+
+
+def _phash(grid: np.ndarray) -> int:
+    """Average-hash over the 8x8 grid -> 64-bit int."""
+    bits = (grid > grid.mean()).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def attach_media_meta(df: "DataFrame", id_col: str = "id",
+                      payload_col: str = "payload") -> "DataFrame":
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col]:
+                img = _decode_image(payload)
+                metas.append((sniff_format(payload), img.shape[1],
+                              img.shape[0], len(payload)))
+            yield pd.DataFrame({
+                "id": pdf[id_col].values,
+                "format": [m[0] for m in metas],
+                "width": pd.array([m[1] for m in metas], dtype="int32"),
+                "height": pd.array([m[2] for m in metas], dtype="int32"),
+                "n_bytes": [m[3] for m in metas],
+            })
+
+    return df.mapInPandas(gen, schema=MEDIA_META_SCHEMA)
+
+
+def image_features(df: "DataFrame", id_col: str = "id",
+                   payload_col: str = "payload") -> "DataFrame":
+    """decode (stub) -> 8x8 block-mean grid -> perceptual hash."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": pdf[id_col].values, "phash": [], "grid": [],
+                   "width": [], "height": []}
+            for payload in pdf[payload_col]:
+                img = _decode_image(payload)
+                grid = _resize_grid(img)
+                out["phash"].append(_phash(grid))
+                out["grid"].append([float(x) for x in grid.flatten()])
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+            out["width"] = pd.array(out["width"], dtype="int32")
+            out["height"] = pd.array(out["height"], dtype="int32")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def audio_frame_sample(df: "DataFrame", frame_hop: int = 512,
+                       id_col: str = "id",
+                       payload_col: str = "payload") -> "DataFrame":
+    """decode (stub) -> fixed-hop frame sampling offsets."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, offs = [], []
+            for payload in pdf[payload_col]:
+                samples = _decode_audio(payload)
+                ns.append(len(samples))
+                offs.append(list(range(0, len(samples), frame_hop)))
+            yield pd.DataFrame({
+                "id": pdf[id_col].values,
+                "n_samples": ns,
+                "frame_offsets": offs,
+            })
+
+    return df.mapInPandas(gen, schema=AUDIO_FRAMES_SCHEMA)

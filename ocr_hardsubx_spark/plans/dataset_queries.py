@@ -316,6 +316,63 @@ def q_ann_lsh_bucketed_sql() -> str:
     """
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
+    pairs come only from vectors sharing a sign-projection bucket (never
+    an all-pairs cross join), then exact cosine filters within buckets.
+    At 100 TB the bucket is the shuffle key; the pairwise work is
+    quadratic only within a bucket."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    bucket = sum(
+        (F.when(F.element_at("embedding", i + 1) >= 0, F.lit(2 ** i))
+         .otherwise(F.lit(0)))
+        for i in range(4)
+    ).cast("int")
+    t = emb.select(bucket.alias("bucket"), "vec_id", "embedding")
+    a, b = t.alias("a"), t.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (nrm(F.col("a.embedding"))
+                           * nrm(F.col("b.embedding"))), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.5)
+    )
+    return pairs
+
+
+def q_embed_neardup_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(4)
+    )
+    return f"""
+    WITH t AS (
+      SELECT CAST({terms} AS INTEGER) AS bucket, vec_id,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+    FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.5
+    """
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
