@@ -92,6 +92,63 @@ def stage2_gate(X: np.ndarray, nm2: StumpModel) -> tuple[np.ndarray, np.ndarray]
     return p >= STAGE2_MIN_PROB, p
 
 
+def nms_with_forest(regions: list[Region], accepted_idx: np.ndarray,
+                    prob: np.ndarray) -> tuple[list[int], dict[int, list[int]]]:
+    """nonmax_suppression + the spliced accepted-forest children map.
+
+    The children map lets stage 2 recover a rejected container's clean
+    children (er_tree_filter splices rejected nodes' children to the
+    grandparent, reference erfilter.c:1046-1058): when stage 2 rejects a
+    kept region, its direct children in the accepted forest become
+    candidates in its place.
+    """
+    kept = nonmax_suppression(regions, accepted_idx, prob)
+    children = _spliced_children(regions, accepted_idx)
+    return kept, children
+
+
+def _spliced_children(regions: list[Region],
+                      accepted_idx: np.ndarray) -> dict[int, list[int]]:
+    acc = set(int(i) for i in accepted_idx)
+    by_id = {r.region_id: r for r in regions}
+    children: dict[int, list[int]] = {int(i): [] for i in accepted_idx}
+    for i in accepted_idx:
+        p = by_id[int(i)].parent_id
+        while p != -1 and p not in acc:
+            p = by_id[p].parent_id
+        if p != -1:
+            children[p].append(int(i))
+    return children
+
+
+def stage2_with_recovery(kept_ids: list[int], children: dict[int, list[int]],
+                         X: np.ndarray, nm2: StumpModel,
+                         regions: list[Region]) -> list[Region]:
+    """Stage-2 gate with child splicing: a rejected region's accepted-
+    forest children are re-tested in its place (bounded by tree depth).
+    Returns surviving Regions with probability set."""
+    by_id = {r.region_id: r for r in regions}
+    survivors: list[Region] = []
+    queue = list(kept_ids)
+    seen = set(queue)
+    while queue:
+        idx = np.array(queue, dtype=np.int64)
+        mask, p = stage2_gate(X[idx, :], nm2)
+        next_queue: list[int] = []
+        for rid, ok, pp in zip(queue, mask, p):
+            if ok:
+                r = by_id[rid]
+                r.probability = float(pp)
+                survivors.append(r)
+            else:
+                for c in children.get(rid, ()):
+                    if c not in seen:
+                        seen.add(c)
+                        next_queue.append(c)
+        queue = next_queue
+    return survivors
+
+
 def nonmax_suppression(regions: list[Region], accepted_idx: np.ndarray,
                        prob: np.ndarray) -> list[int]:
     """Keep locally-maximal regions along ancestor chains of the accepted

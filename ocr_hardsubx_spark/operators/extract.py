@@ -24,17 +24,14 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pandas as pd
 
-from ..config import GROUP_JOINER
-from ..functions.normalize import normalize_text
 from ..functions.scoring import StumpModel
 from ..sources.model_store import (
     N_FEATURES_NM1,
     N_FEATURES_NM2,
     load_models,
 )
-from .cascade import feature_matrix, nonmax_suppression, stage1_gate, stage2_gate
-from .dedup import dedup_consecutive
-from .grouping import group_regions
+from .assemble import finish_document
+from .cascade import feature_matrix, stage1_gate
 from .parse import parse_document
 
 if TYPE_CHECKING:
@@ -90,63 +87,25 @@ def extract_pandas_batch(pdf: pd.DataFrame, nm1: StumpModel,
     out_nreg: list[int] = []
     out_nkept: list[int] = []
 
-    # ---- per-document NMS, collecting stage-2 candidates ----
+    # ---- per-document back half (NMS -> stage2 -> groups -> dedup), the
+    # shared implementation in operators/assemble.py ----
     offs = 0
-    kept_per_doc: list[list[int]] = []
-    X2_rows: list[np.ndarray] = []
     for regions, stream, X in docs:
         n = len(regions)
         mask1 = mask1_all[offs:offs + n]
         p1 = p1_all[offs:offs + n]
-        acc1 = np.nonzero(mask1)[0]
-        kept_ids = nonmax_suppression(regions, acc1, p1[acc1])
-        kept_per_doc.append(kept_ids)
-        if kept_ids:
-            X2_rows.append(X[kept_ids, :])
         offs += n
-
-    # ---- stage 2, one vectorized scoring call ----
-    if X2_rows:
-        X2_all = np.vstack(X2_rows)
-        mask2_all, p2_all = stage2_gate(X2_all, nm2)
-    off2 = 0
-    for (regions, stream, X), kept_ids in zip(docs, kept_per_doc):
-        out_nreg.append(len(regions))
-        if not kept_ids:
+        out_nreg.append(n)
+        if not regions:
             out_spans.append([])
             out_text.append("")
             out_nkept.append(0)
             continue
-        k = len(kept_ids)
-        mask2 = mask2_all[off2:off2 + k]
-        p2 = p2_all[off2:off2 + k]
-        off2 += k
-        by_id = {r.region_id: r for r in regions}
-        survivors = []
-        for rid, ok, p in zip(kept_ids, mask2, p2):
-            if ok:
-                r = by_id[rid]
-                r.probability = float(p)
-                survivors.append(r)
-        if not survivors:
-            out_spans.append([])
-            out_text.append("")
-            out_nkept.append(0)
-            continue
-        groups = group_regions(survivors)
-        texts = []
-        for g in groups:
-            member_texts = [normalize_text(stream[r.start:r.end]) for r in g]
-            km = dedup_consecutive(member_texts)
-            texts.append("\n".join(member_texts[i] for i in km))
-        kept_idx = dedup_consecutive(texts)
-        out_spans.append([
-            {"start": int(groups[i][0].start), "end": int(groups[i][-1].end),
-             "text": texts[i]}
-            for i in kept_idx
-        ])
-        out_text.append(GROUP_JOINER.join(texts[i] for i in kept_idx))
-        out_nkept.append(len(survivors))
+        spans, text, n_kept = finish_document(
+            regions, stream, X, mask1, p1, nm2)
+        out_spans.append(spans)
+        out_text.append(text)
+        out_nkept.append(n_kept)
 
     cols = {
         "url": pdf["url"].values,

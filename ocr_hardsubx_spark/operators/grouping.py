@@ -92,3 +92,44 @@ def group_regions(kept: list[Region]) -> list[list[Region]]:
         for r in g:
             r.group_id = gid
     return out
+
+
+FEEDBACK_PAD = 0.25  # padded-window fraction around each group's span
+
+
+def feedback_absorb(groups: list[list[Region]],
+                    candidates: list[Region]) -> list[list[Region]]:
+    """Second-chance feedback loop (G6, reference erfilter.c:1313-1463):
+    re-scan the padded window around each accepted block with the
+    classifier gate disabled (eval_dummy, erfilter.c:192-198 — area gates
+    only, which ``candidates`` already passed) and absorb regions that
+    satisfy the pair predicates against the nearest group member.
+
+    ``candidates``: stage-1-rejected regions that are not ancestors or
+    descendants of any surviving region (the caller guarantees
+    disjointness so absorbed text never duplicates member text).
+    One pass, document-local, deterministic.
+    """
+    if not groups or not candidates:
+        return groups
+    for g in groups:
+        lo, hi = g[0].start, g[-1].end
+        pad = int(FEEDBACK_PAD * max(1, hi - lo))
+        absorbed = False
+        for r in candidates:
+            # cheap window prefilter (overlap with the padded span); the
+            # pair gates below bound the actual distance
+            if r.group_id != -1 or r.start >= hi + pad or r.end <= lo - pad:
+                continue
+            # nearest member on the matching side, reference pair re-test
+            before = [m for m in g if m.end <= r.start]
+            after = [m for m in g if m.start >= r.end]
+            ok = (before and is_valid_pair(before[-1], r)) or \
+                 (after and is_valid_pair(r, after[0]))
+            if ok:
+                r.group_id = g[0].group_id
+                g.append(r)
+                absorbed = True
+        if absorbed:
+            g.sort(key=lambda m: m.start)
+    return groups

@@ -168,8 +168,10 @@ class _BuilderCore:
             p.n_elements += r.n_elements
             p.islands += r.islands
             # per-child content profile (1 - link_density) drives the
-            # num_inflexion_points analog (SURVEY.md §2.4 C2)
-            if r.area > 0:
+            # num_inflexion_points analog (SURVEY.md §2.4 C2); only
+            # BLOCK-level children count — inline spans (b/a/i) are part of
+            # the parent's own text flow, not structural alternation
+            if r.area > 0 and r.tag in BLOCK_TAGS:
                 p.child_profiles.append(1.0 - r.link_area / r.area)
 
     def _emit_text(self, s: str) -> None:

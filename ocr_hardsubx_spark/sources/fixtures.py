@@ -35,7 +35,7 @@ N_HOSTS = 64
 ZIPF_S = 1.2
 EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
 
-_FAMILIES = ("det-main", "det-nest", "det-embed", "det-bound",
+_FAMILIES = ("det-main", "det-nest", "det-embed", "det-bound", "det-mixed",
              "dedup-nav", "dedup-footer", "dedup-empty", "dedup-brbr",
              "norm-entity", "skew-host", "prune-day")
 
@@ -150,6 +150,13 @@ def build_page(i: int, seed: int = 42) -> tuple[str, str, str]:
         blocks += [_embedded_nontext(rng)]
     elif family == "det-bound":
         blocks += [_main_content(rng), _boundary(rng)]
+    elif family == "det-mixed":
+        # mixed container: content + small nav + content under ONE div —
+        # exercises stage-2 child recovery (rejected container must not
+        # black-hole its clean children)
+        small_nav = _nav(_nav_items(rng)[:4])
+        blocks += ["<div class='wrap'>" + _paragraph(rng) + small_nav
+                   + _paragraph(rng) + "</div>"]
     elif family == "dedup-nav":
         reps = rng.randint(2, 4)
         blocks += [_main_content(rng)] + [nav] * reps

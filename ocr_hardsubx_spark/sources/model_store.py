@@ -69,8 +69,15 @@ def build_nm2() -> StumpModel:
     rows = []
     # 30 stumps on link_density with fine resolution at the low end
     rows += _grid_stumps(1, np.linspace(0.02, 0.40, 30), +0.05, -0.08)
-    # 20 stumps on num_inflexion_points: each inflexion costs ~0.28 votes
-    rows += _grid_stumps(6, np.arange(20) + 0.5, +0.03, -0.25)
+    # 20 stumps on num_inflexion_points: the FIRST inflexion is decisive
+    # (-3.2 votes, beating the max positive vote mass ~2.6): a container whose children alternate content/boilerplate
+    # profiles must be rejected so its clean children are recovered
+    # individually (stage2_with_recovery); later inflexions add smaller
+    # penalties.  Safe because recovery re-tests the children — no text is
+    # lost by rejecting a mixed container.
+    rows += _grid_stumps(6, [0.5], +0.02, -3.2)
+    rows += _grid_stumps(6, [1.5], +0.02, -0.5)
+    rows += _grid_stumps(6, np.arange(2, 20) + 0.5, +0.02, -0.1)
     # 15 stumps on hole_area_ratio: skipped-content-dominated nodes penalized
     rows += _grid_stumps(4, np.linspace(0.05, 0.75, 15), +0.02, -0.06)
     # 15 stumps on convex_hull_ratio: low text coverage of bbox penalized

@@ -129,3 +129,63 @@ def test_feature_matrix_end_to_end_shapes():
     mask2, p2 = stage2_gate(X, build_nm2())
     assert mask2.shape == (len(regions),)
     assert ((p2 >= 0) & (p2 <= 1)).all()
+
+
+def test_stage2_recovery_rescues_children_of_rejected_container():
+    """er_tree_filter child splicing (erfilter.c:1046-1058): a mixed
+    container rejected at stage 2 must not black-hole its clean children."""
+    import numpy as np
+    from ocr_hardsubx_spark.operators.cascade import (
+        nms_with_forest, stage2_with_recovery)
+    from ocr_hardsubx_spark.operators.parse import parse_document
+    from ocr_hardsubx_spark.operators.cascade import feature_matrix, stage1_gate
+    from ocr_hardsubx_spark.sources.model_store import build_nm1, build_nm2
+
+    html = ("<body><div>"
+            "<p>first clean paragraph with plenty of ordinary prose words here</p>"
+            "<ul><li><a href='/'>Nav one</a></li><li><a href='/'>Nav two</a></li>"
+            "<li><a href='/'>Nav three</a></li></ul>"
+            "<p>second clean paragraph with plenty of ordinary prose words too</p>"
+            "</div><p>outside paragraph with plenty of ordinary prose words as well</p></body>")
+    regions, stream, ev = parse_document(html)
+    X = feature_matrix(regions, ev)
+    areas = np.array([r.area for r in regions], float)
+    tot = np.full(len(regions), regions[0].area, float)
+    mask1, p1 = stage1_gate(X, areas, tot, build_nm1())
+    acc1 = np.nonzero(mask1)[0]
+    kept, children = nms_with_forest(regions, acc1, p1[acc1])
+    survivors = stage2_with_recovery(kept, children, X, build_nm2(), regions)
+    texts = [stream[r.start:r.end] for r in survivors]
+    joined = "|".join(texts)
+    assert "first clean paragraph" in joined
+    assert "second clean paragraph" in joined
+    assert "Nav one" not in joined
+    # survivors must be span-disjoint
+    spans = sorted((r.start, r.end) for r in survivors)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 <= s2
+
+
+def test_feedback_absorbs_pair_compatible_neighbor():
+    """G6 feedback (erfilter.c:1313-1463): a rejected region adjacent to a
+    group and passing the pair gates is absorbed."""
+    from ocr_hardsubx_spark.operators.grouping import feedback_absorb
+    from ocr_hardsubx_spark.operators.parse import Region
+
+    def mk(rid, start, area, link=0, gid=-1):
+        r = Region(rid, -1, 1, "p", start, start, 0, 0)
+        r.end = start + area
+        r.area = area
+        r.link_area = link
+        r.group_id = gid
+        return r
+
+    m1, m2 = mk(0, 0, 100, gid=0), mk(1, 150, 100, gid=0)
+    cand_ok = mk(2, 260, 90)                 # near, similar style
+    cand_far = mk(3, 5000, 90)               # outside the padded window
+    cand_linky = mk(4, 262, 90, link=80)     # style distance too large
+    groups = feedback_absorb([[m1, m2]], [cand_ok, cand_far, cand_linky])
+    members = {r.region_id for r in groups[0]}
+    assert members == {0, 1, 2}
+    assert cand_ok.group_id == 0
+    assert cand_far.group_id == -1 and cand_linky.group_id == -1
