@@ -171,6 +171,7 @@ def main() -> None:
     spark = get_spark(app_name="bench-queries", cores=CPUS)
     try:
         qtimes = run_queries(spark)
+        mismatches = _post_bench_correctness(spark)
     finally:
         spark.stop()
     print(json.dumps({
@@ -180,6 +181,7 @@ def main() -> None:
         "extraction_wall_sec": round(wall, 2),
         "bench_docs": n,
         "cores": CPUS,
+        "byte_identity_mismatches": mismatches,
         "queries": qtimes,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
     }))
@@ -217,6 +219,20 @@ def _mp_extract(pages):
     for p in pages:
         extract_document(p)
     return len(pages)
+
+
+def _post_bench_correctness(spark) -> int:
+    """BASELINE.md: correctness re-run post-bench — extract the whole bench
+    corpus once more and count urls whose output differs from the golden."""
+    from pyspark.sql import functions as F
+
+    from ocr_hardsubx_spark.operators.extract import extract_documents
+
+    corpus = ensure_bench_corpus()
+    docs = spark.read.parquet(corpus)
+    out = extract_documents(docs, spark).select("url", "extracted_text")
+    joined = out.join(docs.select("url", "text"), "url")
+    return joined.where(F.col("extracted_text") != F.col("text")).count()
 
 
 def write_baseline_md(results: dict, eff_2_8: float, eff_8_32: float,
