@@ -63,7 +63,9 @@ def feature_matrix(regions: list[Region], inline_events: list[int]) -> np.ndarra
         X[i, 0] = r.area / max(1, perimeter)
         X[i, 1] = r.link_area / max(1, r.area)
         X[i, 2] = 1.0 - r.islands
-        X[i, 3] = med_crossings(region_crossings(r, inline_events))
+        # med_crossings is 0 for the (common) regions with no inline events
+        X[i, 3] = (med_crossings(region_crossings(r, inline_events))
+                   if r.ev_end > r.ev_start else 0.0)
         X[i, 4] = r.skipped_chars / raw_span
         X[i, 5] = r.area / raw_span
         X[i, 6] = num_inflexions(r.child_profiles)

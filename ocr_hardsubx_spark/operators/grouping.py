@@ -112,14 +112,22 @@ def feedback_absorb(groups: list[list[Region]],
     """
     if not groups or not candidates:
         return groups
+    # sorted by start so each group touches only its padded window's slice
+    from bisect import bisect_left
+
+    candidates = sorted(candidates, key=lambda r: r.start)
+    cand_starts = [r.start for r in candidates]
     for g in groups:
         lo, hi = g[0].start, g[-1].end
         pad = int(FEEDBACK_PAD * max(1, hi - lo))
         absorbed = False
-        for r in candidates:
-            # cheap window prefilter (overlap with the padded span); the
-            # pair gates below bound the actual distance
-            if r.group_id != -1 or r.start >= hi + pad or r.end <= lo - pad:
+        # pinned window rule: a candidate qualifies iff its START offset
+        # lies inside the padded span (the pair gates bound the distance)
+        k0 = bisect_left(cand_starts, lo - pad)
+        for r in candidates[k0:]:
+            if r.start >= hi + pad:
+                break
+            if r.group_id != -1:
                 continue
             # nearest member on the matching side, reference pair re-test
             before = [m for m in g if m.end <= r.start]
