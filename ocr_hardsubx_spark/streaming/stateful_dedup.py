@@ -1,0 +1,100 @@
+"""Custom stateful streaming operator: cross-batch consecutive dedup.
+
+The batch pipeline dedups consecutive blocks WITHIN a document; a live
+crawl also sees the same boilerplate-heavy page re-fetched across
+micro-batches.  This operator extends the HardsubX consecutive-dedup
+semantics across time per host: within each host's stream (event-time
+order), a document whose extracted text is near-identical
+(Levenshtein ratio >= DEDUP_SIM_THRESHOLD) to the host's previously kept
+document is suppressed.
+
+Implemented with ``applyInPandasWithState`` (the Structured Streaming
+escape hatch for custom stateful logic): state = the last kept document's
+normalized prefix + timestamp per host, carried across micro-batches.
+State is bounded (one row per host); pass ``idle_timeout_ms`` to expire
+idle hosts' state (production GC knob).  NB: with a processing-time
+timeout pending, an availableNow query stays alive until the timeout
+fires — so the default is NoTimeout, and timeout-based GC is opt-in for
+long-running deployments.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from ..config import DEDUP_PREFIX_CHARS, DEDUP_SIM_THRESHOLD
+from ..functions.levenshtein import at_least_as_similar
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = ("host string, url string, warc_ts timestamp, "
+                 "extracted_text string, kept boolean")
+STATE_SCHEMA = "prefix string"
+
+
+def _make_dedup_host(idle_timeout_ms: int | None):
+    def _dedup_host(key, pdfs, state):
+        return _dedup_host_impl(key, pdfs, state, idle_timeout_ms)
+    return _dedup_host
+
+
+def _dedup_host_impl(key, pdfs, state, idle_timeout_ms):
+    """Per-host stateful function: suppress docs near-identical to the
+    previously kept one (in warc_ts order, across micro-batches)."""
+    (host,) = key
+    prev = state.get[0] if state.exists else None
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["warc_ts", "url"], kind="mergesort")
+    kept_flags = []
+    for text in rows["extracted_text"]:
+        cur = (text or "")[:DEDUP_PREFIX_CHARS]
+        if prev is not None and at_least_as_similar(
+                cur, prev, DEDUP_SIM_THRESHOLD):
+            kept_flags.append(False)
+        else:
+            kept_flags.append(bool(cur))
+            if cur:
+                prev = cur
+    state.update((prev if prev is not None else "",))
+    if idle_timeout_ms is not None:
+        state.setTimeoutDuration(idle_timeout_ms)
+    out = rows.assign(host=host, kept=kept_flags)
+    yield out[["host", "url", "warc_ts", "extracted_text", "kept"]]
+
+
+def stateful_host_dedup(extracted: "DataFrame",
+                        idle_timeout_ms: int | None = None) -> "DataFrame":
+    """extracted(url, warc_ts, extracted_text, ...) -> per-host stream with
+    a ``kept`` flag assigned by cross-batch consecutive dedup.
+
+    Works on a streaming DataFrame (applyInPandasWithState); the unit tests
+    drive it through a memory-source availableNow query.
+    """
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        from ..plans.packaging import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)  # --py-files equivalent
+
+    with_host = extracted.withColumn(
+        "host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+    return (
+        with_host.select("host", "url", "warc_ts", "extracted_text")
+        .groupBy("host")
+        .applyInPandasWithState(
+            _make_dedup_host(idle_timeout_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if idle_timeout_ms is not None
+                         else GroupStateTimeout.NoTimeout),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Stateful streaming dedup + catalog feature-detection."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_hardsubx_spark.sources.catalog import iceberg_available, read_documents
+from ocr_hardsubx_spark.sources.fixtures import write_documents
+from ocr_hardsubx_spark.streaming.stateful_dedup import stateful_host_dedup
+
+PART_CORPUS = "/root/repo/data/fixtures/documents_part"
+SCHEMA = "url string, warc_ts timestamp, extracted_text string"
+BOILER = "Same navigation heavy page content repeated on every fetch"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    if not os.path.isdir(PART_CORPUS):
+        write_documents(PART_CORPUS, 200, partition_by_day=True)
+    return PART_CORPUS
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+
+def test_stateful_dedup_suppresses_refetches(spark, tmp_path):
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (f"https://hostA.example/p/{i}", t0 + dt.timedelta(minutes=i), BOILER)
+        for i in range(4)
+    ] + [
+        ("https://hostA.example/p/9", t0 + dt.timedelta(minutes=9),
+         "Completely different article text that must be kept"),
+        ("https://hostB.example/q/0", t0, BOILER),  # other host: independent
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, SCHEMA).repartition(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (stateful_host_dedup(stream)
+         .writeStream.format("memory").queryName("sd1")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    _drain(q)
+    kept = {r["url"]: r["kept"] for r in spark.sql("select * from sd1").collect()}
+    assert kept["https://hostA.example/p/0"] is True
+    assert all(kept[f"https://hostA.example/p/{i}"] is False for i in (1, 2, 3))
+    assert kept["https://hostA.example/p/9"] is True
+    assert kept["https://hostB.example/q/0"] is True
+
+
+def test_stateful_dedup_state_crosses_batches(spark, tmp_path):
+    """A second query resumed from the checkpoint suppresses the refetch
+    against batch 1's kept doc (state survives across queries)."""
+    t0 = dt.datetime(2025, 1, 1)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, SCHEMA).repartition(1) \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (stateful_host_dedup(stream)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .outputMode("append")
+             .start())
+        _drain(q)
+
+    run_batch([("https://hostC.example/a", t0, BOILER)])
+    run_batch([("https://hostC.example/b",
+                t0 + dt.timedelta(minutes=1), BOILER)])
+    kept = {r["url"]: r["kept"]
+            for r in spark.read.parquet(out).collect()}
+    assert kept["https://hostC.example/a"] is True
+    assert kept["https://hostC.example/b"] is False
+
+
+def test_iceberg_detect_false_in_sandbox(spark):
+    assert iceberg_available(spark) is False
+
+
+def test_read_documents_parquet_fallback_prunes(spark, corpus):
+    df = read_documents(spark, corpus, day_range=("2025-01-01", "2025-01-02"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "warc_dt" in plan
+    full = read_documents(spark, corpus)
+    assert 0 < df.count() < full.count() == 200
+
+
+def test_read_documents_single_file_falls_back_to_ts_filter(spark):
+    path = "/root/repo/data/fixtures/documents_oracle.parquet"
+    df = read_documents(spark, path, day_range=("2025-01-01", "2025-01-01"))
+    assert df.count() > 0
+    assert df.where(F.to_date("warc_ts") != "2025-01-01").count() == 0
