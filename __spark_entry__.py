@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed,
         "q_embed_neardup": dq.q_embed_neardup,
         "q_token_stats": dq.q_token_stats,
+        "q_fingerprint": dq.q_fingerprint,
+        "q_sessionize": dq.q_sessionize,
         "q_quality_score": dq.q_quality_score,
         "q_lang_id": dq.q_lang_id,
     }
@@ -101,6 +103,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed_sql(),
         "q_embed_neardup": dq.q_embed_neardup_sql(),
         "q_token_stats": dq.q_token_stats_sql(),
+        "q_fingerprint": dq.q_fingerprint_sql(),
+        "q_sessionize": dq.q_sessionize_sql(),
         "q_quality_score": dq.q_quality_score_sql(),
         "q_lang_id": dq.q_lang_id_sql(),
     }

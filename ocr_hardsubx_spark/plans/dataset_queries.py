@@ -390,6 +390,10 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, F.lit(0),
             lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"),
         ).alias("n_subwords"),
+        # BPE-ish regex tokenization: letter runs / digit runs / other
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|\S"), F.lit(0)))
+         .alias("n_regex_tokens"),
     )
 
 
@@ -400,7 +404,9 @@ def q_token_stats_sql() -> str:
            length(text) AS n_chars_actual,
            CAST(list_sum(list_transform(string_split(text, ' '),
                          w -> CAST(ceil(length(w) / 4.0) AS INTEGER)))
-                AS INTEGER) AS n_subwords
+                AS INTEGER) AS n_subwords,
+           length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|\S'))
+             AS n_regex_tokens
     FROM documents
     """
 
@@ -437,6 +443,82 @@ def q_quality_score_sql() -> str:
             AND CAST(length(text) AS DOUBLE) / length(string_split(text, ' '))
                 BETWEEN 2.0 AND 12.0) AS passes_quality
     FROM documents
+    """
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: Rabin-Karp-style rolling hash over the
+    token stream (h = h*31 + tokhash mod 2^31-1).  Order-sensitive, so
+    near-identical docs with reordered tokens get different prints
+    (complementing the order-insensitive SimHash)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    M = 2147483647
+    tok_hash = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long") % M)
+    toks = F.split(F.col("text"), " ")
+    rolling = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + tok_hash(w)) % M)
+    return docs.select("doc_id", rolling.alias("fingerprint"))
+
+
+def q_fingerprint_sql() -> str:
+    return """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 w -> ('0x' || substring(md5(w), 1, 7))::BIGINT % 2147483647)),
+             (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+    FROM documents
+    """
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (30-minute
+    inactivity closes a session): lag + cumulative sum of boundary flags.
+    Relational shadow of the streaming watermark/window semantics."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision: unix_timestamp() truncates to seconds, which
+    # misclassifies gaps within 1s of the threshold (caught by the oracle
+    # at sf0.001 where near-1800s gaps exist)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.select(
+        "user_id", "event_id", "ts",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n_events"),
+             F.min("event_id").alias("first_event"),
+             F.max("event_id").alias("last_event"))
+    )
+
+
+def q_sessionize_sql() -> str:
+    return """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no, count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM sess GROUP BY user_id, session_no
     """
 
 
