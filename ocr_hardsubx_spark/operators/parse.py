@@ -46,6 +46,17 @@ from ..config import (
     VOID_TAGS,
 )
 
+# one dict probe instead of 4-5 frozenset probes per tag (hot path)
+_F_VOID, _F_SKIP, _F_ISLAND, _F_INLINE, _F_BLOCK = 1, 2, 4, 8, 16
+_TAG_FLAGS: dict[str, int] = {}
+for _t in (VOID_TAGS | SKIP_CONTENT_TAGS | ISLAND_TAGS | INLINE_TAGS
+           | BLOCK_TAGS):
+    _TAG_FLAGS[_t] = ((_t in VOID_TAGS) * _F_VOID
+                      | (_t in SKIP_CONTENT_TAGS) * _F_SKIP
+                      | (_t in ISLAND_TAGS) * _F_ISLAND
+                      | (_t in INLINE_TAGS) * _F_INLINE
+                      | (_t in BLOCK_TAGS) * _F_BLOCK)
+
 
 class Region:
     """One DOM element = one extremal-region analog (reference ERStat,
@@ -57,9 +68,8 @@ class Region:
         "area", "link_area", "skipped_chars",
         "n_elements", "islands", "start_line", "end_line",
         "ev_start", "ev_end", "child_profiles",
-        # filled by the cascade:
-        "crossings", "med_crossings", "hole_area_ratio",
-        "convex_hull_ratio", "num_inflexion_points",
+        # filled by the cascade (feature values live in the batch feature
+        # matrix, not on the Region — keeps construction lean):
         "probability", "local_maxima", "group_id",
     )
 
@@ -84,11 +94,6 @@ class Region:
         self.ev_start = ev_start
         self.ev_end = ev_start
         self.child_profiles: list[float] = []
-        self.crossings = None
-        self.med_crossings = 0.0
-        self.hole_area_ratio = 0.0
-        self.convex_hull_ratio = 1.0
-        self.num_inflexion_points = 0.0
         self.probability = 0.0
         self.local_maxima = False
         self.group_id = -1
@@ -171,7 +176,7 @@ class _BuilderCore:
             # num_inflexion_points analog (SURVEY.md §2.4 C2); only
             # BLOCK-level children count — inline spans (b/a/i) are part of
             # the parent's own text flow, not structural alternation
-            if r.area > 0 and r.tag in BLOCK_TAGS:
+            if r.area > 0 and _TAG_FLAGS.get(r.tag, 0) & _F_BLOCK:
                 p.child_profiles.append(1.0 - r.link_area / r.area)
 
     def _emit_text(self, s: str) -> None:
@@ -189,14 +194,15 @@ class _BuilderCore:
 
     # -- tag events -----------------------------------------------------------
     def starttag(self, tag: str) -> None:
-        if tag in VOID_TAGS:
+        flags = _TAG_FLAGS.get(tag, 0)
+        if flags & _F_VOID:
             self.startendtag(tag)
             return
-        if tag in SKIP_CONTENT_TAGS:
+        if flags & _F_SKIP:
             self.skip_depth += 1
-        if tag in ISLAND_TAGS:
+        if flags & _F_ISLAND:
             self.stack[-1].islands += 1
-        if tag in INLINE_TAGS and self.skip_depth == 0:
+        if flags & _F_INLINE and self.skip_depth == 0:
             self.inline_events.append(self.line_no)
         self._open(tag)
 
@@ -204,25 +210,35 @@ class _BuilderCore:
         cur = self.stack[-1]
         if tag == "br" and self.skip_depth == 0:
             self._emit_text("\n")
-        if tag in ISLAND_TAGS:
+        if _TAG_FLAGS.get(tag, 0) & _F_ISLAND:
             cur.islands += 1
         cur.n_elements += 1
 
     def endtag(self, tag: str) -> None:
-        if tag in VOID_TAGS:
+        if _TAG_FLAGS.get(tag, 0) & _F_VOID:
             return
-        # find matching open tag; ignore stray end tags
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                while len(self.stack) > i:
-                    top = self.stack[-1]
-                    if top.tag in BLOCK_TAGS and self.skip_depth == 0:
-                        if self.text_off > top.start:  # only if it held text
-                            self._emit_text("\n")
-                    if top.tag in SKIP_CONTENT_TAGS:
-                        self.skip_depth -= 1
-                    self._close()
+        stack = self.stack
+        # fast path: well-formed HTML closes the top of the stack
+        if stack[-1].tag == tag:
+            i = len(stack) - 1
+        else:
+            # find matching open tag; ignore stray end tags
+            for i in range(len(stack) - 2, 0, -1):
+                if stack[i].tag == tag:
+                    break
+            else:
                 return
+        if i == 0:
+            return
+        while len(stack) > i:
+            top = stack[-1]
+            tf = _TAG_FLAGS.get(top.tag, 0)
+            if tf & _F_BLOCK and self.skip_depth == 0:
+                if self.text_off > top.start:  # only if it held text
+                    self._emit_text("\n")
+            if tf & _F_SKIP:
+                self.skip_depth -= 1
+            self._close()
 
     def data(self, chunk: str) -> None:
         if self.skip_depth:
@@ -233,8 +249,7 @@ class _BuilderCore:
 
     def finish(self) -> None:
         while self.stack:
-            top = self.stack[-1]
-            if top.tag in SKIP_CONTENT_TAGS:
+            if _TAG_FLAGS.get(self.stack[-1].tag, 0) & _F_SKIP:
                 self.skip_depth -= 1
             self._close()
 
