@@ -124,8 +124,6 @@ def _warm_python_workers(spark, cores: int) -> None:
     package) before timing starts.  On a real cluster executors are
     long-lived, so worker startup is session startup, which the protocol
     excludes (BASELINE.md: 'excluding Spark session startup')."""
-    import pandas as _pd
-
     def _noop(batches):
         from ocr_hardsubx_spark.operators import extract as _e  # noqa: F401
         for b in batches:

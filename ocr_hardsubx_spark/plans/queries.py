@@ -34,7 +34,6 @@ ORACLE_DOCS = os.path.join(FIXTURES_DIR, "documents_oracle.parquet")
 PART_DOCS = os.path.join(FIXTURES_DIR, "documents_part")
 N_ORACLE_DOCS = 200
 
-STOPWORDS = ["data", "table", "row", "value", "key", "scan", "join", "agg"]
 
 # tiny inline stump table used by the scoring shadow (same shape as the
 # broadcast NM tables: var, le, left_val, right_val)
