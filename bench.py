@@ -254,6 +254,14 @@ def _post_bench_correctness(spark) -> int:
 def write_baseline_md(results: dict, eff_2_8: float, eff_8_32: float,
                       ceiling: float) -> None:
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    # preserve manually-appended sections (e.g. the spark-submit evidence)
+    extra = ""
+    path = "/root/repo/BENCH/BASELINE.md"
+    if os.path.exists(path):
+        old = open(path).read()
+        k = old.find("## spark-submit")
+        if k >= 0:
+            extra = old[k:]
     r2, r8, r32 = results[2], results[8], results[32]
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling-efficiency evidence
