@@ -303,7 +303,10 @@ O6/O10/O11).
 The job is one fused vectorized stage with zero shuffles (scan splits
 are byte-balanced via maxPartitionBytes; salting available for
 pathological layouts / downstream host-keyed stages).
+
 """)
+        if extra:
+            f.write(extra)
 
 
 if __name__ == "__main__":
