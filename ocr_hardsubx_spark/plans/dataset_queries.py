@@ -259,7 +259,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-k then merge on the driver), NOT a global window (which would
     # single-partition the sort at scale); rank is assigned on the k rows.
     top = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    # rank only the k surviving rows; the partition key is a constant by
+    # value (vec_id % 1 == 0) but non-foldable, so the single-partition
+    # window is declared ON PURPOSE (k rows) without Spark's "No Partition
+    # Defined" warning (a foldable lit(0) is optimized away and warns).
+    # Do NOT copy this onto a non-limited frame — there a global window
+    # serializes the whole dataset.
+    w = (Window.partitionBy(F.col("vec_id") % 1)
+         .orderBy(F.desc("cos_sim"), F.asc("vec_id")))
     return top.withColumn("rank", F.row_number().over(w))
 
 
@@ -510,10 +517,12 @@ def q_sessionize_sql() -> str:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
+      -- CAST: DuckDB sum(int) is HUGEINT, which value-hashes differently
+      -- from Spark's BIGINT (round-1 hash mismatch, values verified equal)
       SELECT user_id, event_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_no
+                  AS BIGINT) AS session_no
       FROM flagged
     )
     SELECT user_id, session_no, count(*) AS n_events,

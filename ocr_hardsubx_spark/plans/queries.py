@@ -93,8 +93,11 @@ def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def partition_prune_sql() -> str:
     return (
+        # CAST the sum: DuckDB's un-cast sum() returns HUGEINT (int128),
+        # which value-hashes differently from Spark's BIGINT even when the
+        # numbers are identical (round-1 hash mismatch, values verified equal)
         "SELECT CAST(warc_dt AS VARCHAR) AS warc_dt, count(*) AS n_docs, "
-        "sum(length(text)) AS golden_bytes "
+        "CAST(sum(length(text)) AS BIGINT) AS golden_bytes "
         f"FROM read_parquet('{PART_DOCS}/*/*.parquet', hive_partitioning=true) "
         "WHERE warc_dt BETWEEN DATE '2025-01-01' AND DATE '2025-01-02' "
         "GROUP BY 1"
