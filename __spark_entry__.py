@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational shadows of the pipeline's physical primitives
         "q1_pricing_summary": q.q1_pricing_summary,
         "q_stump_scoring": q.q_stump_scoring,
+        "q_stump_scoring_ref": q.q_stump_scoring_ref,
         "q_window_dedup": q.q_window_dedup,
         "q_top1_per_group": q.q_top1_per_group,
         "q_pair_range_join": q.q_pair_range_join,
@@ -89,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         "partition_prune": q.partition_prune_sql(),
         "q1_pricing_summary": q.q1_pricing_summary_sql(),
         "q_stump_scoring": q.q_stump_scoring_sql(),
+        "q_stump_scoring_ref": q.q_stump_scoring_ref_sql(),
         "q_window_dedup": q.q_window_dedup_sql(),
         "q_top1_per_group": q.q_top1_per_group_sql(),
         "q_pair_range_join": q.q_pair_range_join_sql(),

@@ -180,6 +180,77 @@ def q_stump_scoring_sql() -> str:
     """
 
 
+def _ref_nm1_rows() -> list[dict]:
+    import json
+
+    from ..sources.distill import MODELS_DIR
+    with open(os.path.join(MODELS_DIR, "stumps_ref_nm1.json")) as f:
+        return json.load(f)
+
+
+def q_stump_scoring_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL distilled reference ensemble (S3/S4: 100 stumps decoded
+    from /root/reference/trained_classifierNM1.xml by sources/distill.py)
+    scoring a deterministic 4-feature projection of the documents table —
+    same broadcast-join + hash-agg plan as q_stump_scoring, but the stump
+    values are the reference's learned ones, so the correctness gate
+    exercises the full decode path end to end."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    stumps = spark.createDataFrame(
+        [(r["var"], r["le"], r["left_val"], r["right_val"])
+         for r in _ref_nm1_rows()],
+        "var int, le double, left_val double, right_val double")
+    # deterministic stand-ins spanning the reference features' ranges
+    # (aspect ratio ~0-10, compactness 0-1, holes 0-2, crossings 0-10)
+    feats = docs.select(
+        "doc_id",
+        (F.col("n_chars") % 997 / 100.0).alias("f0"),
+        (F.size(F.split("text", " ")) / (F.col("n_chars") + 1.0)).alias("f1"),
+        (F.col("doc_id") % 3).cast("double").alias("f2"),
+        (F.col("doc_id") % 7 / 2.0).alias("f3"),
+    )
+    feat = (
+        F.when(F.col("var") == 0, F.col("f0"))
+        .when(F.col("var") == 1, F.col("f1"))
+        .when(F.col("var") == 2, F.col("f2"))
+        .otherwise(F.col("f3"))
+    )
+    scored = feats.crossJoin(F.broadcast(stumps)).select(
+        "doc_id",
+        F.when(feat <= F.col("le"), F.col("left_val"))
+         .otherwise(F.col("right_val")).alias("vote"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("vote"), 6).alias("ref_votes"))
+    )
+
+
+def q_stump_scoring_ref_sql() -> str:
+    vals = ", ".join(
+        f"({r['var']}, {r['le']!r}, {r['left_val']!r}, {r['right_val']!r})"
+        for r in _ref_nm1_rows())
+    return f"""
+    WITH stumps(var, le, left_val, right_val) AS (VALUES {vals}),
+    feats AS (
+      SELECT doc_id,
+             n_chars % 997 / 100.0 AS f0,
+             length(string_split(text, ' ')) / (n_chars + 1.0) AS f1,
+             CAST(doc_id % 3 AS DOUBLE) AS f2,
+             doc_id % 7 / 2.0 AS f3
+      FROM documents
+    )
+    SELECT doc_id,
+           round(sum(CASE WHEN (CASE WHEN var = 0 THEN f0
+                                     WHEN var = 1 THEN f1
+                                     WHEN var = 2 THEN f2
+                                     ELSE f3 END) <= le
+                          THEN left_val ELSE right_val END), 6) AS ref_votes
+    FROM feats CROSS JOIN stumps
+    GROUP BY doc_id
+    """
+
+
 def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-dedup relational shadow (R3): lag window + Levenshtein
     similarity vs previous doc within each source stream."""
