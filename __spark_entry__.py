@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction engine (flagship + scale features)
         "extract_pipeline": q.extract_pipeline,
         "partition_prune": q.partition_prune,
+        "q_regions_by_channel": q.q_regions_by_channel,
         # relational shadows of the pipeline's physical primitives
         "q1_pricing_summary": q.q1_pricing_summary,
         "q_stump_scoring": q.q_stump_scoring,
@@ -88,6 +89,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_pipeline": q.extract_pipeline_sql(),
         "partition_prune": q.partition_prune_sql(),
+        "q_regions_by_channel": q.q_regions_by_channel_sql(),
         "q1_pricing_summary": q.q1_pricing_summary_sql(),
         "q_stump_scoring": q.q_stump_scoring_sql(),
         "q_stump_scoring_ref": q.q_stump_scoring_ref_sql(),

@@ -30,13 +30,34 @@ def finish_document(
     mask1: np.ndarray,
     p1: np.ndarray,
     nm2: StumpModel,
+    extra_channels: tuple = (),
 ) -> tuple[list[dict], str, int]:
-    """Returns (spans, extracted_text, n_surviving_regions)."""
-    acc1 = np.nonzero(mask1)[0]
-    kept_ids, children = nms_with_forest(regions, acc1, p1[acc1])
-    if not kept_ids:
-        return [], "", 0
-    survivors = stage2_with_recovery(kept_ids, children, X, nm2, regions)
+    """Returns (spans, extracted_text, n_surviving_regions).
+
+    ``extra_channels``: optional per-channel (X_c, mask_c, p_c) triples
+    (e.g. the negative link-polarity channel, cascade.channel_features).
+    Each channel runs its own NMS + stage 2 — the reference runs
+    er_filter1/er_filter2 per channel (erfilter.c:1752-1758) — and the
+    survivor sets union (dedup by region_id) before grouping, as
+    erGroupingNM consumes all channels' regions (erfilter.c:1754-1761).
+    """
+
+    def _channel_survivors(Xc, maskc, pc):
+        accc = np.nonzero(maskc)[0]
+        keptc, childrenc = nms_with_forest(regions, accc, pc[accc])
+        if not keptc:
+            return []
+        return stage2_with_recovery(keptc, childrenc, Xc, nm2, regions)
+
+    survivors = _channel_survivors(X, mask1, p1)
+    accepted_any = np.asarray(mask1, dtype=bool).copy()
+    seen_ids = {r.region_id for r in survivors}
+    for Xc, maskc, pc in extra_channels:
+        accepted_any |= np.asarray(maskc, dtype=bool)
+        for r in _channel_survivors(Xc, maskc, pc):
+            if r.region_id not in seen_ids:
+                seen_ids.add(r.region_id)
+                survivors.append(r)
     if not survivors:
         return [], "", 0
 
@@ -55,8 +76,8 @@ def finish_document(
 
     candidates = [
         r for i, r in enumerate(regions)
-        if not mask1[i] and r.area >= MIN_AREA_ABS and r.group_id == -1
-        and _disjoint(r)
+        if not accepted_any[i] and r.area >= MIN_AREA_ABS
+        and r.group_id == -1 and _disjoint(r)
     ]
     groups = feedback_absorb(groups, candidates)
 

@@ -72,6 +72,35 @@ def feature_matrix(regions: list[Region], inline_events: list[int]) -> np.ndarra
     return X
 
 
+def invert_link_polarity(X: np.ndarray) -> np.ndarray:
+    """Negative-polarity channel (D1 analog of detectRegions' appended
+    ``subtract(channel, 255)`` channels, reference erfilter.c:1738-1744).
+
+    On the web the light/dark duality maps to the content/link duality:
+    channel 1 treats LINK text as the foreground signal (f1' = 1 - f1,
+    i.e. link_density inverted), so link-structured main content — a
+    curated directory, a table of contents — that stage 1 rejects on
+    channel 0 becomes detectable.  Every other descriptor is polarity-
+    invariant, exactly as the reference's negated channel preserves
+    geometry: the inflexion feature counts |profile diffs| (sign-
+    symmetric), and area/islands/crossings don't change.  Survivors of
+    all channels union before grouping, as erGroupingNM consumes all
+    channels' regions (erfilter.c:1754-1761)."""
+    Xc = X.copy()
+    Xc[:, 1] = 1.0 - Xc[:, 1]
+    return Xc
+
+
+def channel_features(X: np.ndarray, channel: int) -> np.ndarray:
+    """Feature matrix for one detection channel (0 = as-parsed, 1 =
+    negative link polarity)."""
+    if channel == 0:
+        return X
+    if channel == 1:
+        return invert_link_polarity(X)
+    raise ValueError(f"unknown channel {channel}")
+
+
 def stage1_gate(X: np.ndarray, areas: np.ndarray, doc_total: np.ndarray,
                 nm1: StumpModel) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized stage-1 accept mask + probabilities.

@@ -31,7 +31,7 @@ from ..sources.model_store import (
     load_models,
 )
 from .assemble import finish_document
-from .cascade import feature_matrix, stage1_gate
+from .cascade import channel_features, feature_matrix, stage1_gate
 from .parse import parse_document
 
 if TYPE_CHECKING:
@@ -63,8 +63,13 @@ def _models_from_broadcast(bc) -> tuple[StumpModel, StumpModel]:
 
 def extract_pandas_batch(pdf: pd.DataFrame, nm1: StumpModel,
                          nm2: StumpModel,
-                         passthrough: tuple = ()) -> pd.DataFrame:
-    """Run the full pipeline on one Arrow batch of documents."""
+                         passthrough: tuple = (),
+                         channels: tuple = (0,)) -> pd.DataFrame:
+    """Run the full pipeline on one Arrow batch of documents.
+
+    ``channels``: detection channels; each extra channel costs exactly one
+    more vectorized ensemble evaluation per batch (same batched-scoring
+    discipline as channel 0 — still zero per-row Python)."""
     n_docs = len(pdf)
     docs = []
     for html in pdf["html"]:
@@ -72,7 +77,10 @@ def extract_pandas_batch(pdf: pd.DataFrame, nm1: StumpModel,
         X = feature_matrix(regions, events)
         docs.append((regions, stream, X))
 
-    # ---- stage 1, one vectorized scoring call for the whole batch ----
+    extra_ch = tuple(ch for ch in channels if ch != 0)
+    # ---- stage 1, one vectorized scoring call per channel for the whole
+    # batch (reference: er_filter1 runs once per channel,
+    # erfilter.c:1752-1758) ----
     if n_docs:
         X_all = np.vstack([d[2] for d in docs])
         areas = np.fromiter(
@@ -82,6 +90,11 @@ def extract_pandas_batch(pdf: pd.DataFrame, nm1: StumpModel,
             np.full(len(d[0]), d[0][0].area if d[0] else 0, dtype=np.float64)
             for d in docs])
         mask1_all, p1_all = stage1_gate(X_all, areas, totals, nm1)
+        ch_all = []
+        for ch in extra_ch:
+            Xc_all = channel_features(X_all, ch)
+            maskc_all, pc_all = stage1_gate(Xc_all, areas, totals, nm1)
+            ch_all.append((Xc_all, maskc_all, pc_all))
     out_spans: list[list] = []
     out_text: list[str] = []
     out_nreg: list[int] = []
@@ -94,6 +107,9 @@ def extract_pandas_batch(pdf: pd.DataFrame, nm1: StumpModel,
         n = len(regions)
         mask1 = mask1_all[offs:offs + n]
         p1 = p1_all[offs:offs + n]
+        extra = tuple(
+            (Xc[offs:offs + n], mc[offs:offs + n], pc[offs:offs + n])
+            for Xc, mc, pc in ch_all)
         offs += n
         out_nreg.append(n)
         if not regions:
@@ -102,7 +118,7 @@ def extract_pandas_batch(pdf: pd.DataFrame, nm1: StumpModel,
             out_nkept.append(0)
             continue
         spans, text, n_kept = finish_document(
-            regions, stream, X, mask1, p1, nm2)
+            regions, stream, X, mask1, p1, nm2, extra_channels=extra)
         out_spans.append(spans)
         out_text.append(text)
         out_nkept.append(n_kept)
@@ -121,13 +137,20 @@ def extract_pandas_batch(pdf: pd.DataFrame, nm1: StumpModel,
     return pd.DataFrame(cols)
 
 
-def extract_documents(df: "DataFrame", spark: "SparkSession | None" = None) -> "DataFrame":
+def extract_documents(df: "DataFrame", spark: "SparkSession | None" = None,
+                      channels: tuple = (0,)) -> "DataFrame":
     """documents(url, warc_ts, html, ...) -> extracted(url, warc_ts, lang,
     spans, extracted_text, n_regions, n_kept [, lineage passthrough]).
 
     Column pruning: only url/warc_ts/html/lang (+ declared lineage columns)
     enter the stage (the parquet scan's ReadSchema drops everything else —
     verified in tests).
+
+    ``channels``: (0,) by default; (0, 1) adds the negative link-polarity
+    detection channel (D1, cascade.invert_link_polarity) — a per-corpus
+    choice: it recovers link-structured main content (directories, TOCs)
+    at the cost of also detecting link-heavy boilerplate, whose removal
+    then rests on grouping + dedup alone.
     """
     passthrough = tuple(c for c in _PASSTHROUGH_OK if c in df.columns)
     cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
@@ -146,6 +169,6 @@ def extract_documents(df: "DataFrame", spark: "SparkSession | None" = None) -> "
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         nm1, nm2 = _models_from_broadcast(bc)
         for pdf in batches:
-            yield extract_pandas_batch(pdf, nm1, nm2, passthrough)
+            yield extract_pandas_batch(pdf, nm1, nm2, passthrough, channels)
 
     return df.mapInPandas(gen, schema=schema)

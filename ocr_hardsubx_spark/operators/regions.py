@@ -18,7 +18,12 @@ import numpy as np
 import pandas as pd
 
 from ..sources.model_store import load_models
-from .cascade import feature_matrix, nonmax_suppression, stage1_gate
+from .cascade import (
+    channel_features,
+    feature_matrix,
+    nonmax_suppression,
+    stage1_gate,
+)
 from .parse import med_crossings, parse_document, region_crossings
 
 if TYPE_CHECKING:
@@ -33,7 +38,8 @@ REGIONS_SCHEMA = (
 )
 
 
-def regions_pandas_batch(pdf: pd.DataFrame, nm1, nm2) -> pd.DataFrame:
+def regions_pandas_batch(pdf: pd.DataFrame, nm1, nm2,
+                         channels: tuple = (0,)) -> pd.DataFrame:
     rows: dict[str, list] = {k: [] for k in (
         "url", "channel", "region_id", "parent_id", "depth", "tag", "start",
         "end", "area", "perimeter", "euler", "crossings", "med_crossings",
@@ -43,37 +49,41 @@ def regions_pandas_batch(pdf: pd.DataFrame, nm1, nm2) -> pd.DataFrame:
         regions, stream, events = parse_document(html)
         if not regions:
             continue
-        X = feature_matrix(regions, events)
+        X0 = feature_matrix(regions, events)
         areas = np.array([r.area for r in regions], dtype=np.float64)
         totals = np.full(len(regions), regions[0].area, dtype=np.float64)
-        mask1, p1 = stage1_gate(X, areas, totals, nm1)
-        acc1 = np.nonzero(mask1)[0]
-        maxima = set(nonmax_suppression(regions, acc1, p1[acc1]))
-        for i, r in enumerate(regions):
-            rows["url"].append(url)
-            rows["channel"].append(0)
-            rows["region_id"].append(r.region_id)
-            rows["parent_id"].append(r.parent_id)
-            rows["depth"].append(r.depth)
-            rows["tag"].append(r.tag)
-            rows["start"].append(r.start)
-            rows["end"].append(r.end)
-            rows["area"].append(r.area)
-            rows["perimeter"].append(2 * r.n_elements)
-            rows["euler"].append(r.islands)
-            rows["crossings"].append(region_crossings(r, events))
-            rows["med_crossings"].append(
-                med_crossings(region_crossings(r, events)))
-            rows["hole_area_ratio"].append(float(X[i, 4]))
-            rows["convex_hull_ratio"].append(float(X[i, 5]))
-            rows["num_inflexion_points"].append(float(X[i, 6]))
-            rows["probability"].append(float(p1[i]))
-            rows["local_maxima"].append(r.region_id in maxima)
+        for ch in channels:
+            X = channel_features(X0, ch)
+            mask1, p1 = stage1_gate(X, areas, totals, nm1)
+            acc1 = np.nonzero(mask1)[0]
+            maxima = set(nonmax_suppression(regions, acc1, p1[acc1]))
+            for i, r in enumerate(regions):
+                rows["url"].append(url)
+                rows["channel"].append(ch)
+                rows["region_id"].append(r.region_id)
+                rows["parent_id"].append(r.parent_id)
+                rows["depth"].append(r.depth)
+                rows["tag"].append(r.tag)
+                rows["start"].append(r.start)
+                rows["end"].append(r.end)
+                rows["area"].append(r.area)
+                rows["perimeter"].append(2 * r.n_elements)
+                rows["euler"].append(r.islands)
+                rows["crossings"].append(region_crossings(r, events))
+                rows["med_crossings"].append(
+                    med_crossings(region_crossings(r, events)))
+                rows["hole_area_ratio"].append(float(X[i, 4]))
+                rows["convex_hull_ratio"].append(float(X[i, 5]))
+                rows["num_inflexion_points"].append(float(X[i, 6]))
+                rows["probability"].append(float(p1[i]))
+                rows["local_maxima"].append(r.region_id in maxima)
     return pd.DataFrame(rows)
 
 
-def extract_regions(df: "DataFrame", spark: "SparkSession | None" = None) -> "DataFrame":
-    """documents -> regions (ERStat table)."""
+def extract_regions(df: "DataFrame", spark: "SparkSession | None" = None,
+                    channels: tuple = (0,)) -> "DataFrame":
+    """documents -> regions (ERStat table); one row set per detection
+    channel (channel 1 = negative link polarity, D1)."""
     cols = [c for c in ("url", "html") if c in df.columns]
     df = df.select(*cols)
     if spark is not None:
@@ -84,6 +94,6 @@ def extract_regions(df: "DataFrame", spark: "SparkSession | None" = None) -> "Da
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         nm1, nm2 = load_models()
         for pdf in batches:
-            yield regions_pandas_batch(pdf, nm1, nm2)
+            yield regions_pandas_batch(pdf, nm1, nm2, channels)
 
     return df.mapInPandas(gen, schema=REGIONS_SCHEMA)

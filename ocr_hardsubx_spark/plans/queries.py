@@ -78,6 +78,53 @@ def extract_pipeline_sql() -> str:
     return (f"SELECT url, text AS extracted_text FROM '{ORACLE_DOCS}'")
 
 
+REGIONS_CHANNEL_GOLDEN = os.path.join(
+    FIXTURES_DIR, "regions_by_channel_golden.parquet")
+
+
+def q_regions_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel region census over the fixture corpus (D1): the same
+    documents scanned on the content polarity (channel 0) and the
+    negative link polarity (channel 1, cascade.invert_link_polarity),
+    aggregated to (channel, n_regions, n_local_maxima, sum_prob).
+
+    Oracle = a committed golden parquet (pinned once, regeneration is
+    deterministic); the non-circular behavioral evidence for channel 1 —
+    that it recovers link-structured content channel 0 misses — lives in
+    tests/test_channels.py against hand-authored fixtures."""
+    from ..operators.regions import extract_regions
+
+    ensure_fixture_corpus()
+    docs = spark.read.parquet(ORACLE_DOCS)
+    regs = extract_regions(docs, spark, channels=(0, 1))
+    return (
+        regs.groupBy("channel")
+        .agg(F.count("*").alias("n_regions"),
+             F.sum(F.col("local_maxima").cast("int")).cast("bigint")
+              .alias("n_local_maxima"),
+             F.round(F.sum("probability"), 4).alias("sum_prob"))
+    )
+
+
+def q_regions_by_channel_sql() -> str:
+    return (
+        "SELECT CAST(channel AS TINYINT) AS channel, n_regions, "
+        "n_local_maxima, sum_prob "
+        f"FROM '{REGIONS_CHANNEL_GOLDEN}'"
+    )
+
+
+def ensure_regions_channel_golden(spark: SparkSession) -> None:
+    """Write the golden census once (idempotent; committed in git)."""
+    if os.path.exists(REGIONS_CHANNEL_GOLDEN):
+        return
+    df = q_regions_by_channel(spark, "")
+    df.toPandas().astype(
+        {"channel": "int8", "n_regions": "int64",
+         "n_local_maxima": "int64", "sum_prob": "float64"}
+    ).to_parquet(REGIONS_CHANNEL_GOLDEN, index=False)
+
+
 def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition pruning on warc_dt=date(warc_ts) (north_rule): the scan
     must touch only the matching day directories (asserted in tests)."""

@@ -39,22 +39,37 @@ def extract_document(
     html: bytes | str,
     nm1: StumpModel | None = None,
     nm2: StumpModel | None = None,
+    channels: tuple = (0,),
 ) -> dict:
     """Extract one page. Returns
     {"spans": [(start, end, text), ...], "extracted_text": str}.
+
+    ``channels``: detection channels (cascade.channel_features); (0,) is
+    the default content polarity, (0, 1) adds the negative link-polarity
+    scan (D1) whose survivors union before grouping.
     """
     if nm1 is None or nm2 is None:
         nm1, nm2 = _models()
     regions, stream, inline_events = parse_document(html)
     if not regions:
         return {"spans": [], "extracted_text": ""}
+    from ..operators.cascade import channel_features
+
     X = feature_matrix(regions, inline_events)
     areas = np.array([r.area for r in regions], dtype=np.float64)
     doc_total = np.full(len(regions), regions[0].area, dtype=np.float64)
     mask1, p1 = stage1_gate(X, areas, doc_total, nm1)
     for i, r in enumerate(regions):
         r.probability = float(p1[i])
-    spans, text, _ = finish_document(regions, stream, X, mask1, p1, nm2)
+    extra = []
+    for ch in channels:
+        if ch == 0:
+            continue
+        Xc = channel_features(X, ch)
+        maskc, pc = stage1_gate(Xc, areas, doc_total, nm1)
+        extra.append((Xc, maskc, pc))
+    spans, text, _ = finish_document(regions, stream, X, mask1, p1, nm2,
+                                     extra_channels=tuple(extra))
     return {
         "spans": [(s["start"], s["end"], s["text"]) for s in spans],
         "extracted_text": text,
