@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_dedup": q.q_window_dedup,
         "q_top1_per_group": q.q_top1_per_group,
         "q_pair_range_join": q.q_pair_range_join,
+        "q_triplet_consistency": q.q_triplet_consistency,
         "q_nms_running_max": q.q_nms_running_max,
         "q_broadcast_dim_join": q.q_broadcast_dim_join,
         # training-data pipeline operators
@@ -96,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "q_window_dedup": q.q_window_dedup_sql(),
         "q_top1_per_group": q.q_top1_per_group_sql(),
         "q_pair_range_join": q.q_pair_range_join_sql(),
+        "q_triplet_consistency": q.q_triplet_consistency_sql(),
         "q_nms_running_max": q.q_nms_running_max_sql(),
         "q_broadcast_dim_join": q.q_broadcast_dim_join_sql(),
         "q_dedup_exact": dq.q_dedup_exact_sql(),

@@ -27,6 +27,14 @@ PAIR_GAP_LO = -0.4             # gap/avg-span lower bound (erfilter.c:1545)
 PAIR_GAP_HI = 2.2              # gap/avg-span upper bound (erfilter.c:1545)
 PAIR_MAX_STYLE_DIST = 0.2     # link-density distance; color-consistency analog
                                # (grey-mean diff <= 111/255 ~ 0.43 scaled; pinned 0.2)
+# triplet collinearity analog (isValidTriplet line-fit consistency,
+# erfilter.c:1693-1716: top/bottom line offsets must agree within
+# TRIPLET_MAX_DIST of the central height).  Our 1-D analog: two chained
+# pair gaps are consistent iff
+#   max(g1, g2) <= TRIPLET_GAP_TOLERANCE + TRIPLET_MAX_GAP_RATIO * min(g1, g2)
+# — the additive term absorbs separator-markup jitter at small gaps.
+TRIPLET_MAX_GAP_RATIO = 4.0
+TRIPLET_GAP_TOLERANCE = 8
 
 # --- recognition / dedup (north_star: HardsubX double_enter + Levenshtein) --
 DEDUP_SIM_THRESHOLD = 0.85     # drop region if ratio vs previous kept >= this

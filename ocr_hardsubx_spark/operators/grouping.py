@@ -30,6 +30,8 @@ from ..config import (
     PAIR_GAP_LO,
     PAIR_MAX_STYLE_DIST,
     PAIR_MIN_LENGTH_RATIO,
+    TRIPLET_GAP_TOLERANCE,
+    TRIPLET_MAX_GAP_RATIO,
 )
 from .parse import Region
 
@@ -50,11 +52,28 @@ def is_valid_pair(a: Region, b: Region) -> bool:
     return True
 
 
+def gaps_consistent(g1: int, g2: int) -> bool:
+    """Collinearity analog for two chained pair gaps (G3, reference
+    isValidTriplet line-fit consistency erfilter.c:1693-1716): the offset
+    run a->b->c is accepted only when the two gaps agree within a ratio
+    band (plus an additive tolerance absorbing separator jitter), the way
+    the reference rejects triplets whose top/bottom line offsets diverge
+    beyond TRIPLET_MAX_DIST of the central height."""
+    lo, hi = min(g1, g2), max(g1, g2)
+    return hi <= TRIPLET_GAP_TOLERANCE + TRIPLET_MAX_GAP_RATIO * max(0, lo)
+
+
 def group_regions(kept: list[Region]) -> list[list[Region]]:
     """Group a document's kept regions into ordered text blocks.
 
     Returns groups ordered by start offset; each group's members ordered by
-    start offset.  Union-find over closest-sibling pairs.
+    start offset.  Closest-sibling pair edges are agglomerated only through
+    consistent triplets (pair JOIN pair on the shared middle region +
+    gap-run consistency, reference isValidTriplet erfilter.c:1601-1722):
+    an edge whose gap is inconsistent with the following edge's gap is kept
+    only if it is the tighter of the two — the accidental chain through an
+    inconsistent junction does NOT merge (the union-find transitivity of
+    round 1 merged it unconditionally).
     """
     kept = sorted(kept, key=lambda r: r.start)
     n = len(kept)
@@ -73,6 +92,7 @@ def group_regions(kept: list[Region]) -> list[list[Region]]:
 
     # closest-sibling: for each left region, link only the nearest valid
     # right partner (erfilter.c:1187-1241 top-1 per group)
+    edges: dict[int, int] = {}
     for i in range(n):
         best = -1
         best_gap = None
@@ -82,7 +102,25 @@ def group_regions(kept: list[Region]) -> list[list[Region]]:
                 if best_gap is None or gap < best_gap:
                     best, best_gap = j, gap
         if best >= 0:
-            union(i, best)
+            edges[i] = best
+
+    # triplet gate: each chain junction i->j->k is a pair JOIN pair on the
+    # shared middle j (isValidTriplet's "at least one region in common",
+    # erfilter.c:1607-1611); an inconsistent gap run drops the LOOSER edge
+    # so the chain breaks there — the shared region stays with its tighter
+    # partner (closest-sibling spirit), and transitivity cannot re-merge
+    dropped: set[tuple[int, int]] = set()
+    for i, j in edges.items():
+        k = edges.get(j)
+        if k is None:
+            continue
+        g1 = kept[j].start - kept[i].end
+        g2 = kept[k].start - kept[j].end
+        if not gaps_consistent(g1, g2):
+            dropped.add((i, j) if g1 >= g2 else (j, k))
+    for i, j in edges.items():
+        if (i, j) not in dropped:
+            union(i, j)
 
     groups: dict[int, list[Region]] = {}
     for i, r in enumerate(kept):

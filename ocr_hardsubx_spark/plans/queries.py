@@ -391,6 +391,59 @@ def q_pair_range_join_sql() -> str:
     """
 
 
+def q_triplet_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet gap-consistency shadow (G3, isValidTriplet analog): the
+    pair-JOIN-pair-on-shared-middle expressed relationally — each event
+    with its predecessor and successor (lag/lead) forms the triplet; the
+    chained gaps pass iff max <= TOL + RATIO * max(0, min), the
+    gaps_consistent gate the in-stage grouping applies.  One shuffle
+    (window partition by user), counts aggregated per user."""
+    from ..config import TRIPLET_GAP_TOLERANCE, TRIPLET_MAX_GAP_RATIO
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g1 = us - F.lag(us).over(w)
+    g2 = F.lead(us).over(w) - us
+    lo, hi = F.least(g1, g2), F.greatest(g1, g2)
+    consistent = hi <= (F.lit(TRIPLET_GAP_TOLERANCE * 1_000_000)
+                        + F.lit(TRIPLET_MAX_GAP_RATIO)
+                        * F.greatest(lo, F.lit(0)))
+    t = ev.select("user_id", "event_id",
+                  consistent.alias("ok"), g1.alias("g1"), g2.alias("g2"))
+    return (
+        t.where(F.col("g1").isNotNull() & F.col("g2").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_triplets"),
+             F.sum(F.col("ok").cast("int")).cast("bigint")
+              .alias("n_consistent"))
+    )
+
+
+def q_triplet_consistency_sql() -> str:
+    from ..config import TRIPLET_GAP_TOLERANCE, TRIPLET_MAX_GAP_RATIO
+
+    tol = TRIPLET_GAP_TOLERANCE * 1_000_000
+    return f"""
+    WITH t AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS g1,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS g2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_triplets,
+           CAST(sum(CASE WHEN greatest(g1, g2) <=
+                              {tol} + {TRIPLET_MAX_GAP_RATIO}
+                              * greatest(least(g1, g2), 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent
+    FROM t
+    WHERE g1 IS NOT NULL AND g2 IS NOT NULL
+    GROUP BY user_id
+    """
+
+
 def q_nms_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ancestor-path running-max shadow (D8): max/min over the path prefix."""
     ev = spark.read.parquet(_t(sf_dir, "events"))

@@ -60,8 +60,52 @@ def test_grouping_singletons_kept():
 def test_closest_sibling_prefers_nearest():
     a, near, far = _r(0, 0, 100), _r(1, 120, 100), _r(2, 250, 100)
     groups = group_regions([a, near, far])
-    # a links to near; near links to far -> all one group (transitive)
+    # a links to near; near links to far -> consistent gaps (20 vs 30)
+    # -> all one group
     assert len(groups) == 1
+
+
+# --- triplet consistency gate (G3, isValidTriplet analog) ----------------
+
+def test_inconsistent_triplet_does_not_merge():
+    """Two individually valid pairs whose gaps are wildly inconsistent
+    (2 vs 100: 100 > TOLERANCE + RATIO*2 = 16) must NOT chain into one
+    group — the reference rejects the triplet on line-fit divergence
+    (erfilter.c:1693-1712); round-1 union-find merged it blindly."""
+    from ocr_hardsubx_spark.operators.grouping import gaps_consistent
+
+    a, b, c = _r(0, 0, 100), _r(1, 102, 100), _r(2, 302, 100)
+    assert is_valid_pair(a, b) and is_valid_pair(b, c)
+    assert not gaps_consistent(2, 100)
+    groups = group_regions([a, b, c])
+    # b stays with its tighter partner a; c breaks off
+    assert [[m.region_id for m in g] for g in groups] == [[0, 1], [2]]
+
+
+def test_inconsistent_triplet_tighter_pair_on_right():
+    """Mirror case: the tight pair is (b, c), so a breaks off."""
+    a, b, c = _r(0, 0, 100), _r(1, 200, 100), _r(2, 302, 100)
+    assert is_valid_pair(a, b) and is_valid_pair(b, c)
+    groups = group_regions([a, b, c])
+    assert [[m.region_id for m in g] for g in groups] == [[0], [1, 2]]
+
+
+def test_consistent_triplet_still_merges():
+    a, b, c = _r(0, 0, 100), _r(1, 150, 100), _r(2, 310, 100)
+    # gaps 50 and 60: 60 <= 8 + 4*50 -> consistent
+    groups = group_regions([a, b, c])
+    assert len(groups) == 1
+
+
+def test_gaps_consistent_boundaries():
+    from ocr_hardsubx_spark.operators.grouping import gaps_consistent
+
+    assert gaps_consistent(0, 8)        # tolerance absorbs zero-gap runs
+    assert not gaps_consistent(0, 9)
+    assert gaps_consistent(10, 48)      # 48 == 8 + 4*10
+    assert not gaps_consistent(10, 49)
+    assert gaps_consistent(-5, 8)       # negative gap clamps to 0
+    assert gaps_consistent(5, 5)
 
 
 # --- dedup ---------------------------------------------------------------
