@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triplet_consistency": q.q_triplet_consistency,
         "q_nms_running_max": q.q_nms_running_max,
         "q_broadcast_dim_join": q.q_broadcast_dim_join,
+        "q_stream_dedup_shadow": q.q_stream_dedup_shadow,
         # training-data pipeline operators
         "q_dedup_exact": dq.q_dedup_exact,
         "q_minhash_bands": dq.q_minhash_bands,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "q_triplet_consistency": q.q_triplet_consistency_sql(),
         "q_nms_running_max": q.q_nms_running_max_sql(),
         "q_broadcast_dim_join": q.q_broadcast_dim_join_sql(),
+        "q_stream_dedup_shadow": q.q_stream_dedup_shadow_sql(),
         "q_dedup_exact": dq.q_dedup_exact_sql(),
         "q_minhash_bands": dq.q_minhash_bands_sql(),
         "q_minhash_dup_candidates": dq.q_minhash_dup_candidates_sql(),

@@ -467,6 +467,72 @@ def q_nms_running_max_sql() -> str:
     """
 
 
+def q_stream_dedup_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence shadow of the streaming stateful host dedup:
+    documents recast as a per-host refetch stream (host = source,
+    warc_ts = epoch + doc_id seconds) run through
+    streaming.stateful_dedup.batch_host_dedup — the SAME prev-kept
+    Levenshtein chain the applyInPandasWithState operator applies across
+    micro-batches (stream == batch equality is asserted in
+    tests/test_stream_batch_shadow.py; this entry gives the chain a full
+    value-hash check against DuckDB)."""
+    from ..streaming.stateful_dedup import batch_host_dedup
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    stream_like = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr("timestampadd(SECOND, cast(doc_id as int), "
+               "timestamp'2025-01-01 00:00:00')").alias("warc_ts"),
+        F.col("text").alias("extracted_text"),
+    )
+    return batch_host_dedup(stream_like)
+
+
+def q_stream_dedup_shadow_sql() -> str:
+    from ..config import DEDUP_PREFIX_CHARS, DEDUP_SIM_THRESHOLD
+
+    # the prev-KEPT chain is inherently sequential, so the oracle walks it
+    # with a recursive CTE over per-host row numbers (depth = docs per
+    # host).  NB a list-valued struct field inside DuckDB 1.0's
+    # list_reduce loses its accumulated contents across iterations, so the
+    # higher-order-function formulation Spark uses is not portable here.
+    sim = ("(c.prev <> '' AND b.cur <> '' AND "
+           "(1.0 - CAST(levenshtein(b.cur, c.prev) AS DOUBLE)"
+           " / greatest(length(b.cur), length(c.prev))) >= "
+           f"{DEDUP_SIM_THRESHOLD})")
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT source || '.example' AS host,
+             'https://' || source || '.example/' || CAST(doc_id AS VARCHAR)
+               AS url,
+             TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND
+               AS ts,
+             substring(coalesce(text, ''), 1, {DEDUP_PREFIX_CHARS}) AS cur,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY TIMESTAMP '2025-01-01 00:00:00'
+                        + doc_id * INTERVAL 1 SECOND,
+                        'https://' || source || '.example/'
+                        || CAST(doc_id AS VARCHAR)) AS rn
+      FROM documents
+    ),
+    chain AS (
+      SELECT host, rn, url, cur,
+             (cur <> '') AS kept,
+             CASE WHEN cur <> '' THEN cur ELSE '' END AS prev
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.host, b.rn, b.url, b.cur,
+             CASE WHEN {sim} THEN false ELSE (b.cur <> '') END AS kept,
+             CASE WHEN {sim} OR b.cur = '' THEN c.prev ELSE b.cur END
+               AS prev
+      FROM chain c JOIN base b ON b.host = c.host AND b.rn = c.rn + 1
+    )
+    SELECT host, url, kept FROM chain
+    """
+
+
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dimension join shadow: revenue by part brand."""
     li = spark.read.parquet(_t(sf_dir, "lineitem"))

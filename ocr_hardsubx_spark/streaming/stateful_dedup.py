@@ -65,6 +65,61 @@ def _dedup_host_impl(key, pdfs, state, idle_timeout_ms):
     yield out[["host", "url", "warc_ts", "extracted_text", "kept"]]
 
 
+def batch_host_dedup(extracted: "DataFrame") -> "DataFrame":
+    """Batch-equivalence shadow of ``stateful_host_dedup``: the same
+    prev-KEPT consecutive-dedup chain per host, computed over a bounded
+    batch with JVM higher-order functions (collect per host -> sort by
+    (warc_ts, url) -> left fold carrying the previously kept prefix) —
+    no Python in the loop, one shuffle on host.
+
+    Returns (host, url, kept).  Running the streaming operator
+    availableNow over the same rows (any batch slicing) must produce the
+    identical kept set — asserted in tests/test_stream_batch_shadow.py.
+
+    Scale note: this collects one host's refetch window into a single
+    row, so it is the ORACLE for bounded windows (a day of one host's
+    fetches), not the scale path — the streaming operator with its
+    one-row-per-host state is the scale path.
+    """
+    from pyspark.sql import functions as F
+
+    sim = (
+        "(acc.prev <> '' AND x.cur <> '' AND "
+        "(1.0 - cast(levenshtein(x.cur, acc.prev) as double)"
+        f" / greatest(length(x.cur), length(acc.prev))) >= "
+        f"{DEDUP_SIM_THRESHOLD})"
+    )
+    fold = f"""
+    aggregate(
+      items,
+      cast(named_struct('prev', '', 'out',
+           array()) as struct<prev:string,
+                              out:array<struct<url:string,k:boolean>>>),
+      (acc, x) -> named_struct(
+        'prev', CASE WHEN {sim} THEN acc.prev
+                     WHEN x.cur <> '' THEN x.cur
+                     ELSE acc.prev END,
+        'out', concat(acc.out, array(named_struct(
+                 'url', x.url, 'k', (NOT {sim}) AND x.cur <> '')))
+      )
+    ).out
+    """
+    with_host = extracted.withColumn(
+        "host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+    base = with_host.select(
+        "host", "warc_ts", "url",
+        F.expr(f"substring(coalesce(extracted_text, ''), 1, "
+               f"{DEDUP_PREFIX_CHARS})").alias("cur"))
+    g = base.groupBy("host").agg(
+        F.expr("sort_array(collect_list(struct(warc_ts, url, cur)))")
+         .alias("items"))
+    return (
+        g.select("host", F.explode(F.expr(fold)).alias("o"))
+        .select("host", F.col("o.url").alias("url"),
+                F.col("o.k").alias("kept"))
+    )
+
+
 def stateful_host_dedup(extracted: "DataFrame",
                         idle_timeout_ms: int | None = None) -> "DataFrame":
     """extracted(url, warc_ts, extracted_text, ...) -> per-host stream with
