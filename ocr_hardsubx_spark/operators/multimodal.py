@@ -4,10 +4,11 @@ A 100 TB training-data pipeline carries media payloads next to text:
 ``binary`` columns with typed metadata structs, processed by Arrow-batched
 ``mapInPandas`` stages exactly like the html pipeline.  The Spark-side
 plumbing here — schemas, batch iteration, partition behavior, UDF
-signatures — is real and tested; the codec work itself (JPEG decode,
-resampling) is STUBBED behind ``_decode_image``/``_decode_audio`` with a
-deterministic fake, because the sandbox image/audio libraries are absent.
-Swapping the stub for Pillow/libsndfile changes no Spark code.
+signatures — is real and tested.  Decode is REAL for PNG and WAV via
+stdlib codecs (functions/media_codecs.py); other formats feature-detect
+Pillow and otherwise fall back to a DECLARED deterministic fake (JPEG in
+this sandbox), so downstream arithmetic is always exercised with stable
+values.  Swapping codecs changes no Spark code.
 
 Operators:
   attach_media_meta   binary -> struct<format,width,height,n_bytes> metadata
@@ -45,11 +46,20 @@ def sniff_format(payload: bytes) -> str:
     return "unknown"
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB decode: the real implementation calls Pillow
-    (``Image.open(BytesIO(payload))``).  The deterministic fake derives a
-    pseudo-image from the payload hash so downstream arithmetic (resize,
-    grid, phash) is exercised with stable values."""
+def _pillow():
+    """Feature-detect Pillow (absent in the sandbox; present on a real
+    cluster image) — used for formats the stdlib codecs don't cover."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def _fake_image(payload: bytes) -> np.ndarray:
+    """DECLARED deterministic stub for formats with no available codec:
+    derives a pseudo-image from the payload hash so downstream arithmetic
+    (resize, grid, phash) is exercised with stable values."""
     h = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
     w = 16 + h[8] % 48
@@ -57,8 +67,41 @@ def _decode_image(payload: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(ht, w), dtype=np.uint8)
 
 
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Decode to (H, W) uint8 luminance.  PNG decodes for REAL via the
+    stdlib codec (functions/media_codecs.py: zlib inflate + filter
+    reconstruction + BT.601 luminance); other formats go through Pillow
+    when importable; the deterministic fake remains the declared fallback
+    of last resort."""
+    from ..functions.media_codecs import UnsupportedMedia, decode_png
+
+    if sniff_format(payload) == "png":
+        try:
+            return decode_png(payload)
+        except UnsupportedMedia:
+            pass  # palette/16-bit/interlaced: fall through to Pillow/stub
+    Image = _pillow()
+    if Image is not None:
+        import io
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("L"), dtype=np.uint8)
+        except Exception:
+            pass
+    return _fake_image(payload)
+
+
 def _decode_audio(payload: bytes) -> np.ndarray:
-    """STUB decode: real implementation uses soundfile/librosa."""
+    """Decode to mono float32 samples.  WAV decodes for REAL via the
+    stdlib codec; everything else uses the declared deterministic stub
+    (real clusters swap in soundfile/librosa here)."""
+    from ..functions.media_codecs import UnsupportedMedia, decode_wav
+
+    if sniff_format(payload) == "wav":
+        try:
+            return decode_wav(payload)
+        except (UnsupportedMedia, Exception):
+            pass  # truncated/odd-width WAV: declared stub below
     h = hashlib.sha256(payload).digest()
     n = 1000 + int.from_bytes(h[:2], "little") % 9000
     rng = np.random.default_rng(int.from_bytes(h[8:16], "little"))
