@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_cosine_topk": dq.q_ann_cosine_topk,
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed,
         "q_embed_neardup": dq.q_embed_neardup,
+        "q_url_canonicalize": dq.q_url_canonicalize,
+        "q_domain_stats": dq.q_domain_stats,
         "q_token_stats": dq.q_token_stats,
         "q_fingerprint": dq.q_fingerprint,
         "q_sessionize": dq.q_sessionize,
@@ -110,6 +112,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_cosine_topk": dq.q_ann_cosine_topk_sql(),
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed_sql(),
         "q_embed_neardup": dq.q_embed_neardup_sql(),
+        "q_url_canonicalize": dq.q_url_canonicalize_sql(),
+        "q_domain_stats": dq.q_domain_stats_sql(),
         "q_token_stats": dq.q_token_stats_sql(),
         "q_fingerprint": dq.q_fingerprint_sql(),
         "q_sessionize": dq.q_sessionize_sql(),

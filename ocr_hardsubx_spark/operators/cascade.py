@@ -52,6 +52,21 @@ def num_inflexions(profiles: list[float]) -> float:
     return float(n)
 
 
+def profile_gradient(profiles: list[float]) -> tuple[float, float]:
+    """Gradient-magnitude analog as a standalone descriptor (D4, reference
+    get_gradient_magnitude ``filter.c`` feeding channel 4 of
+    computeNMChannels, erfilter.c:176-190): the |diff| sequence of a
+    region's child content profiles is its "intensity gradient" along the
+    document axis.  Returns (max, mean) of the magnitudes — the same
+    diffs whose thresholded sign changes drive ``num_inflexions``; here
+    they are exposed unthresholded, as the reference exposes the raw
+    gradient channel next to the derived features."""
+    if len(profiles) < 2:
+        return 0.0, 0.0
+    diffs = [abs(b - a) for a, b in zip(profiles, profiles[1:])]
+    return max(diffs), sum(diffs) / len(diffs)
+
+
 def feature_matrix(regions: list[Region], inline_events: list[int]) -> np.ndarray:
     """(n_regions, 7) float64 feature matrix; columns per model_store spec.
     Stage 1 uses X[:, :4], stage 2 the full matrix."""

@@ -22,6 +22,7 @@ from .cascade import (
     channel_features,
     feature_matrix,
     nonmax_suppression,
+    profile_gradient,
     stage1_gate,
 )
 from .parse import med_crossings, parse_document, region_crossings
@@ -34,7 +35,8 @@ REGIONS_SCHEMA = (
     "depth int, tag string, start int, end int, area long, perimeter int, "
     "euler int, crossings array<int>, med_crossings float, "
     "hole_area_ratio float, convex_hull_ratio float, "
-    "num_inflexion_points float, probability double, local_maxima boolean"
+    "num_inflexion_points float, grad_max float, grad_mean float, "
+    "probability double, local_maxima boolean"
 )
 
 
@@ -44,7 +46,7 @@ def regions_pandas_batch(pdf: pd.DataFrame, nm1, nm2,
         "url", "channel", "region_id", "parent_id", "depth", "tag", "start",
         "end", "area", "perimeter", "euler", "crossings", "med_crossings",
         "hole_area_ratio", "convex_hull_ratio", "num_inflexion_points",
-        "probability", "local_maxima")}
+        "grad_max", "grad_mean", "probability", "local_maxima")}
     for url, html in zip(pdf["url"], pdf["html"]):
         regions, stream, events = parse_document(html)
         if not regions:
@@ -75,6 +77,9 @@ def regions_pandas_batch(pdf: pd.DataFrame, nm1, nm2,
                 rows["hole_area_ratio"].append(float(X[i, 4]))
                 rows["convex_hull_ratio"].append(float(X[i, 5]))
                 rows["num_inflexion_points"].append(float(X[i, 6]))
+                gmax, gmean = profile_gradient(r.child_profiles)
+                rows["grad_max"].append(gmax)
+                rows["grad_mean"].append(gmean)
                 rows["probability"].append(float(p1[i]))
                 rows["local_maxima"].append(r.region_id in maxima)
     return pd.DataFrame(rows)

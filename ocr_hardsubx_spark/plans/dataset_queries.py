@@ -530,6 +530,133 @@ def q_embed_neardup_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# URL hygiene (crawl-curation operators)
+# --------------------------------------------------------------------------
+
+def _messy_url_col():
+    """Deterministic messy URL synthesized from (source, doc_id): mixed
+    host case, www., tracking params, fragments, trailing slashes — the
+    forms a crawl actually contains (the testdata table carries no url
+    column, so both engines construct the identical raw URL)."""
+    head = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("HTTPS://WWW."), F.col("source"),
+                        F.lit(".Example.COM")))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                            F.lit(".example.com")))
+    )
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&id=7"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("#section-2"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/"))
+        .otherwise(F.lit("?id=7&utm_campaign=x"))
+    )
+    return F.concat(head, F.lit("/articles/"),
+                    F.col("doc_id").cast("string"), tail)
+
+
+def _messy_url_sql() -> str:
+    return (
+        "CASE WHEN doc_id % 3 = 0 "
+        "THEN 'HTTPS://WWW.' || source || '.Example.COM' "
+        "ELSE 'https://' || source || '.example.com' END || '/articles/' || "
+        "CAST(doc_id AS VARCHAR) || "
+        "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=7' "
+        "     WHEN doc_id % 4 = 1 THEN '#section-2' "
+        "     WHEN doc_id % 4 = 2 THEN '/' "
+        "     ELSE '?id=7&utm_campaign=x' END"
+    )
+
+
+def _canon_exprs(url_col):
+    """Canonicalization (pinned rules, JVM regexps): lowercase host, strip
+    www., drop fragment, strip utm_*/fbclid/gclid params, clean dangling
+    separators, strip the trailing slash of non-root paths."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url_col, r"^[a-zA-Z]+://([^/?#]+)", 1)),
+        r"^www\.", "")
+    rest = F.regexp_extract(url_col, r"^[a-zA-Z]+://[^/?#]+(.*)$", 1)
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return host, F.concat(F.lit("https://"), host, rest)
+
+
+_CANON_SQL_RULES = """
+    canon AS (
+      SELECT doc_id, raw_url,
+             'https://' || host ||
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               rest, '#.*$', ''),
+               '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', ''),
+               '[?&]$', ''),
+               '/$', '') AS url_canon,
+             host
+      FROM (
+        SELECT doc_id, raw_url,
+               regexp_replace(lower(regexp_extract(raw_url,
+                 '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,
+               regexp_extract(raw_url,
+                 '^[a-zA-Z]+://[^/?#]+(.*)$', 1) AS rest
+        FROM raw
+      )
+    )
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first dedup key of a crawl pipeline.
+    Pure JVM regexps, no shuffle at all (narrow, per-row); at 100 TB this
+    runs inside the scan stage and the canonical URL becomes the exact-
+    dedup / partitioning key."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    raw = docs.select("doc_id", _messy_url_col().alias("raw_url"))
+    host, canon = _canon_exprs(F.col("raw_url"))
+    return raw.select("doc_id", "raw_url", canon.alias("url_canon"))
+
+
+def q_url_canonicalize_sql() -> str:
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, {_messy_url_sql()} AS raw_url FROM documents
+    ),
+    {_CANON_SQL_RULES}
+    SELECT doc_id, raw_url, url_canon FROM canon
+    """
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus census over canonical hosts: doc counts and
+    token totals — the curation view that drives per-domain caps and
+    quality sampling.  One shuffle on the (low-cardinality) host key."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    raw = docs.select("doc_id", "text", _messy_url_col().alias("raw_url"))
+    host, _ = _canon_exprs(F.col("raw_url"))
+    return (
+        raw.select(host.alias("domain"),
+                   F.size(F.split("text", " ")).alias("n_toks"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_toks").cast("bigint").alias("total_tokens"))
+    )
+
+
+def q_domain_stats_sql() -> str:
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, text, {_messy_url_sql()} AS raw_url FROM documents
+    ),
+    {_CANON_SQL_RULES}
+    SELECT c.host AS domain, count(*) AS n_docs,
+           CAST(sum(length(string_split(d.text, ' '))) AS BIGINT)
+             AS total_tokens
+    FROM canon c JOIN raw d ON c.doc_id = d.doc_id
+    GROUP BY c.host
+    """
+
+
+# --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
 
