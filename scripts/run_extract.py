@@ -7,8 +7,8 @@ Cluster usage (the north_rule deployment shape):
                print(build_pyfiles_zip())"
     spark-submit --py-files dist/ocr_hardsubx_spark.zip \\
         scripts/run_extract.py \\
-        --input  s3://bucket/crawl/documents \\
-        --output s3://bucket/crawl/extracted \\
+        --input  s3a://bucket/crawl/documents \\
+        --output s3a://bucket/crawl/extracted \\
         --from-day 2025-01-01 --to-day 2025-01-07 \\
         [--salt] [--partitions 4096]
 
@@ -18,7 +18,10 @@ Sandbox smoke (local mode, same code path):
         --output /tmp/extracted --cores 8
 
 The job is resumable: re-running with the same --output processes only
-input files absent from committed manifests (plans/pipeline.py).
+input files absent from committed manifests (plans/pipeline.py).  URI
+inputs (s3a://, hdfs://, file://) are listed via the Hadoop FileSystem
+API; an --output is bound to one day-range policy (mismatched resumes
+refuse rather than skip unprocessed days).
 """
 
 from __future__ import annotations
