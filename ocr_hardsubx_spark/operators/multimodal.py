@@ -12,9 +12,12 @@ values.  Swapping codecs changes no Spark code.
 
 Operators:
   attach_media_meta   binary -> struct<format,width,height,n_bytes> metadata
-  image_features      decode (stub) -> resize (stub) -> 8x8 luminance grid
-                      + perceptual hash (real arithmetic on the fake pixels)
-  audio_frame_sample  decode (stub) -> fixed-rate frame sampling offsets
+  image_features      decode -> 8x8 block-mean luminance grid + perceptual
+                      hash (real arithmetic; real pixels for PNG)
+  audio_frame_sample  decode -> fixed-hop frame sampling offsets (real
+                      samples for WAV)
+  video_frame_sample  container probe (stub) -> evenly spaced frame
+                      indices, capped with re-spacing
 """
 
 from __future__ import annotations
@@ -34,6 +37,8 @@ MEDIA_META_SCHEMA = ("id long, format string, width int, height int, "
 IMAGE_FEATURES_SCHEMA = ("id long, phash long, grid array<float>, "
                          "width int, height int")
 AUDIO_FRAMES_SCHEMA = ("id long, n_samples long, frame_offsets array<long>")
+VIDEO_FRAMES_SCHEMA = ("id long, n_frames int, fps double, "
+                       "sampled_frames array<int>")
 
 _MAGIC = {b"\xff\xd8\xff": "jpeg", b"\x89PNG": "png", b"RIFF": "wav",
           b"GIF8": "gif"}
@@ -189,3 +194,48 @@ def audio_frame_sample(df: "DataFrame", frame_hop: int = 512,
             })
 
     return df.mapInPandas(gen, schema=AUDIO_FRAMES_SCHEMA)
+
+
+def _probe_video(payload: bytes) -> tuple[int, float]:
+    """STUB container probe -> (n_frames, fps).  A real implementation
+    reads the container header (e.g. mp4 mvhd duration/timescale); the
+    deterministic fake derives both from the payload hash so the sampling
+    arithmetic below is exercised with stable values."""
+    h = hashlib.sha256(payload).digest()
+    n_frames = 100 + int.from_bytes(h[:2], "little") % 9900
+    fps = float(24 + h[2] % 5 * 6)  # 24/30/36/42/48
+    return n_frames, fps
+
+
+def video_frame_sample(df: "DataFrame", every_seconds: float = 1.0,
+                       max_frames: int = 32, id_col: str = "id",
+                       payload_col: str = "payload") -> "DataFrame":
+    """Opaque video payloads -> evenly spaced frame indices to decode
+    (the reference consumes video frame-by-frame; a training pipeline
+    samples sparse frames instead of decoding every one).  Sampling is
+    `every_seconds` apart, capped at `max_frames` per clip with the cap
+    re-spacing (not truncating) so long clips stay covered end to end.
+    Container probe is stubbed (`_probe_video`); the Spark plumbing —
+    Arrow batching, schema, per-row list output — is real."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nf, fps_l, frames = [], [], []
+            for payload in pdf[payload_col]:
+                n_frames, fps = _probe_video(payload)
+                step = max(1, int(round(fps * every_seconds)))
+                idx = list(range(0, n_frames, step))
+                if len(idx) > max_frames:
+                    # re-space over the full duration rather than truncate
+                    idx = [(k * (n_frames - 1)) // (max_frames - 1)
+                           for k in range(max_frames)]
+                nf.append(n_frames)
+                fps_l.append(fps)
+                frames.append(idx)
+            yield pd.DataFrame({
+                "id": pdf[id_col].values,
+                "n_frames": pd.array(nf, dtype="int32"),
+                "fps": fps_l,
+                "sampled_frames": frames,
+            })
+
+    return df.mapInPandas(gen, schema=VIDEO_FRAMES_SCHEMA)

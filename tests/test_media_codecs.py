@@ -161,3 +161,24 @@ def test_spark_image_features_on_real_png(spark):
     grid = np.array(out[0]["grid"]).reshape(8, 8)
     # block means rise left to right exactly as the gradient dictates
     assert (np.diff(grid.mean(axis=0)) > 0).all()
+
+
+def test_video_frame_sample_spacing_and_cap(spark):
+    from ocr_hardsubx_spark.operators.multimodal import video_frame_sample
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b"clip" + bytes([i]))) for i in range(6)],
+        "id long, payload binary")
+    rows = video_frame_sample(df, every_seconds=1.0, max_frames=32).collect()
+    assert len(rows) == 6
+    for r in rows:
+        idx = r["sampled_frames"]
+        assert 1 <= len(idx) <= 32
+        assert idx == sorted(set(idx))              # strictly increasing
+        assert idx[0] == 0 and idx[-1] <= r["n_frames"] - 1
+        if len(idx) == 32:                          # capped -> re-spaced
+            assert idx[-1] == r["n_frames"] - 1     # still covers the end
+    # determinism
+    again = video_frame_sample(df, every_seconds=1.0, max_frames=32).collect()
+    assert [r["sampled_frames"] for r in again] == \
+        [r["sampled_frames"] for r in rows]
