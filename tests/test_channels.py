@@ -142,3 +142,22 @@ def test_regions_by_channel_census(spark):
 def test_channel_features_rejects_unknown():
     with pytest.raises(ValueError):
         channel_features(np.zeros((1, 7)), 2)
+
+
+def test_fused_batch_path_honors_channels():
+    """The Spark stage's Arrow-batch entry point produces the same
+    channel-1 recovery as the single-doc oracle path."""
+    import pandas as pd
+
+    from ocr_hardsubx_spark.operators.extract import extract_pandas_batch
+
+    nm1, nm2 = load_models()
+    pdf = pd.DataFrame({
+        "url": ["u0"], "warc_ts": [None], "lang": ["en"],
+        "html": [DIRECTORY_PAGE],
+    })
+    out0 = extract_pandas_batch(pdf, nm1, nm2, channels=(0,))
+    out01 = extract_pandas_batch(pdf, nm1, nm2, channels=(0, 1))
+    assert out0["extracted_text"][0] == ""
+    assert out01["extracted_text"][0] == \
+        extract_document(DIRECTORY_PAGE, channels=(0, 1))["extracted_text"]
