@@ -83,9 +83,15 @@ def batch_host_dedup(extracted: "DataFrame") -> "DataFrame":
     """
     from pyspark.sql import functions as F
 
+    # banded DP: sim >= T requires distance <= (1-T)*maxlen <=
+    # (1-T)*DEDUP_PREFIX_CHARS, so levenshtein's threshold form (returns
+    # -1 when the distance exceeds the band) is an EXACT-equivalent gate
+    # at ~1/7th the DP cost — O(len * band) instead of O(len^2)
+    band = int((1.0 - DEDUP_SIM_THRESHOLD) * DEDUP_PREFIX_CHARS) + 1
+    lev = f"levenshtein(x.cur, acc.prev, {band})"
     sim = (
-        "(acc.prev <> '' AND x.cur <> '' AND "
-        "(1.0 - cast(levenshtein(x.cur, acc.prev) as double)"
+        f"(acc.prev <> '' AND x.cur <> '' AND {lev} >= 0 AND "
+        f"(1.0 - cast({lev} as double)"
         f" / greatest(length(x.cur), length(acc.prev))) >= "
         f"{DEDUP_SIM_THRESHOLD})"
     )
