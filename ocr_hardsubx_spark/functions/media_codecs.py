@@ -7,8 +7,11 @@ them instead of stubbed:
 * **PNG** — chunk parse + zlib inflate + per-scanline unfiltering
   (filters 0-4 per the PNG spec: None, Sub, Up, Average, Paeth), for
   8-bit greyscale / grey+alpha / RGB / RGBA, non-interlaced.  Output is
-  a (H, W) uint8 luminance array (ITU-R BT.601 integer weights, pinned
-  as (299 R + 587 G + 114 B) // 1000 for byte determinism).
+  a (H, W) uint8 luminance array computed with the reference's exact
+  fixed-point form (``/root/reference/color.h:90-116`` RGB2Gray builds a
+  Q14 LUT from the BT.601 coefficients R2Y=4899 G2Y=9617 B2Y=1868 with
+  rounding constant 1<<13; RGB2gray sums and shifts right 14) — so the
+  cvtColor(→GRAY) analog is bit-identical, not merely same-weights.
 * **WAV** — stdlib ``wave`` for framing, numpy for PCM conversion
   (8/16/32-bit), channel-averaged to mono float32 in [-1, 1].
 
@@ -106,7 +109,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     r = px[:, :, 0].astype(np.int32)
     g = px[:, :, 1].astype(np.int32)
     b = px[:, :, 2].astype(np.int32)
-    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    # reference RGB2gray (color.h:110-116): Q14 LUT sum, >> 14; the
+    # 1<<13 rounding constant is folded into the R channel's LUT base
+    return ((4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14) \
+        .astype(np.uint8)
 
 
 def decode_wav(payload: bytes) -> np.ndarray:

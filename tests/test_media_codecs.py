@@ -68,12 +68,19 @@ def test_grey_png_filter_average_and_paeth():
                                   [[100, 56], [101, 60]])
 
 
-def test_rgb_png_bt601_luminance():
-    # one pixel each of pure R, G, B, white:
-    # lum = (299R + 587G + 114B) // 1000 -> 76, 149, 29, 255
+def test_rgb_png_reference_q14_luminance():
+    # one pixel each of pure R, G, B, white; the reference's RGB2gray
+    # Q14 form (color.h:110-116, R2Y=4899 G2Y=9617 B2Y=1868, +1<<13,
+    # >>14), hand-computed:
+    #   R: (4899*255 + 8192) >> 14 = 76
+    #   G: (9617*255 + 8192) >> 14 = 150   (floor-decimal BT.601 gives
+    #                                       149 — the Q14 rounding is
+    #                                       the observable difference)
+    #   B: (1868*255 + 8192) >> 14 = 29
+    #   W: (16384*255 + 8192) >> 14 = 255
     row = bytes([0, 255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
     png = _png(4, 1, 2, row)
-    np.testing.assert_array_equal(decode_png(png), [[76, 149, 29, 255]])
+    np.testing.assert_array_equal(decode_png(png), [[76, 150, 29, 255]])
 
 
 def test_rgba_png_ignores_alpha():
