@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": dq.q_fingerprint,
         "q_sessionize": dq.q_sessionize,
         "q_quality_score": dq.q_quality_score,
+        "q_char_whitelist": dq.q_char_whitelist,
         "q_lang_id": dq.q_lang_id,
     }
 
@@ -118,5 +119,6 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": dq.q_fingerprint_sql(),
         "q_sessionize": dq.q_sessionize_sql(),
         "q_quality_score": dq.q_quality_score_sql(),
+        "q_char_whitelist": dq.q_char_whitelist_sql(),
         "q_lang_id": dq.q_lang_id_sql(),
     }

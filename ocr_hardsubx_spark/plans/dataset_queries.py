@@ -845,6 +845,35 @@ def q_sessionize_sql() -> str:
     """
 
 
+def q_char_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recognition char-whitelist analog (reference createOCRTesseract
+    sets ``tessedit_char_whitelist`` to alphanumerics by default,
+    text_recognition.c:22-26): project text onto the whitelist — only
+    whitelisted glyphs survive, whitespace structure collapses to single
+    spaces.  Pure JVM regexps, narrow (no shuffle)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    kept = F.regexp_replace(F.col("text"), r"[^0-9A-Za-z\s]", "")
+    kept = F.trim(F.regexp_replace(kept, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        kept.alias("whitelisted_text"),
+        (F.length("text") - F.length(kept)).alias("n_dropped"),
+    )
+
+
+def q_char_whitelist_sql() -> str:
+    return r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(text, '[^0-9A-Za-z\s]', '', 'g'),
+             '\s+', ' ', 'g')) AS whitelisted_text,
+           length(text) - length(trim(regexp_replace(
+             regexp_replace(text, '[^0-9A-Za-z\s]', '', 'g'),
+             '\s+', ' ', 'g'))) AS n_dropped
+    FROM documents
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by stopword-hit voting over 4 wordlists (n-gram
     heuristic stand-in); deterministic tie order en > de > fr > es."""
