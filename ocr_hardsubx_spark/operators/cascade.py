@@ -79,12 +79,39 @@ def feature_matrix(regions: list[Region], inline_events: list[int]) -> np.ndarra
         X[i, 1] = r.link_area / max(1, r.area)
         X[i, 2] = 1.0 - r.islands
         # med_crossings is 0 for the (common) regions with no inline events
-        X[i, 3] = (med_crossings(region_crossings(r, inline_events))
+        X[i, 3] = (_med_crossings_sampled(r, inline_events)
                    if r.ev_end > r.ev_start else 0.0)
         X[i, 4] = r.skipped_chars / raw_span
         X[i, 5] = r.area / raw_span
         X[i, 6] = num_inflexions(r.child_profiles)
     return X
+
+
+def _med_crossings_sampled(r: Region, inline_events: list[int]) -> float:
+    """Exact equivalent of ``med_crossings(region_crossings(r, events))``
+    without materializing the per-line counts list: only the three
+    sampled lines (h/6, 3h/6, 5h/6 — erfilter.c:799-808) are counted.
+    When sample lines coincide (short regions) each target is counted
+    independently, matching the list formulation's repeated reads."""
+    h = r.end_line - r.start_line + 1
+    t1 = r.start_line + h // 6
+    t2 = r.start_line + 3 * h // 6
+    t3 = r.start_line + 5 * h // 6
+    c1 = c2 = c3 = 0
+    for ln in inline_events[r.ev_start:r.ev_end]:
+        if ln == t1:
+            c1 += 1
+        if ln == t2:
+            c2 += 1
+        if ln == t3:
+            c3 += 1
+    if c1 > c2:
+        c1, c2 = c2, c1
+    if c2 > c3:
+        c2, c3 = c3, c2
+    if c1 > c2:
+        c1, c2 = c2, c1
+    return float(c2)
 
 
 def invert_link_polarity(X: np.ndarray) -> np.ndarray:

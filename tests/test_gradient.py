@@ -49,3 +49,30 @@ def test_regions_table_carries_gradient_columns():
     assert 0.0 < wrap["grad_mean"] <= wrap["grad_max"]
     leaf = out[out.tag == "li"].iloc[0]
     assert (leaf["grad_max"], leaf["grad_mean"]) == (0.0, 0.0)
+
+
+def test_med_crossings_sampled_equivalence():
+    """_med_crossings_sampled == med_crossings(region_crossings(...)) for
+    randomized regions/events (exact hot-path replacement)."""
+    import random
+
+    from ocr_hardsubx_spark.operators.cascade import _med_crossings_sampled
+    from ocr_hardsubx_spark.operators.parse import (
+        Region,
+        med_crossings,
+        region_crossings,
+    )
+
+    rng = random.Random(4242)
+    for _ in range(300):
+        start_line = rng.randint(0, 5)
+        n_lines = rng.randint(1, 12)
+        n_events = rng.randint(0, 30)
+        events = sorted(rng.randint(start_line, start_line + n_lines - 1)
+                        for _ in range(n_events))
+        r = Region(0, -1, 0, "p", 0, 0, start_line, 0)
+        r.end_line = start_line + n_lines - 1
+        r.ev_start, r.ev_end = 0, len(events)
+        want = med_crossings(region_crossings(r, events))
+        got = _med_crossings_sampled(r, events)
+        assert got == want, (start_line, n_lines, events)
