@@ -14,9 +14,15 @@ them instead of stubbed:
   cvtColor(→GRAY) analog is bit-identical, not merely same-weights.
 * **WAV** — stdlib ``wave`` for framing, numpy for PCM conversion
   (8/16/32-bit), channel-averaged to mono float32 in [-1, 1].
+* **JPEG (baseline sequential DCT, ITU T.81)** — marker parse, canonical
+  huffman decode, run-length/EOB/ZRL, DC prediction with restart-marker
+  resync, dequant + de-zigzag + orthonormal IDCT.  Only the luma
+  component is inverse-transformed (the output is luminance); chroma
+  blocks are entropy-decoded to keep the bitstream in sync.  Progressive
+  (SOF2), arithmetic coding, and 12-bit raise UnsupportedMedia.
 
-Anything else (JPEG, GIF, compressed audio) falls back to Pillow when
-importable, else to the declared deterministic stub in
+Anything else (progressive JPEG, GIF, compressed audio) falls back to
+Pillow when importable, else to the declared deterministic stub in
 operators/multimodal.py.
 """
 
@@ -134,3 +140,265 @@ def decode_wav(payload: bytes) -> np.ndarray:
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     return x.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 sequential DCT), luminance-only output
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_C = None
+
+
+def _idct_matrix() -> "np.ndarray":
+    """8x8 DCT-III basis: block = C.T @ coefs @ C (orthonormal scaling)."""
+    global _IDCT_C
+    if _IDCT_C is None:
+        k = np.arange(8)
+        C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+        C *= np.sqrt(2.0 / 8.0)
+        C[0, :] *= 1.0 / np.sqrt(2.0)
+        _IDCT_C = C
+    return _IDCT_C
+
+
+class _HuffTable:
+    __slots__ = ("lookup",)
+
+    def __init__(self, counts: list[int], symbols: bytes) -> None:
+        # canonical codes: ascending length, ascending order
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                k += 1
+                code += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any non-RST marker."""
+
+    __slots__ = ("data", "pos", "bitbuf", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.bitbuf = (self.bitbuf << 8) | 0  # pad (spec: 1s ok too)
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: caller resyncs
+                else:
+                    break  # EOI / next segment
+            else:
+                self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+            if self.nbits < n:  # marker hit: pad with zeros
+                self.bitbuf <<= 8
+                self.nbits += 8
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        self.bitbuf &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: _HuffTable) -> int:
+        length = 0
+        code = 0
+        for _ in range(16):
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG stream")
+
+    def resync_restart(self) -> None:
+        """Skip to just past the next RSTn marker, dropping bit state."""
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self.pos = p + 2
+                self.bitbuf = 0
+                self.nbits = 0
+                return
+            p += 1
+        self.pos = len(d)
+        self.bitbuf = 0
+        self.nbits = 0
+
+
+def _extend(v: int, s: int) -> int:
+    """DC/AC value extension (T.81 F.2.2.1): s-bit magnitude to signed."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":
+    """Baseline sequential-DCT JPEG -> (H, W) uint8 LUMINANCE.
+
+    The Y component is fully decoded (huffman -> dequant -> de-zigzag ->
+    IDCT -> level shift); chroma blocks are entropy-decoded only to keep
+    the bitstream in sync, never inverse-transformed (we output luma).
+    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+    UnsupportedMedia."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    qt[tq] = list(seg[i:i + 64])
+                    i += 64
+                else:
+                    qt[tq] = list(struct.unpack(f">{64}H", seg[i:i + 128]))
+                    i += 128
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = list(seg[i + 1:i + 17])
+                nsym = sum(counts)
+                symbols = seg[i + 17:i + 17 + nsym]
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
+                    counts, symbols)
+                i += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise UnsupportedMedia(f"JPEG precision {precision}")
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedMedia(f"JPEG SOF{marker - 0xC0} not baseline")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c:3 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append({**comp, "dc": tables >> 4, "ac": tables & 0xF})
+            return _decode_scan(payload, pos + 2 + seglen, frame, scan,
+                                qt, huff_dc, huff_ac, restart_interval)
+        pos += 2 + seglen
+    raise ValueError("JPEG: no scan data found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart_interval):
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # luma = component with the largest sampling (first component by
+    # convention); output plane in 8x8 block units
+    luma = scan[0]
+    plane = np.zeros((mcuy * luma["v"] * 8, mcux * luma["h"] * 8),
+                     dtype=np.float64)
+    C = _idct_matrix()
+    reader = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.resync_restart()
+                for k in pred:
+                    pred[k] = 0
+            mcu_count += 1
+            for comp in scan:
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coefs = np.zeros(64, dtype=np.float64)
+                        s = reader.huff(huff_dc[comp["dc"]])
+                        diff = _extend(reader.bits(s), s)
+                        pred[comp["id"]] += diff
+                        coefs[0] = pred[comp["id"]] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(huff_ac[comp["ac"]])
+                            r, size = rs >> 4, rs & 0xF
+                            if rs == 0x00:   # EOB
+                                break
+                            if rs == 0xF0:   # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                break
+                            coefs[k] = _extend(reader.bits(size),
+                                               size) * q[k]
+                            k += 1
+                        if comp is luma:
+                            block = np.zeros((8, 8))
+                            block.flat[_ZIGZAG] = coefs
+                            px = C.T @ block @ C + 128.0
+                            y0 = (my * luma["v"] + by) * 8
+                            x0 = (mx * luma["h"] + bx) * 8
+                            plane[y0:y0 + 8, x0:x0 + 8] = px
+    return np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)

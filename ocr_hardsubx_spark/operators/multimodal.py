@@ -73,18 +73,29 @@ def _fake_image(payload: bytes) -> np.ndarray:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode to (H, W) uint8 luminance.  PNG decodes for REAL via the
-    stdlib codec (functions/media_codecs.py: zlib inflate + filter
-    reconstruction + BT.601 luminance); other formats go through Pillow
-    when importable; the deterministic fake remains the declared fallback
-    of last resort."""
-    from ..functions.media_codecs import UnsupportedMedia, decode_png
+    """Decode to (H, W) uint8 luminance.  PNG and baseline JPEG decode
+    for REAL via the stdlib codecs (functions/media_codecs.py: zlib +
+    filter reconstruction + reference Q14 grey for PNG; T.81 huffman +
+    dequant + IDCT for JPEG); unsupported subsets (progressive JPEG,
+    palette PNG, GIF) go through Pillow when importable; the
+    deterministic fake remains the declared fallback of last resort."""
+    from ..functions.media_codecs import (
+        UnsupportedMedia,
+        decode_jpeg,
+        decode_png,
+    )
 
-    if sniff_format(payload) == "png":
+    fmt = sniff_format(payload)
+    if fmt == "png":
         try:
             return decode_png(payload)
         except UnsupportedMedia:
             pass  # palette/16-bit/interlaced: fall through to Pillow/stub
+    elif fmt == "jpeg":
+        try:
+            return decode_jpeg(payload)
+        except (UnsupportedMedia, ValueError):
+            pass  # progressive/arithmetic/corrupt: Pillow or stub
     Image = _pillow()
     if Image is not None:
         import io
