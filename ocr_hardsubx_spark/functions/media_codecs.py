@@ -21,8 +21,13 @@ them instead of stubbed:
   blocks are entropy-decoded to keep the bitstream in sync.  Progressive
   (SOF2), arithmetic coding, and 12-bit raise UnsupportedMedia.
 
-Anything else (progressive JPEG, GIF, compressed audio) falls back to
-Pillow when importable, else to the declared deterministic stub in
+* **GIF (87a/89a)** — LZW decode (variable-width codes, CLEAR/END,
+  the KwKwK rule), global/local palettes, first frame, through the same
+  Q14 grey form; interlaced raises UnsupportedMedia.
+
+Every sniffable format now decodes for real; only unsupported subsets
+(progressive JPEG, interlaced GIF, palette PNG) fall back to Pillow when
+importable, else to the declared deterministic stub in
 operators/multimodal.py.
 """
 
@@ -402,3 +407,105 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                             x0 = (mx * luma["h"] + bx) * 8
                             plane[y0:y0 + 8, x0:x0 + 8] = px
     return np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW), first frame, luminance output
+# ---------------------------------------------------------------------------
+
+def decode_gif(payload: bytes) -> "np.ndarray":
+    """GIF87a/89a first frame -> (H, W) uint8 luminance (palette RGB
+    through the same reference Q14 grey form as PNG).  Non-interlaced
+    only; interlaced images raise UnsupportedMedia (Pillow fallback)."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF")
+    pos = 6
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[pos:pos + 7])
+    pos += 7
+    global_pal = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(
+            payload, np.uint8, size * 3, pos).reshape(size, 3)
+        pos += size * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                      # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:                    # image descriptor
+            _x, _y, w, h, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1:pos + 10])
+            pos += 10
+            pal = global_pal
+            if iflags & 0x80:
+                size = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    payload, np.uint8, size * 3, pos).reshape(size, 3)
+                pos += size * 3
+            if iflags & 0x40:
+                raise UnsupportedMedia("interlaced GIF")
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                n = payload[pos]
+                data += payload[pos + 1:pos + 1 + n]
+                pos += 1 + n
+            idx = _gif_lzw(bytes(data), min_code, w * h)
+            px = pal[np.asarray(idx[:w * h], dtype=np.int32)]
+            r = px[:, 0].astype(np.int32)
+            g = px[:, 1].astype(np.int32)
+            bch = px[:, 2].astype(np.int32)
+            lum = ((4899 * r + 9617 * g + 1868 * bch + (1 << 13)) >> 14)
+            return lum.astype(np.uint8).reshape(h, w)
+        elif b == 0x3B:                    # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF: no image data")
+
+
+def _gif_lzw(data: bytes, min_code: int, limit: int) -> list[int]:
+    """GIF-variant LZW: LSB-first codes, width grows min_code+1..12,
+    CLEAR resets the table, END stops."""
+    clear = 1 << min_code
+    end = clear + 1
+    out: list[int] = []
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def reset():
+        return ({i: [i] for i in range(clear)}, clear + 2, min_code + 1)
+
+    table, free, width = reset()
+    prev: list[int] | None = None
+    while bitpos + width <= total_bits and len(out) < limit:
+        byte = bitpos >> 3
+        code = int.from_bytes(data[byte:byte + 3], "little")
+        code = (code >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, free, width = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == free and prev is not None:
+            entry = prev + [prev[0]]       # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and free < 4096:
+            table[free] = prev + [entry[0]]
+            free += 1
+            if free == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out

@@ -81,21 +81,19 @@ def _decode_image(payload: bytes) -> np.ndarray:
     deterministic fake remains the declared fallback of last resort."""
     from ..functions.media_codecs import (
         UnsupportedMedia,
+        decode_gif,
         decode_jpeg,
         decode_png,
     )
 
     fmt = sniff_format(payload)
-    if fmt == "png":
+    codec = {"png": decode_png, "jpeg": decode_jpeg,
+             "gif": decode_gif}.get(fmt)
+    if codec is not None:
         try:
-            return decode_png(payload)
-        except UnsupportedMedia:
-            pass  # palette/16-bit/interlaced: fall through to Pillow/stub
-    elif fmt == "jpeg":
-        try:
-            return decode_jpeg(payload)
+            return codec(payload)
         except (UnsupportedMedia, ValueError):
-            pass  # progressive/arithmetic/corrupt: Pillow or stub
+            pass  # unsupported subset or corrupt: Pillow or stub
     Image = _pillow()
     if Image is not None:
         import io

@@ -189,3 +189,72 @@ def test_video_frame_sample_spacing_and_cap(spark):
     again = video_frame_sample(df, every_seconds=1.0, max_frames=32).collect()
     assert [r["sampled_frames"] for r in again] == \
         [r["sampled_frames"] for r in rows]
+
+
+# ---- GIF (hand-packed LZW streams, literal expectations) -----------------
+
+def _pack_codes(codes_widths):
+    """LSB-first GIF bit packing."""
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, width in codes_widths:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif(w, h, palette, lzw_data, min_code=2):
+    pal_exp = 1  # 4-entry table
+    head = (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | pal_exp, 0, 0)
+            + bytes(v for rgb in palette for v in rgb))
+    img = (b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+           + bytes([min_code]))
+    body = b""
+    data = lzw_data
+    while data:
+        chunk, data = data[:255], data[255:]
+        body += bytes([len(chunk)]) + chunk
+    return head + img + body + b"\x00" + b"\x3b"
+
+
+_PAL4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+# Q14 luminances of the palette entries: 76, 150, 29, 255
+
+
+def test_gif_four_distinct_pixels():
+    """Pixels [0,1,2,3]; CLEAR before every literal keeps codes 3-bit."""
+    from ocr_hardsubx_spark.functions.media_codecs import decode_gif
+
+    codes = [(4, 3), (0, 3), (4, 3), (1, 3), (4, 3), (2, 3),
+             (4, 3), (3, 3), (5, 3)]
+    gif = _gif(2, 2, _PAL4, _pack_codes(codes))
+    np.testing.assert_array_equal(decode_gif(gif), [[76, 150], [29, 255]])
+
+
+def test_gif_lzw_kwkwk_case():
+    """Codes [CLEAR, 0, free, free]: the code-equals-next-free (KwKwK)
+    rule, plus the width bump from 3 to 4 bits mid-stream."""
+    from ocr_hardsubx_spark.functions.media_codecs import decode_gif
+
+    codes = [(4, 3), (0, 3), (6, 3), (7, 3), (5, 4)]
+    gif = _gif(2, 2, _PAL4, _pack_codes(codes))
+    np.testing.assert_array_equal(decode_gif(gif), np.full((2, 2), 76))
+
+
+def test_gif_interlaced_rejected():
+    from ocr_hardsubx_spark.functions.media_codecs import decode_gif
+
+    head = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+            + bytes(v for rgb in _PAL4 for v in rgb))
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x40) + b"\x02"
+    with pytest.raises(UnsupportedMedia):
+        decode_gif(head + img + b"\x00\x3b")
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF00 nope")
