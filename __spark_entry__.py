@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": dq.q_sessionize,
         "q_quality_score": dq.q_quality_score,
         "q_char_whitelist": dq.q_char_whitelist,
+        "q_repetition_stats": dq.q_repetition_stats,
+        "q_vocab_df": dq.q_vocab_df,
         "q_lang_id": dq.q_lang_id,
     }
 
@@ -120,5 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sessionize": dq.q_sessionize_sql(),
         "q_quality_score": dq.q_quality_score_sql(),
         "q_char_whitelist": dq.q_char_whitelist_sql(),
+        "q_repetition_stats": dq.q_repetition_stats_sql(),
+        "q_vocab_df": dq.q_vocab_df_sql(),
         "q_lang_id": dq.q_lang_id_sql(),
     }

@@ -874,6 +874,80 @@ def q_char_whitelist_sql() -> str:
     """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher-style repetition filters a
+    pretraining pipeline applies): duplicate-token fraction and the
+    dominant token's share.  All JVM array functions, fully narrow — no
+    shuffle at all (per-row arrays)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    # dominant token share: max count of any single token, via aggregate
+    # over the distinct tokens counting occurrences
+    top_count = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda t: t == w)),
+    ))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round((n - n_distinct) / n, 4).alias("dup_token_ratio"),
+        F.round(top_count / n, 4).alias("top_token_share"),
+    )
+
+
+def q_repetition_stats_sql() -> str:
+    return """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           length(toks) AS n_tokens,
+           length(list_distinct(toks)) AS n_distinct,
+           round(CAST(length(toks) - length(list_distinct(toks)) AS DOUBLE)
+                 / length(toks), 4) AS dup_token_ratio,
+           round(CAST(list_max(list_transform(list_distinct(toks),
+                     w -> length(list_filter(toks, t -> t = w)))) AS DOUBLE)
+                 / length(toks), 4) AS top_token_share
+    FROM t
+    """
+
+
+def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary by document frequency (the vocab/IDF building
+    pass): explode DISTINCT tokens per doc -> count docs per token ->
+    top 50.  Map-side the explode emits (token, doc) once per distinct
+    pair; the shuffle carries (token, partial count) only; top-k via
+    orderBy+limit = TakeOrderedAndProject, no global sort."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    ).where(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+def q_vocab_df_sql() -> str:
+    return """
+    SELECT token, count(*) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT 50
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by stopword-hit voting over 4 wordlists (n-gram
     heuristic stand-in); deterministic tie order en > de > fr > es."""
