@@ -258,3 +258,54 @@ def test_gif_interlaced_rejected():
         decode_gif(head + img + b"\x00\x3b")
     with pytest.raises(ValueError):
         decode_gif(b"GIF00 nope")
+
+
+# ---- property round-trips (independent encoders, random payloads) --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2 ** 32 - 1))
+def test_png_roundtrip_random_grey(w, h, seed):
+    """Random grey images, alternating None/Up filter rows, decode to the
+    exact source pixels."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    lines = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        if y % 2 == 0:
+            lines += bytes([0]) + img[y].tobytes()
+        else:  # Up filter: deltas vs previous row
+            lines += bytes([2]) + ((img[y].astype(np.int32) - prev)
+                                   % 256).astype(np.uint8).tobytes()
+        prev = img[y].astype(np.int32)
+    png = _png(w, h, 0, bytes(lines))
+    np.testing.assert_array_equal(decode_png(png), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64))
+def test_wav_roundtrip_random_int16(samples):
+    s = np.array(samples, dtype="<i2")
+    got = decode_wav(_wav(s))
+    np.testing.assert_allclose(got, s.astype(np.float64) / 32768.0,
+                               atol=1e-7)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(0, 3), min_size=1, max_size=36))
+def test_gif_lzw_roundtrip_literals(pixels):
+    """Any index stream is expressible as CLEAR-prefixed literals; the
+    decoder must reproduce it exactly (then palette -> Q14 grey)."""
+    from ocr_hardsubx_spark.functions.media_codecs import _gif_lzw
+
+    codes = []
+    for p in pixels:
+        codes.append((4, 3))
+        codes.append((p, 3))
+    codes.append((5, 3))
+    got = _gif_lzw(_pack_codes(codes), 2, len(pixels))
+    assert got == pixels
