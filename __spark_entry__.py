@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": dq.q_quality_score,
         "q_char_whitelist": dq.q_char_whitelist,
         "q_repetition_stats": dq.q_repetition_stats,
+        "q_curation_funnel": dq.q_curation_funnel,
         "q_vocab_df": dq.q_vocab_df,
         "q_lang_id": dq.q_lang_id,
     }
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_score": dq.q_quality_score_sql(),
         "q_char_whitelist": dq.q_char_whitelist_sql(),
         "q_repetition_stats": dq.q_repetition_stats_sql(),
+        "q_curation_funnel": dq.q_curation_funnel_sql(),
         "q_vocab_df": dq.q_vocab_df_sql(),
         "q_lang_id": dq.q_lang_id_sql(),
     }

@@ -874,6 +874,67 @@ def q_char_whitelist_sql() -> str:
     """
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation operators COMPOSED as one funnel — the shape a real
+    pretraining pipeline runs: language gate -> quality gate -> exact
+    dedup (keep the group's min doc_id), with survivor counts per stage.
+    One aggregation over per-row flags; the dedup keeper flag is a window
+    min over the md5 group (one shuffle)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    hits = {
+        lang: F.size(F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in (("en", STOP_EN), ("de", STOP_DE),
+                         ("fr", STOP_FR), ("es", STOP_ES))
+    }
+    is_en = (
+        (hits["en"] >= F.greatest(*hits.values()))
+    )
+    quality = (F.size(toks).between(20, 10000)
+               & ((F.length("text") / F.size(toks)).between(2.0, 12.0)))
+    w = Window.partitionBy(F.md5("text"))
+    keeper = F.col("doc_id") == F.min("doc_id").over(w)
+    flags = docs.select(
+        is_en.alias("en"), (is_en & quality).alias("q"),
+        (is_en & quality & keeper).alias("kept"),
+    )
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.col("en").cast("int")).cast("bigint").alias("n_lang_en"),
+        F.sum(F.col("q").cast("int")).cast("bigint").alias("n_quality"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+    )
+
+
+def q_curation_funnel_sql() -> str:
+    def h(ws):
+        lst = ", ".join(f"'{w}'" for w in ws)
+        return (f"length(list_intersect(list_distinct(string_split(text, ' ')),"
+                f" [{lst}]))")
+
+    return f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             ({h(STOP_EN)} >= greatest({h(STOP_DE)}, {h(STOP_FR)},
+                                        {h(STOP_ES)}, {h(STOP_EN)})) AS en,
+             (length(string_split(text, ' ')) BETWEEN 20 AND 10000
+              AND CAST(length(text) AS DOUBLE)
+                  / length(string_split(text, ' '))
+                  BETWEEN 2.0 AND 12.0) AS q,
+             (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keeper
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN en THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_en,
+           CAST(sum(CASE WHEN en AND q THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(sum(CASE WHEN en AND q AND keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM f
+    """
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (the Gopher-style repetition filters a
     pretraining pipeline applies): duplicate-token fraction and the
