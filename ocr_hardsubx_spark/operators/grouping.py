@@ -118,6 +118,23 @@ def group_regions(kept: list[Region]) -> list[list[Region]]:
         g2 = kept[k].start - kept[j].end
         if not gaps_consistent(g1, g2):
             dropped.add((i, j) if g1 >= g2 else (j, k))
+    # convergent junctions: several left regions picking the SAME closest
+    # right partner also form pair-pairs sharing a region (the reference's
+    # shared-b case, erfilter.c:1666-1690, whose both-others-on-one-side
+    # triplets are invalid); edges whose gap is inconsistent with the
+    # tightest incoming edge drop, so distant text cannot chain into a
+    # tight block through a shared tail
+    incoming: dict[int, list[int]] = {}
+    for i, j in edges.items():
+        incoming.setdefault(j, []).append(i)
+    for j, srcs in incoming.items():
+        if len(srcs) < 2:
+            continue
+        gaps = sorted((kept[j].start - kept[i].end, i) for i in srcs)
+        tightest = gaps[0][0]
+        for g, i in gaps[1:]:
+            if not gaps_consistent(tightest, g):
+                dropped.add((i, j))
     for i, j in edges.items():
         if (i, j) not in dropped:
             union(i, j)

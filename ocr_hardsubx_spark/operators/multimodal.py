@@ -92,8 +92,14 @@ def _decode_image(payload: bytes) -> np.ndarray:
     if codec is not None:
         try:
             return codec(payload)
-        except (UnsupportedMedia, ValueError):
-            pass  # unsupported subset or corrupt: Pillow or stub
+        except Exception:
+            # corrupt/truncated crawl payloads surface as many exception
+            # types (zlib.error, struct.error, KeyError/IndexError from
+            # missing tables, wave/EOF errors...) — the fallback contract
+            # absorbs ALL of them so a routine bad payload never kills a
+            # task; real-path correctness is pinned by the codec test
+            # suites, so a decoder regression fails CI, not silently here
+            pass
     Image = _pillow()
     if Image is not None:
         import io
@@ -109,12 +115,16 @@ def _decode_audio(payload: bytes) -> np.ndarray:
     """Decode to mono float32 samples.  WAV decodes for REAL via the
     stdlib codec; everything else uses the declared deterministic stub
     (real clusters swap in soundfile/librosa here)."""
+    import struct as _struct
+    import wave as _wave
+
     from ..functions.media_codecs import UnsupportedMedia, decode_wav
 
     if sniff_format(payload) == "wav":
         try:
             return decode_wav(payload)
-        except (UnsupportedMedia, Exception):
+        except (UnsupportedMedia, _wave.Error, EOFError, ValueError,
+                _struct.error):
             pass  # truncated/odd-width WAV: declared stub below
     h = hashlib.sha256(payload).digest()
     n = 1000 + int.from_bytes(h[:2], "little") % 9000
@@ -123,7 +133,14 @@ def _decode_audio(payload: bytes) -> np.ndarray:
 
 
 def _resize_grid(img: np.ndarray, k: int = 8) -> np.ndarray:
-    """Block-mean resize to k x k (real arithmetic, runs on the stub)."""
+    """Block-mean resize to k x k (real arithmetic, runs on the stub).
+    Images smaller than k x k (1x1 tracking pixels are everywhere on the
+    web) are nearest-neighbor upsampled first so no block is empty."""
+    h, w = img.shape
+    if h < k:
+        img = np.repeat(img, -(-k // h), axis=0)
+    if w < k:
+        img = np.repeat(img, -(-k // w), axis=1)
     h, w = img.shape
     ys = (np.arange(k + 1) * h) // k
     xs = (np.arange(k + 1) * w) // k
@@ -226,6 +243,9 @@ def video_frame_sample(df: "DataFrame", every_seconds: float = 1.0,
     re-spacing (not truncating) so long clips stay covered end to end.
     Container probe is stubbed (`_probe_video`); the Spark plumbing —
     Arrow batching, schema, per-row list output — is real."""
+    if max_frames < 1:
+        raise ValueError("max_frames must be >= 1")
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             nf, fps_l, frames = [], [], []
@@ -234,9 +254,12 @@ def video_frame_sample(df: "DataFrame", every_seconds: float = 1.0,
                 step = max(1, int(round(fps * every_seconds)))
                 idx = list(range(0, n_frames, step))
                 if len(idx) > max_frames:
-                    # re-space over the full duration rather than truncate
-                    idx = [(k * (n_frames - 1)) // (max_frames - 1)
-                           for k in range(max_frames)]
+                    if max_frames == 1:
+                        idx = [0]
+                    else:
+                        # re-space over the full duration, don't truncate
+                        idx = [(k * (n_frames - 1)) // (max_frames - 1)
+                               for k in range(max_frames)]
                 nf.append(n_frames)
                 fps_l.append(fps)
                 frames.append(idx)

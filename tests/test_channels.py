@@ -161,3 +161,22 @@ def test_fused_batch_path_honors_channels():
     assert out0["extracted_text"][0] == ""
     assert out01["extracted_text"][0] == \
         extract_document(DIRECTORY_PAGE, channels=(0, 1))["extracted_text"]
+
+
+def test_regions_channel_golden_regenerates_identically(spark, tmp_path,
+                                                        monkeypatch):
+    """The golden-census writer reproduces the committed file exactly
+    (exercises the documented regeneration path and detects drift)."""
+    import pandas as pd
+
+    import ocr_hardsubx_spark.plans.queries as q
+
+    committed = pd.read_parquet(q.REGIONS_CHANNEL_GOLDEN)
+    fresh_path = str(tmp_path / "census.parquet")
+    monkeypatch.setattr(q, "REGIONS_CHANNEL_GOLDEN", fresh_path)
+    q.ensure_regions_channel_golden(spark)
+    fresh = pd.read_parquet(fresh_path)
+    cols = sorted(committed.columns)
+    pd.testing.assert_frame_equal(
+        committed[cols].sort_values("channel").reset_index(drop=True),
+        fresh[cols].sort_values("channel").reset_index(drop=True))

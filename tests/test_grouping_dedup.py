@@ -149,3 +149,31 @@ def test_dedup_idempotent():
     kept = dedup_consecutive(texts)
     again = dedup_consecutive([texts[i] for i in kept])
     assert again == list(range(len(kept)))
+
+
+def test_inconsistent_convergent_junction_does_not_merge():
+    """Two valid pairs sharing the same RIGHT partner (the reference's
+    shared-b case): with wildly inconsistent gaps the looser edge drops,
+    so a distant region cannot chain into a tight block through the
+    shared tail (round-2 review finding)."""
+    # a and b both pick c as closest valid partner; (a,b) fails the style
+    # gate so no a->b edge exists
+    a = _r(0, 0, 100, link_area=60)      # style 0.6
+    b = _r(1, 200, 100, link_area=30)    # style 0.3
+    c = _r(2, 302, 100, link_area=40)    # style 0.4
+    assert not is_valid_pair(a, b)       # style dist 0.3 > 0.2
+    assert is_valid_pair(a, c) and is_valid_pair(b, c)
+    from ocr_hardsubx_spark.operators.grouping import gaps_consistent
+    assert not gaps_consistent(302 - 100, 302 - 300)  # 202 vs 2
+    groups = group_regions([a, b, c])
+    assert [[m.region_id for m in g] for g in groups] == [[0], [1, 2]]
+
+
+def test_consistent_convergent_junction_merges():
+    a = _r(0, 0, 100, link_area=60)
+    b = _r(1, 150, 100, link_area=30)
+    c = _r(2, 310, 100, link_area=40)
+    assert not is_valid_pair(a, b)
+    # gaps 210 and 60: 210 <= 8 + 4*60 -> consistent, both edges kept
+    groups = group_regions([a, b, c])
+    assert len(groups) == 1

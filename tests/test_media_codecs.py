@@ -309,3 +309,49 @@ def test_gif_lzw_roundtrip_literals(pixels):
     codes.append((5, 3))
     got = _gif_lzw(_pack_codes(codes), 2, len(pixels))
     assert got == pixels
+
+
+def test_tiny_image_grid_has_no_nan():
+    """1x1 tracking-pixel PNG: the 8x8 grid upsamples, never NaN."""
+    from ocr_hardsubx_spark.operators.multimodal import (
+        _phash,
+        _resize_grid,
+    )
+
+    png = _png(1, 1, 0, bytes([0, 200]))
+    img = decode_png(png)
+    grid = _resize_grid(img)
+    assert grid.shape == (8, 8)
+    assert not np.isnan(grid).any()
+    np.testing.assert_array_equal(grid, np.full((8, 8), 200, np.float32))
+    assert isinstance(_phash(grid), int)
+
+
+def test_corrupt_payloads_fall_back_to_stub_not_crash():
+    """Truncated/garbage payloads of every sniffable format route to the
+    deterministic fake instead of killing the task (review finding: the
+    raised types are diverse — zlib.error, struct.error, KeyError...)."""
+    corrupt = [
+        PNG_SIG + b"\x00\x00\x00\x0dIHDR" + b"\x00" * 6,   # truncated PNG
+        b"\xff\xd8\xff\xdb\x00\x04\x00",                     # truncated JPEG
+        b"\xff\xd8\xff\xda\x00\x02" + b"\x12\x34",           # SOS before SOF
+        b"GIF89a\x02\x00",                                   # truncated GIF
+        b"RIFF1234WAVEfmt ",                                 # truncated WAV
+    ]
+    for payload in corrupt:
+        img = _decode_image(payload)
+        assert img.dtype == np.uint8 and img.size > 0
+        au = _decode_audio(payload)
+        assert au.dtype == np.float32 and au.size > 0
+
+
+def test_video_max_frames_one(spark):
+    from ocr_hardsubx_spark.operators.multimodal import video_frame_sample
+
+    df = spark.createDataFrame([(1, bytearray(b"clip"))],
+                               "id long, payload binary")
+    rows = video_frame_sample(df, max_frames=1).collect()
+    assert rows[0]["sampled_frames"] == [0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        video_frame_sample(df, max_frames=0)
