@@ -355,3 +355,43 @@ def test_video_max_frames_one(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         video_frame_sample(df, max_frames=0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2 ** 32 - 1), st.integers(0, 4))
+def test_decoder_fuzz_terminates(seed, kind):
+    """Random and mutated-valid payloads: decoders must terminate with a
+    normal exception (absorbed upstream by the stub fallback) or a valid
+    array — never hang.  Mutations flip bytes inside structurally valid
+    fixtures so parsing gets past the magic numbers."""
+    from ocr_hardsubx_spark.functions.media_codecs import (
+        decode_gif,
+        decode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    if kind == 0:
+        payload = bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
+    else:
+        base = {
+            1: _png(3, 3, 0, bytes([0]) + bytes(range(3))
+                    + bytes([2, 1, 1, 1, 0, 5, 5, 5])),
+            2: _wav(np.array([1, 2, 3], dtype="<i2")),
+            3: _gif(2, 2, _PAL4, _pack_codes(
+                [(4, 3), (0, 3), (4, 3), (1, 3), (5, 3)])),
+            4: None,
+        }[kind]
+        if base is None:  # mutated JPEG built from the codec test helpers
+            from tests.test_jpeg_codec import _emit_block, _jpeg
+
+            base = _jpeg(8, 8, [(1, 1, 1)], lambda w: _emit_block(w, 10))
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        payload = bytes(b)
+    for dec in (decode_png, decode_jpeg, decode_gif, decode_wav):
+        try:
+            out = dec(payload)
+            assert out is not None
+        except Exception:
+            pass  # any normal exception is fine; the router absorbs it
