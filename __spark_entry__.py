@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dup_candidates": dq.q_minhash_dup_candidates,
         "q_simhash": dq.q_simhash,
         "q_jaccard_nearby": dq.q_jaccard_nearby,
+        "q_jaccard_candidates": dq.q_jaccard_candidates,
         "q_ann_cosine_topk": dq.q_ann_cosine_topk,
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed,
         "q_embed_neardup": dq.q_embed_neardup,
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_dup_candidates": dq.q_minhash_dup_candidates_sql(),
         "q_simhash": dq.q_simhash_sql(),
         "q_jaccard_nearby": dq.q_jaccard_nearby_sql(),
+        "q_jaccard_candidates": dq.q_jaccard_candidates_sql(),
         "q_ann_cosine_topk": dq.q_ann_cosine_topk_sql(),
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed_sql(),
         "q_embed_neardup": dq.q_embed_neardup_sql(),

@@ -196,6 +196,49 @@ def q_minhash_dup_candidates_sql() -> str:
     """
 
 
+def q_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash pipeline's verification stage COMPOSED: exact token-set
+    Jaccard computed only over the LSH candidate pairs (never all-pairs),
+    keeping pairs at similarity >= 0.5.  The candidate side reuses the
+    cached signature frame; token sets join back by doc_id so the arrays
+    ride only the (small) candidate set — at 100 TB this is the standard
+    candidates-then-verify near-dup shape end to end."""
+    cand = q_minhash_dup_candidates(spark, sf_dir)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("s"))
+    inter = F.size(F.array_intersect(F.col("ta.s"), F.col("tb.s")))
+    union = F.size(F.array_union(F.col("ta.s"), F.col("tb.s")))
+    return (
+        cand.join(t.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(t.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+def q_jaccard_candidates_sql() -> str:
+    return f"""
+    WITH cand AS ({q_minhash_dup_candidates_sql()}),
+    t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM documents
+    ),
+    scored AS (
+      SELECT cand.doc_a, cand.doc_b,
+             round(CAST(length(list_intersect(ta.s, tb.s)) AS DOUBLE)
+                   / length(list_distinct(list_concat(ta.s, tb.s))), 6)
+               AS jaccard
+      FROM cand JOIN t ta ON cand.doc_a = ta.doc_id
+                JOIN t tb ON cand.doc_b = tb.doc_id
+    )
+    SELECT * FROM scored WHERE jaccard >= 0.5
+    """
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document: per-token md5 -> 16-bit
     int -> per-bit +/-1 votes summed over tokens -> sign bits reassembled.
