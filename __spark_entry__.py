@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_candidates": dq.q_jaccard_candidates,
         "q_ann_cosine_topk": dq.q_ann_cosine_topk,
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed,
+        "q_ann_bucketed_topk": dq.q_ann_bucketed_topk,
         "q_embed_neardup": dq.q_embed_neardup,
         "q_url_canonicalize": dq.q_url_canonicalize,
         "q_domain_stats": dq.q_domain_stats,
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jaccard_candidates": dq.q_jaccard_candidates_sql(),
         "q_ann_cosine_topk": dq.q_ann_cosine_topk_sql(),
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed_sql(),
+        "q_ann_bucketed_topk": dq.q_ann_bucketed_topk_sql(),
         "q_embed_neardup": dq.q_embed_neardup_sql(),
         "q_url_canonicalize": dq.q_url_canonicalize_sql(),
         "q_domain_stats": dq.q_domain_stats_sql(),

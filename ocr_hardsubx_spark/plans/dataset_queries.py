@@ -410,6 +410,7 @@ def q_ann_cosine_topk_sql() -> str:
 EMB_DIM = 64
 LSH_SEED = 7
 ANN_N_PLANES = 16     # single-table bucketer: 2^16 code space
+ANN_TOPK_PLANES = 8   # bucketed top-k search at sandbox corpus size
 ND_TABLES = 4         # near-dup: OR-amplification tables
 ND_PLANES = 6         # planes per near-dup table (sandbox scale: 500-2k
                       # vectors; at 10^12 raise to 16-20 per table and keep
@@ -488,6 +489,81 @@ def q_ann_lsh_bucketed_sql() -> str:
     SELECT CAST({code} AS INTEGER) AS bucket,
            count(*) AS n_vecs, min(vec_id) AS min_vec_id
     FROM embeddings GROUP BY 1
+    """
+
+
+def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed ANN SEARCH end to end (the census above is its
+    planning view): code every vector once, probe the query's bucket
+    plus its single-bit flips (radius-1 multiprobe, broadcast int
+    keys), exact cosine only inside the probed buckets, top-10 via
+    orderBy+limit.  Plane count is the recall/selectivity dial:
+    ANN_TOPK_PLANES=8 (9 of 256 buckets probed) suits the 500-2k-vector
+    sandbox corpus; at 10^12 vectors raise to 16-20 planes (the census
+    query's configuration) so the probe touches ~2^-12 of the space
+    instead of the brute-force full pass of q_ann_cosine_topk."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    planes = _lsh_planes(ANN_TOPK_PLANES)
+    coded = emb.select("vec_id", "embedding",
+                       _code_col(planes).alias("code"))
+    qside = coded.where(F.col("vec_id") == 0).select(
+        F.col("code").alias("qcode"), F.col("embedding").alias("qv"))
+    probes = qside.select(
+        "qv",
+        F.explode(F.array(
+            F.col("qcode"),
+            *[F.col("qcode").bitwiseXOR(F.lit(1 << i))
+              for i in range(ANN_TOPK_PLANES)],
+        )).alias("code"),
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    scored = (
+        coded.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), "code")
+        .select(
+            "vec_id",
+            F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("qv"))), 4)
+             .alias("cos_sim"),
+        )
+    )
+    top = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+    w = (Window.partitionBy(F.col("vec_id") % 1)
+         .orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def q_ann_bucketed_topk_sql() -> str:
+    code = _code_sql(_lsh_planes(ANN_TOPK_PLANES))
+    flips = ", ".join(
+        f"xor(qcode, {1 << i})" for i in range(ANN_TOPK_PLANES))
+    return f"""
+    WITH coded AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({code} AS INTEGER) AS code
+      FROM embeddings
+    ),
+    q AS (SELECT code AS qcode, v AS qv FROM coded WHERE vec_id = 0),
+    probes AS (
+      SELECT qv, unnest([qcode, {flips}]) AS code FROM q
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             round(list_dot_product(c.v, p.qv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(p.qv, p.qv))), 4) AS cos_sim
+      FROM coded c JOIN probes p ON c.code = p.code
+      WHERE c.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM scored
+    QUALIFY rank <= 10
     """
 
 
