@@ -49,6 +49,17 @@ class UnsupportedMedia(ValueError):
     """Payload is syntactically valid but outside the decoder's subset."""
 
 
+MAX_PIXELS = 64 << 20  # decode-bomb guard: 64M pixels (~256MB of float64)
+
+
+def _check_dims(width: int, height: int) -> None:
+    """Reject absurd dimensions BEFORE allocating planes — a corrupt or
+    adversarial header (e.g. a bit-flipped JPEG SOF claiming 65535x65535)
+    must raise, not allocate tens of GB (caught by the fuzz suite)."""
+    if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
+        raise UnsupportedMedia(f"implausible dimensions {width}x{height}")
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (H, W) uint8 luminance. Raises UnsupportedMedia for
     subsets not implemented (palette, 16-bit, interlaced), ValueError for
@@ -72,14 +83,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     width, height, bitdepth, colortype, comp, filt, interlace = ihdr
+    _check_dims(width, height)
     if bitdepth != 8 or colortype not in _CHANNELS or interlace != 0:
         raise UnsupportedMedia(
             f"PNG subset not implemented: depth={bitdepth} "
             f"color={colortype} interlace={interlace}")
     ch = _CHANNELS[colortype]
-    raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != height * (stride + 1):
+    expect = height * (stride + 1)
+    # bounded inflate: a zlib bomb cannot expand past the declared size
+    raw = zlib.decompressobj().decompress(bytes(idat), expect + 1)
+    if len(raw) != expect:
         raise ValueError("PNG data size mismatch")
     img = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -324,6 +338,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             if precision != 8:
                 raise UnsupportedMedia(f"JPEG precision {precision}")
             height, width = struct.unpack(">HH", seg[1:5])
+            _check_dims(width, height)
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
@@ -438,6 +453,7 @@ def decode_gif(payload: bytes) -> "np.ndarray":
         elif b == 0x2C:                    # image descriptor
             _x, _y, w, h, iflags = struct.unpack(
                 "<HHHHB", payload[pos + 1:pos + 10])
+            _check_dims(w, h)
             pos += 10
             pal = global_pal
             if iflags & 0x80:

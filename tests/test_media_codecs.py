@@ -395,3 +395,26 @@ def test_decoder_fuzz_terminates(seed, kind):
             assert out is not None
         except Exception:
             pass  # any normal exception is fine; the router absorbs it
+
+
+def test_decode_bomb_dimensions_rejected():
+    """Corrupt headers claiming absurd dimensions raise BEFORE any big
+    allocation (the fuzz suite found a mutated SOF driving a ~30GB
+    plane)."""
+    from ocr_hardsubx_spark.functions.media_codecs import (
+        decode_jpeg,
+        decode_png,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)
+    png = (PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\x00"))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(UnsupportedMedia):
+        decode_png(png)
+
+    sof = (bytes([8]) + struct.pack(">HH", 65535, 65535)
+           + bytes([1, 1, 0x11, 0]))
+    seg = bytes([0xFF, 0xC0]) + struct.pack(">H", len(sof) + 2) + sof
+    with pytest.raises(UnsupportedMedia):
+        decode_jpeg(b"\xff\xd8" + seg + b"\xff\xd9")
