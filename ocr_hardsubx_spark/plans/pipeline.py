@@ -193,12 +193,17 @@ def run_extraction_job(
         n_partitions = spark.sparkContext.defaultParallelism * 4
 
     local_inputs = all(os.path.exists(_norm_path(f)) for f in pending)
-    # size scan splits so the stage gets ~n_partitions byte-balanced tasks
+    # size scan splits so the stage gets ~n_partitions byte-balanced tasks;
+    # remote inputs get the explicit Spark default back so they never
+    # inherit a tiny split size left behind by a previous local run in the
+    # same session (review finding)
     if local_inputs:
         total_bytes = sum(os.path.getsize(_norm_path(f)) for f in pending)
         split = max(1 << 20,
                     min(128 << 20, total_bytes // max(1, n_partitions)))
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    else:
+        split = 128 << 20
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
     df = spark.read.parquet(*pending).withColumn(
         "input_file", F.input_file_name())

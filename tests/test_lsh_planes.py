@@ -84,3 +84,28 @@ def test_hot_bucket_cap_drops_flood_keeps_neardup(spark, skewed_dir):
     assert flood_pairs == []
     assert (300, 301) in pairs
     assert pairs[(300, 301)] >= 0.95
+
+
+def test_zero_norm_vector_yields_null_not_nan(spark, tmp_path):
+    """An all-zero embedding (padding / failed encode) must produce NULL
+    cosine — never NaN, which would PASS `>= 0.5` under Spark's
+    NaN-is-largest ordering while DuckDB's 0/0 -> NULL drops the row
+    (review finding on the pandas_udf swap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=DIM)
+    vectors = np.vstack([
+        np.zeros(DIM),            # vec 0: zero norm
+        np.zeros(DIM),            # vec 1: zero norm (shares vec 0's code)
+        v, v + 0.05 * rng.normal(size=DIM),  # a genuine near-dup pair
+    ])
+    d = tmp_path / "zn"
+    d.mkdir()
+    _write_embeddings(str(d / "embeddings.parquet"), vectors)
+    rows = dq.q_embed_neardup(spark, str(d)).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert (0, 1) not in pairs            # NULL dropped, not NaN-passed
+    assert (2, 3) in pairs
+    assert all(r["cos_sim"] == r["cos_sim"] for r in rows)  # no NaN
