@@ -142,6 +142,11 @@ def _warm_python_workers(spark, cores: int) -> None:
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    # same exclusion as the extraction protocol: executor Python workers
+    # are long-lived on a real cluster, so their spin-up (which the
+    # pandas_udf-backed queries would otherwise pay inside their first
+    # timed run) happens before timing starts
+    _warm_python_workers(spark, spark.sparkContext.defaultParallelism)
     qs = entrymod.queries()
     times = {}
     for name in HEADLINE_QUERIES:
