@@ -180,3 +180,26 @@ def test_regions_channel_golden_regenerates_identically(spark, tmp_path,
     pd.testing.assert_frame_equal(
         committed[cols].sort_values("channel").reset_index(drop=True),
         fresh[cols].sort_values("channel").reset_index(drop=True))
+
+
+def test_multichannel_spark_matches_refimpl_corpus():
+    """channels=(0,1) parity between the Arrow-batch stage and the
+    single-doc oracle across 60 fixture pages (the single-channel path
+    has the corpus goldens; this pins the multichannel path too)."""
+    import pandas as pd
+
+    from ocr_hardsubx_spark.operators.extract import extract_pandas_batch
+    from ocr_hardsubx_spark.sources.fixtures import build_page
+
+    pages = [build_page(i)[1] for i in range(60)]
+    nm1, nm2 = load_models()
+    pdf = pd.DataFrame({
+        "url": [f"u{i}" for i in range(60)],
+        "warc_ts": [None] * 60, "lang": ["en"] * 60,
+        "html": pages,
+    })
+    out = extract_pandas_batch(pdf, nm1, nm2, channels=(0, 1))
+    want = [extract_document(p, channels=(0, 1))["extracted_text"]
+            for p in pages]
+    got = list(out["extracted_text"])
+    assert got == want
