@@ -75,7 +75,13 @@ def _session_cached(spark: SparkSession, tag: str, sf_dir: str,
         stamp = os.path.getmtime(_t(sf_dir, source))
     except OSError:
         stamp = None
-    key = (spark.sparkContext.applicationId, tag, sf_dir)
+    app = spark.sparkContext.applicationId
+    # evict entries from other (stopped) sessions: their cached
+    # DataFrames are dead weight and unpersist against a stopped session
+    # would be a silent no-op anyway (round-2 advisory)
+    for k in [k for k in _FRAME_CACHE if k[0] != app]:
+        _FRAME_CACHE.pop(k, None)
+    key = (app, tag, sf_dir)
     hit = _FRAME_CACHE.get(key)
     if hit is not None and hit[0] == stamp:
         return hit[1]

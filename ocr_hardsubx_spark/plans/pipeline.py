@@ -203,8 +203,21 @@ def run_extraction_job(
                     min(128 << 20, total_bytes // max(1, n_partitions)))
     else:
         split = 128 << 20
+    # session-global conf: save and restore on exit so a pipeline run can
+    # never poison later non-pipeline queries in the same session with a
+    # tiny split size (round-2 verdict item 5)
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    try:
+        return _run_extraction_job_inner(
+            spark, pending, output_path, day_range, n_partitions, salt,
+            local_inputs, t0)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
+
+def _run_extraction_job_inner(spark, pending, output_path, day_range,
+                              n_partitions, salt, local_inputs, t0):
     df = spark.read.parquet(*pending).withColumn(
         "input_file", F.input_file_name())
     if day_range is not None:

@@ -34,6 +34,11 @@ OUTPUT_SCHEMA = ("host string, url string, warc_ts timestamp, "
                  "extracted_text string, kept boolean")
 STATE_SCHEMA = "prefix string"
 
+# scheme-agnostic, no trailing-slash requirement: http:// URLs and
+# pathless https URLs extract a real host instead of '' (round-2
+# advisory — '' lumped unrelated URLs into one shared dedup state)
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
+
 
 def _make_dedup_host(idle_timeout_ms: int | None):
     def _dedup_host(key, pdfs, state):
@@ -48,6 +53,14 @@ def _dedup_host_impl(key, pdfs, state, idle_timeout_ms):
     prev = state.get[0] if state.exists else None
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["warc_ts", "url"], kind="mergesort")
+    if host == "":
+        # unparseable-host rows pass through independently: no shared
+        # chain, no state — unrelated URLs must never suppress each other
+        kept = [bool((t or "")[:DEDUP_PREFIX_CHARS])
+                for t in rows["extracted_text"]]
+        out = rows.assign(host=host, kept=kept)
+        yield out[["host", "url", "warc_ts", "extracted_text", "kept"]]
+        return
     kept_flags = []
     for text in rows["extracted_text"]:
         cur = (text or "")[:DEDUP_PREFIX_CHARS]
@@ -111,18 +124,23 @@ def batch_host_dedup(extracted: "DataFrame") -> "DataFrame":
     ).out
     """
     with_host = extracted.withColumn(
-        "host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+        "host", F.regexp_extract("url", HOST_RE, 1))
     base = with_host.select(
         "host", "warc_ts", "url",
         F.expr(f"substring(coalesce(extracted_text, ''), 1, "
                f"{DEDUP_PREFIX_CHARS})").alias("cur"))
-    g = base.groupBy("host").agg(
+    # unparseable-host rows pass through independently (mirrors the
+    # stateful operator): each is kept iff non-empty, no shared chain
+    orphans = base.where(F.col("host") == "").select(
+        "host", "url", (F.col("cur") != "").alias("kept"))
+    g = base.where(F.col("host") != "").groupBy("host").agg(
         F.expr("sort_array(collect_list(struct(warc_ts, url, cur)))")
          .alias("items"))
     return (
         g.select("host", F.explode(F.expr(fold)).alias("o"))
         .select("host", F.col("o.url").alias("url"),
                 F.col("o.k").alias("kept"))
+        .unionByName(orphans)
     )
 
 
@@ -145,7 +163,7 @@ def stateful_host_dedup(extracted: "DataFrame",
         ensure_workers_can_import(spark)  # --py-files equivalent
 
     with_host = extracted.withColumn(
-        "host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+        "host", F.regexp_extract("url", HOST_RE, 1))
     return (
         with_host.select("host", "url", "warc_ts", "extracted_text")
         .groupBy("host")

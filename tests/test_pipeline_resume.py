@@ -178,3 +178,22 @@ def test_unreachable_uri_raises_not_empty(spark):
     """A bogus scheme must raise, never silently return zero files."""
     with pytest.raises(Exception):
         list_input_files("nosuchfs://bucket/prefix", spark)
+
+
+def test_max_partition_bytes_restored_after_run(spark, corpus, tmp_path):
+    """run_extraction_job sizes scan splits via a session-global conf; it
+    must restore the previous value on exit so later queries in the same
+    session never inherit a tiny local split size (round-2 verdict)."""
+    key = "spark.sql.files.maxPartitionBytes"
+    before = spark.conf.get(key)
+    run_extraction_job(spark, corpus, str(tmp_path / "out"))
+    assert spark.conf.get(key) == before
+    # and on the error path too: a bogus day_range resume raises, but
+    # that happens before the conf is touched; force the inner path by
+    # setting a sentinel and running a no-op resume
+    spark.conf.set(key, "77777777")
+    try:
+        run_extraction_job(spark, corpus, str(tmp_path / "out"))  # no-op
+        assert spark.conf.get(key) == "77777777"
+    finally:
+        spark.conf.set(key, before)

@@ -38,6 +38,15 @@ def _rows():
         ("https://hostB.example/q/0", T0, BOILER),
         ("https://hostB.example/q/1", T0 + dt.timedelta(minutes=1),
          "Host B has its own independent chain of text"),
+        # scheme-agnostic host extraction (round-2 advisory): http:// and
+        # pathless URLs carry a REAL host — distinct hosts, same boiler
+        # text, must both be kept (no shared '' state)
+        ("http://hostC.example/r/0", T0, BOILER),
+        ("https://hostD.example", T0 + dt.timedelta(minutes=1), BOILER),
+        # unparseable URLs: pass through independently, never chained
+        ("not-a-url-1", T0, BOILER),
+        ("not-a-url-2", T0 + dt.timedelta(minutes=1), BOILER),
+        ("not-a-url-3", T0 + dt.timedelta(minutes=2), ""),
     ]
     return out
 
@@ -80,6 +89,13 @@ def test_stream_equals_batch_single_batch(spark, tmp_path):
     assert want["https://hostA.example/p/10"] is False  # empty never kept
     assert want["https://hostA.example/p/11"] is True   # prev kept is article
     assert want["https://hostB.example/q/0"] is True
+    # distinct hosts never suppress each other even with identical text
+    assert want["http://hostC.example/r/0"] is True
+    assert want["https://hostD.example"] is True
+    # unparseable URLs pass through: non-empty kept, empty dropped
+    assert want["not-a-url-1"] is True
+    assert want["not-a-url-2"] is True
+    assert want["not-a-url-3"] is False
 
 
 def test_stream_equals_batch_across_micro_batches(spark, tmp_path):
