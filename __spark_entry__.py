@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_bands": dq.q_minhash_bands,
         "q_minhash_dup_candidates": dq.q_minhash_dup_candidates,
         "q_simhash": dq.q_simhash,
+        "q_simhash_candidates": dq.q_simhash_candidates,
         "q_jaccard_nearby": dq.q_jaccard_nearby,
         "q_jaccard_candidates": dq.q_jaccard_candidates,
         "q_ann_cosine_topk": dq.q_ann_cosine_topk,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_bands": dq.q_minhash_bands_sql(),
         "q_minhash_dup_candidates": dq.q_minhash_dup_candidates_sql(),
         "q_simhash": dq.q_simhash_sql(),
+        "q_simhash_candidates": dq.q_simhash_candidates_sql(),
         "q_jaccard_nearby": dq.q_jaccard_nearby_sql(),
         "q_jaccard_candidates": dq.q_jaccard_candidates_sql(),
         "q_ann_cosine_topk": dq.q_ann_cosine_topk_sql(),

@@ -261,56 +261,170 @@ def q_jaccard_candidates_sql() -> str:
     """
 
 
+# --- SimHash (64-bit fingerprint + Hamming-distance candidate pairs) ------
+#
+# 64-bit fingerprints (production SimHash width): per-token md5 split into
+# two 32-bit halves -> per-bit +/-1 votes -> sign bits.  The candidate
+# query banding-splits the fingerprint into SIMHASH_BANDS disjoint
+# SIMHASH_BAND_BITS-bit keys; by pigeonhole, any pair at Hamming distance
+# <= SIMHASH_BANDS - 1 agrees on at least one whole band, so recall for
+# hamming <= SIMHASH_HAMMING_MAX is exactly 1 (modulo the hot-bucket cap).
+# 16-bit band keys give a 2^16 bucket space per band — the shuffle key
+# cardinality that keeps the within-bucket self-join sub-quadratic at
+# 10^12 docs (same shape as the ANN code space).
+
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
+SIMHASH_HAMMING_MAX = 3      # <= SIMHASH_BANDS - 1 for guaranteed recall
+SIMHASH_MAX_BUCKET = 1000    # hot-band-bucket cap (see q_minhash cap)
+assert SIMHASH_BANDS * SIMHASH_BAND_BITS == 64
+assert SIMHASH_HAMMING_MAX <= SIMHASH_BANDS - 1
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document: per-token md5 -> 16-bit
-    int -> per-bit +/-1 votes summed over tokens -> sign bits reassembled.
-    Near-dup docs land at small Hamming distance.  All JVM expressions;
-    one shuffle (groupBy doc_id)."""
+    """64-bit SimHash fingerprint per document: per-token md5 -> two
+    32-bit halves -> per-bit +/-1 votes summed over tokens -> sign bits
+    reassembled into one signed BIGINT (bit 63 is the sign bit).  All JVM
+    expressions; one shuffle (groupBy doc_id, 64 partial-agg counters).
+    Consumed by q_simhash_candidates (banded Hamming near-dup search)."""
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).where(F.col("w") != "")
     h = tok.select(
         "doc_id",
-        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long").alias("hv"),
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
     )
     bit_sums = h.groupBy("doc_id").agg(*[
         F.sum(
-            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1))
+            F.when(
+                F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32)
+                 .bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"b{i}")
-        for i in range(16)
+        for i in range(64)
     ])
-    sim = bit_sums.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
-             * F.lit(2 ** i))
-            for i in range(16)
-        ).cast("long").alias("simhash16"),
+    low = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+         * F.lit(2 ** i))
+        for i in range(63)
     )
-    return sim
+    sign = F.when(F.col("b63") > 0,
+                  F.lit(-(2 ** 63))).otherwise(F.lit(0))
+    return bit_sums.select(
+        "doc_id", (low + sign).cast("long").alias("simhash64"))
 
 
 def q_simhash_sql() -> str:
+    def src(i: int) -> str:
+        return ("lo" if i < 32 else "hi"), 2 ** (i % 32)
+
     bit_sum = ", ".join(
-        "sum(CASE WHEN (hv // {p}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
-        .format(p=2 ** i, i=i) for i in range(16)
+        "sum(CASE WHEN ({c} // {p}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        .format(c=src(i)[0], p=src(i)[1], i=i) for i in range(64)
     )
     reassemble = " + ".join(
-        f"(CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16)
+        f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(63)
     )
+    sign = ("(CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) "
+            "ELSE 0 END)")
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
     h AS (
       SELECT doc_id,
-             CAST(('0x' || substring(md5(w), 1, 4))::BIGINT AS BIGINT) AS hv
+             ('0x' || substring(md5(w), 1, 8))::BIGINT AS hi,
+             ('0x' || substring(md5(w), 9, 8))::BIGINT AS lo
       FROM tok WHERE w <> ''
     ),
     bits AS (SELECT doc_id, {bit_sum} FROM h GROUP BY doc_id)
-    SELECT doc_id, CAST({reassemble} AS BIGINT) AS simhash16 FROM bits
+    SELECT doc_id, CAST({reassemble} + {sign} AS BIGINT) AS simhash64
+    FROM bits
+    """
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (the fingerprint COMPOSED into a
+    dedup search, mirroring q_minhash_dup_candidates): band the 64-bit
+    fingerprint into SIMHASH_BANDS disjoint 16-bit keys, bucket-join on
+    (band, key), then verify exact Hamming distance (bit_count of xor)
+    and keep pairs at hamming <= SIMHASH_HAMMING_MAX.
+
+    Scale shape: the signature frame is session-cached; band keys are a
+    2^16 space each; buckets with > SIMHASH_MAX_BUCKET members drop
+    before pairing (hot buckets are exact-dup floods, q_dedup_exact's
+    territory); the equi-join carries (doc_id, simhash64) only — 16
+    bytes/row — and the exact verify is one xor+popcount per candidate,
+    never a token-set join.  Recall for hamming <= 3 is exactly 1 by
+    pigeonhole (4 bands, <= 3 differing bits leave >= 1 band identical).
+    """
+    sig = _session_cached(spark, "simhash_sig", sf_dir, "documents",
+                          lambda: q_simhash(spark, sf_dir))
+    bands = sig.select(
+        "doc_id", "simhash64",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash64", SIMHASH_BAND_BITS * b)
+                 .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                 .alias("key"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ])).alias("bk"),
+    ).select("doc_id", "simhash64",
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ok = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members").between(2, SIMHASH_MAX_BUCKET))
+        .select("band", "key")
+    )
+    capped = bands.join(ok, ["band", "key"])
+    a = capped.alias("a")
+    b = capped.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))).cast("int")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
+    )
+
+
+def q_simhash_candidates_sql() -> str:
+    shifts = ", ".join(
+        f"({b}, {SIMHASH_BAND_BITS * b})" for b in range(SIMHASH_BANDS))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+    WITH sig AS ({q_simhash_sql()}),
+    bands AS (
+      SELECT doc_id, simhash64, bs.band AS band,
+             (simhash64 >> bs.shift) & {mask} AS key
+      FROM sig, (VALUES {shifts}) bs(band, shift)
+    ),
+    ok AS (
+      SELECT band, key FROM bands GROUP BY band, key
+      HAVING count(*) BETWEEN 2 AND {SIMHASH_MAX_BUCKET}
+    ),
+    capped AS (
+      SELECT bands.* FROM bands JOIN ok
+        ON bands.band = ok.band AND bands.key = ok.key
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER)
+             AS hamming
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash64, b.simhash64))
+            <= {SIMHASH_HAMMING_MAX}
     """
 
 
