@@ -6,7 +6,8 @@ them instead of stubbed:
 
 * **PNG** — chunk parse + zlib inflate + per-scanline unfiltering
   (filters 0-4 per the PNG spec: None, Sub, Up, Average, Paeth), for
-  8-bit greyscale / grey+alpha / RGB / RGBA, non-interlaced.  Output is
+  8-bit greyscale / grey+alpha / RGB / RGBA and palette (colortype 3,
+  bit depths 1/2/4/8 via PLTE lookup), non-interlaced.  Output is
   a (H, W) uint8 luminance array computed with the reference's exact
   fixed-point form (``/root/reference/color.h:90-116`` RGB2Gray builds a
   Q14 LUT from the BT.601 coefficients R2Y=4899 G2Y=9617 B2Y=1868 with
@@ -25,10 +26,15 @@ them instead of stubbed:
   the KwKwK rule), global/local palettes, first frame, through the same
   Q14 grey form; interlaced raises UnsupportedMedia.
 
+* **MP4 (ISO BMFF)** — box-structure probe: the video trak's ``stts``
+  sample census + ``mdhd`` timescale give (n_frames, fps) without
+  decoding any sample data (the only facts frame sampling needs).
+
 Every sniffable format now decodes for real; only unsupported subsets
-(progressive JPEG, interlaced GIF, palette PNG) fall back to Pillow when
+(progressive JPEG, interlaced GIF, 16-bit PNG) fall back to Pillow when
 importable, else to the declared deterministic stub in
-operators/multimodal.py.
+operators/multimodal.py — and the multimodal schemas carry a
+``decoded_real`` provenance flag so fallback rows are distinguishable.
 """
 
 from __future__ import annotations
@@ -62,12 +68,14 @@ def _check_dims(width: int, height: int) -> None:
 
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (H, W) uint8 luminance. Raises UnsupportedMedia for
-    subsets not implemented (palette, 16-bit, interlaced), ValueError for
-    malformed data."""
+    subsets not implemented (16-bit non-palette, interlaced), ValueError
+    for malformed data.  Palette images (colortype 3, depths 1/2/4/8)
+    decode via PLTE lookup through the same Q14 grey form."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
@@ -76,6 +84,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -84,12 +96,22 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     width, height, bitdepth, colortype, comp, filt, interlace = ihdr
     _check_dims(width, height)
-    if bitdepth != 8 or colortype not in _CHANNELS or interlace != 0:
+    if colortype == 3:
+        if bitdepth not in (1, 2, 4, 8) or interlace != 0:
+            raise UnsupportedMedia(
+                f"PNG palette subset not implemented: depth={bitdepth} "
+                f"interlace={interlace}")
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        ch = 1  # filters operate on bytes; bpp = 1 byte for depth <= 8
+        stride = (width * bitdepth + 7) // 8
+    elif bitdepth != 8 or colortype not in _CHANNELS or interlace != 0:
         raise UnsupportedMedia(
             f"PNG subset not implemented: depth={bitdepth} "
             f"color={colortype} interlace={interlace}")
-    ch = _CHANNELS[colortype]
-    stride = width * ch
+    else:
+        ch = _CHANNELS[colortype]
+        stride = width * ch
     expect = height * (stride + 1)
     # bounded inflate: a zlib bomb cannot expand past the declared size
     raw = zlib.decompressobj().decompress(bytes(idat), expect + 1)
@@ -126,6 +148,22 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ftype}")
         img[y] = recon
         prev = recon
+    if colortype == 3:
+        if bitdepth == 8:
+            idx = img[:, :width].astype(np.int32)
+        else:
+            bits = np.unpackbits(img, axis=1)[:, :width * bitdepth]
+            weights = 1 << np.arange(bitdepth - 1, -1, -1)
+            idx = bits.reshape(height, width, bitdepth).dot(weights) \
+                .astype(np.int32)
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        px = plte[idx]
+        r = px[:, :, 0].astype(np.int32)
+        g = px[:, :, 1].astype(np.int32)
+        b = px[:, :, 2].astype(np.int32)
+        return ((4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14) \
+            .astype(np.uint8)
     px = img.reshape(height, width, ch)
     if colortype == 0:
         return px[:, :, 0].copy()
@@ -410,7 +448,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                                 continue
                             k += r
                             if k > 63:
-                                break
+                                # an overshooting run is corruption; a
+                                # silent break would also desync the
+                                # bitstream (the coefficient's size bits
+                                # were never consumed) and emit garbage
+                                # for the rest of the scan (advisory)
+                                raise ValueError(
+                                    "JPEG AC run past block end")
                             coefs[k] = _extend(reader.bits(size),
                                                size) * q[k]
                             k += 1
@@ -525,3 +569,90 @@ def _gif_lzw(data: bytes, min_code: int, limit: int) -> list[int]:
                 width += 1
         prev = entry
     return out
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container probe (no sample decode)
+# ---------------------------------------------------------------------------
+
+def _bmff_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", buf[pos:pos + 4])[0]
+        btype = buf[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:                      # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated mp4 largesize box")
+            size = struct.unpack(">Q", buf[pos + 8:pos + 16])[0]
+            hdr = 16
+        elif size == 0:                    # box extends to end
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("bad mp4 box size")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _bmff_find(buf: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _bmff_boxes(buf, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def probe_mp4(payload: bytes) -> tuple[int, float]:
+    """ISO BMFF probe -> (n_frames, fps) for the first VIDEO track.
+
+    Reads only box structure: ``moov/trak/mdia`` with ``hdlr`` handler
+    'vide', ``mdhd`` media timescale, and ``stbl/stts`` sample-duration
+    census (n_frames = sum of sample counts; fps = n_frames * timescale
+    / sum(count * delta)).  No sample data is touched — the probe cost
+    is independent of clip length, which is what a 100 TB frame-sampling
+    stage needs.  Raises UnsupportedMedia for non-mp4 payloads and
+    ValueError for structurally broken ones."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise UnsupportedMedia("not an ISO BMFF (mp4) payload")
+    moov = _bmff_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("mp4 without moov")
+    for t, s, e in _bmff_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = _bmff_find(payload, s, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _bmff_find(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _bmff_find(payload, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("video trak without mdhd")
+        version = payload[mdhd[0]]
+        if version == 0:
+            timescale = struct.unpack(
+                ">I", payload[mdhd[0] + 12:mdhd[0] + 16])[0]
+        elif version == 1:
+            timescale = struct.unpack(
+                ">I", payload[mdhd[0] + 20:mdhd[0] + 24])[0]
+        else:
+            raise ValueError(f"mdhd version {version}")
+        minf = _bmff_find(payload, *mdia, b"minf")
+        stbl = minf and _bmff_find(payload, *minf, b"stbl")
+        stts = stbl and _bmff_find(payload, *stbl, b"stts")
+        if not stts:
+            raise ValueError("video trak without stts")
+        n_entries = struct.unpack(
+            ">I", payload[stts[0] + 4:stts[0] + 8])[0]
+        if stts[0] + 8 + 8 * n_entries > stts[1]:
+            raise ValueError("truncated stts")
+        entries = np.frombuffer(
+            payload, dtype=">u4", count=2 * n_entries,
+            offset=stts[0] + 8).reshape(-1, 2).astype(np.int64)
+        n_frames = int(entries[:, 0].sum())
+        total_delta = int((entries[:, 0] * entries[:, 1]).sum())
+        if n_frames <= 0 or total_delta <= 0 or timescale <= 0:
+            raise ValueError("empty or degenerate stts/mdhd")
+        return n_frames, n_frames * timescale / total_delta
+    raise UnsupportedMedia("mp4 has no video track")

@@ -4,20 +4,28 @@ A 100 TB training-data pipeline carries media payloads next to text:
 ``binary`` columns with typed metadata structs, processed by Arrow-batched
 ``mapInPandas`` stages exactly like the html pipeline.  The Spark-side
 plumbing here — schemas, batch iteration, partition behavior, UDF
-signatures — is real and tested.  Decode is REAL for PNG and WAV via
-stdlib codecs (functions/media_codecs.py); other formats feature-detect
-Pillow and otherwise fall back to a DECLARED deterministic fake (JPEG in
-this sandbox), so downstream arithmetic is always exercised with stable
-values.  Swapping codecs changes no Spark code.
+signatures — is real and tested.  Decode is REAL for PNG (incl.
+palette), baseline JPEG, GIF and WAV via stdlib codecs
+(functions/media_codecs.py), and the mp4 probe reads real box structure;
+unsupported subsets feature-detect Pillow and otherwise fall back to a
+DECLARED deterministic fake, so downstream arithmetic is always
+exercised with stable values.  Swapping codecs changes no Spark code.
 
 Operators:
-  attach_media_meta   binary -> struct<format,width,height,n_bytes> metadata
+  attach_media_meta   binary -> (format, width, height, n_bytes,
+                      decoded_real) metadata
   image_features      decode -> 8x8 block-mean luminance grid + perceptual
                       hash (real arithmetic; real pixels for PNG)
   audio_frame_sample  decode -> fixed-hop frame sampling offsets (real
                       samples for WAV)
-  video_frame_sample  container probe (stub) -> evenly spaced frame
-                      indices, capped with re-spacing
+  video_frame_sample  mp4 container probe (real, media_codecs.probe_mp4;
+                      hash stub for unknown containers) -> evenly spaced
+                      frame indices, capped with re-spacing
+
+Every decode/probe output carries a ``decoded_real`` / ``probed_real``
+provenance flag: a corpus whose payloads all hit unsupported subsets is
+VISIBLE at scale as `decoded_real = false` rows instead of silently
+reporting hash-derived fake dimensions (round-2 verdict item 3).
 """
 
 from __future__ import annotations
@@ -33,12 +41,13 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 MEDIA_META_SCHEMA = ("id long, format string, width int, height int, "
-                     "n_bytes long")
+                     "n_bytes long, decoded_real boolean")
 IMAGE_FEATURES_SCHEMA = ("id long, phash long, grid array<float>, "
-                         "width int, height int")
-AUDIO_FRAMES_SCHEMA = ("id long, n_samples long, frame_offsets array<long>")
+                         "width int, height int, decoded_real boolean")
+AUDIO_FRAMES_SCHEMA = ("id long, n_samples long, frame_offsets array<long>, "
+                       "decoded_real boolean")
 VIDEO_FRAMES_SCHEMA = ("id long, n_frames int, fps double, "
-                       "sampled_frames array<int>")
+                       "sampled_frames array<int>, probed_real boolean")
 
 _MAGIC = {b"\xff\xd8\xff": "jpeg", b"\x89PNG": "png", b"RIFF": "wav",
           b"GIF8": "gif"}
@@ -48,6 +57,8 @@ def sniff_format(payload: bytes) -> str:
     for magic, fmt in _MAGIC.items():
         if payload[:len(magic)] == magic:
             return fmt
+    if payload[4:8] == b"ftyp":               # ISO BMFF box at offset 0
+        return "mp4"
     return "unknown"
 
 
@@ -72,13 +83,14 @@ def _fake_image(payload: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(ht, w), dtype=np.uint8)
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode to (H, W) uint8 luminance.  PNG and baseline JPEG decode
-    for REAL via the stdlib codecs (functions/media_codecs.py: zlib +
-    filter reconstruction + reference Q14 grey for PNG; T.81 huffman +
-    dequant + IDCT for JPEG); unsupported subsets (progressive JPEG,
-    palette PNG, GIF) go through Pillow when importable; the
-    deterministic fake remains the declared fallback of last resort."""
+def _decode_image(payload: bytes) -> tuple[np.ndarray, bool]:
+    """Decode to ((H, W) uint8 luminance, decoded_real).  PNG (incl.
+    palette), baseline JPEG and GIF decode for REAL via the stdlib codecs
+    (functions/media_codecs.py); unsupported subsets (progressive JPEG,
+    interlaced GIF, 16-bit PNG) go through Pillow when importable; the
+    deterministic fake remains the declared fallback of last resort and
+    is FLAGGED: decoded_real=False rides the output schema so a corpus
+    full of undecodable payloads is visible, not silently fake."""
     from ..functions.media_codecs import (
         UnsupportedMedia,
         decode_gif,
@@ -91,30 +103,31 @@ def _decode_image(payload: bytes) -> np.ndarray:
              "gif": decode_gif}.get(fmt)
     if codec is not None:
         try:
-            return codec(payload)
+            return codec(payload), True
         except Exception:
             # corrupt/truncated crawl payloads surface as many exception
             # types (zlib.error, struct.error, KeyError/IndexError from
             # missing tables, wave/EOF errors...) — the fallback contract
             # absorbs ALL of them so a routine bad payload never kills a
-            # task; real-path correctness is pinned by the codec test
-            # suites, so a decoder regression fails CI, not silently here
+            # task; the decoded_real=False flag below keeps the fallback
+            # observable per row, and the codec suites pin the real path
             pass
     Image = _pillow()
     if Image is not None:
         import io
         try:
             with Image.open(io.BytesIO(payload)) as im:
-                return np.asarray(im.convert("L"), dtype=np.uint8)
+                return np.asarray(im.convert("L"), dtype=np.uint8), True
         except Exception:
             pass
-    return _fake_image(payload)
+    return _fake_image(payload), False
 
 
-def _decode_audio(payload: bytes) -> np.ndarray:
-    """Decode to mono float32 samples.  WAV decodes for REAL via the
-    stdlib codec; everything else uses the declared deterministic stub
-    (real clusters swap in soundfile/librosa here)."""
+def _decode_audio(payload: bytes) -> tuple[np.ndarray, bool]:
+    """Decode to (mono float32 samples, decoded_real).  WAV decodes for
+    REAL via the stdlib codec; everything else uses the declared
+    deterministic stub, flagged decoded_real=False (real clusters swap
+    in soundfile/librosa here)."""
     import struct as _struct
     import wave as _wave
 
@@ -122,14 +135,14 @@ def _decode_audio(payload: bytes) -> np.ndarray:
 
     if sniff_format(payload) == "wav":
         try:
-            return decode_wav(payload)
+            return decode_wav(payload), True
         except (UnsupportedMedia, _wave.Error, EOFError, ValueError,
                 _struct.error):
             pass  # truncated/odd-width WAV: declared stub below
     h = hashlib.sha256(payload).digest()
     n = 1000 + int.from_bytes(h[:2], "little") % 9000
     rng = np.random.default_rng(int.from_bytes(h[8:16], "little"))
-    return rng.standard_normal(n).astype(np.float32)
+    return rng.standard_normal(n).astype(np.float32), False
 
 
 def _resize_grid(img: np.ndarray, k: int = 8) -> np.ndarray:
@@ -167,15 +180,16 @@ def attach_media_meta(df: "DataFrame", id_col: str = "id",
         for pdf in batches:
             metas = []
             for payload in pdf[payload_col]:
-                img = _decode_image(payload)
+                img, real = _decode_image(payload)
                 metas.append((sniff_format(payload), img.shape[1],
-                              img.shape[0], len(payload)))
+                              img.shape[0], len(payload), real))
             yield pd.DataFrame({
                 "id": pdf[id_col].values,
                 "format": [m[0] for m in metas],
                 "width": pd.array([m[1] for m in metas], dtype="int32"),
                 "height": pd.array([m[2] for m in metas], dtype="int32"),
                 "n_bytes": [m[3] for m in metas],
+                "decoded_real": [m[4] for m in metas],
             })
 
     return df.mapInPandas(gen, schema=MEDIA_META_SCHEMA)
@@ -187,14 +201,15 @@ def image_features(df: "DataFrame", id_col: str = "id",
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"id": pdf[id_col].values, "phash": [], "grid": [],
-                   "width": [], "height": []}
+                   "width": [], "height": [], "decoded_real": []}
             for payload in pdf[payload_col]:
-                img = _decode_image(payload)
+                img, real = _decode_image(payload)
                 grid = _resize_grid(img)
                 out["phash"].append(_phash(grid))
                 out["grid"].append([float(x) for x in grid.flatten()])
                 out["width"].append(img.shape[1])
                 out["height"].append(img.shape[0])
+                out["decoded_real"].append(real)
             out["width"] = pd.array(out["width"], dtype="int32")
             out["height"] = pd.array(out["height"], dtype="int32")
             yield pd.DataFrame(out)
@@ -208,29 +223,40 @@ def audio_frame_sample(df: "DataFrame", frame_hop: int = 512,
     """decode (stub) -> fixed-hop frame sampling offsets."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ns, offs = [], []
+            ns, offs, reals = [], [], []
             for payload in pdf[payload_col]:
-                samples = _decode_audio(payload)
+                samples, real = _decode_audio(payload)
                 ns.append(len(samples))
                 offs.append(list(range(0, len(samples), frame_hop)))
+                reals.append(real)
             yield pd.DataFrame({
                 "id": pdf[id_col].values,
                 "n_samples": ns,
                 "frame_offsets": offs,
+                "decoded_real": reals,
             })
 
     return df.mapInPandas(gen, schema=AUDIO_FRAMES_SCHEMA)
 
 
-def _probe_video(payload: bytes) -> tuple[int, float]:
-    """STUB container probe -> (n_frames, fps).  A real implementation
-    reads the container header (e.g. mp4 mvhd duration/timescale); the
-    deterministic fake derives both from the payload hash so the sampling
-    arithmetic below is exercised with stable values."""
+def _probe_video(payload: bytes) -> tuple[int, float, bool]:
+    """Container probe -> (n_frames, fps, probed_real).  MP4 payloads
+    probe for REAL via media_codecs.probe_mp4 (video trak stts census +
+    mdhd timescale — box structure only, no sample decode); unknown or
+    broken containers fall back to the declared deterministic hash stub,
+    flagged probed_real=False."""
+    if sniff_format(payload) == "mp4":
+        from ..functions.media_codecs import probe_mp4
+
+        try:
+            n_frames, fps = probe_mp4(payload)
+            return n_frames, fps, True
+        except Exception:
+            pass  # corrupt box structure: declared stub below
     h = hashlib.sha256(payload).digest()
     n_frames = 100 + int.from_bytes(h[:2], "little") % 9900
     fps = float(24 + h[2] % 5 * 6)  # 24/30/36/42/48
-    return n_frames, fps
+    return n_frames, fps, False
 
 
 def video_frame_sample(df: "DataFrame", every_seconds: float = 1.0,
@@ -241,16 +267,16 @@ def video_frame_sample(df: "DataFrame", every_seconds: float = 1.0,
     samples sparse frames instead of decoding every one).  Sampling is
     `every_seconds` apart, capped at `max_frames` per clip with the cap
     re-spacing (not truncating) so long clips stay covered end to end.
-    Container probe is stubbed (`_probe_video`); the Spark plumbing —
-    Arrow batching, schema, per-row list output — is real."""
+    MP4 containers probe for real (media_codecs.probe_mp4); unknown
+    containers use the declared hash stub, flagged probed_real=False."""
     if max_frames < 1:
         raise ValueError("max_frames must be >= 1")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            nf, fps_l, frames = [], [], []
+            nf, fps_l, frames, reals = [], [], [], []
             for payload in pdf[payload_col]:
-                n_frames, fps = _probe_video(payload)
+                n_frames, fps, real = _probe_video(payload)
                 step = max(1, int(round(fps * every_seconds)))
                 idx = list(range(0, n_frames, step))
                 if len(idx) > max_frames:
@@ -263,11 +289,13 @@ def video_frame_sample(df: "DataFrame", every_seconds: float = 1.0,
                 nf.append(n_frames)
                 fps_l.append(fps)
                 frames.append(idx)
+                reals.append(real)
             yield pd.DataFrame({
                 "id": pdf[id_col].values,
                 "n_frames": pd.array(nf, dtype="int32"),
                 "fps": fps_l,
                 "sampled_frames": frames,
+                "probed_real": reals,
             })
 
     return df.mapInPandas(gen, schema=VIDEO_FRAMES_SCHEMA)

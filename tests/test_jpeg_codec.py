@@ -217,5 +217,6 @@ def test_operator_routes_real_jpeg():
     from ocr_hardsubx_spark.operators.multimodal import _decode_image
 
     jpg = _jpeg(8, 8, [(1, 1, 1)], lambda w: _emit_block(w, 10))
-    np.testing.assert_array_equal(_decode_image(jpg),
-                                  np.full((8, 8), 138, np.uint8))
+    img, real = _decode_image(jpg)
+    np.testing.assert_array_equal(img, np.full((8, 8), 138, np.uint8))
+    assert real is True

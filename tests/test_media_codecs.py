@@ -131,22 +131,27 @@ def test_wav_uint8():
 
 
 def test_operator_routing_real_vs_stub():
-    """_decode_image uses the real codec for PNG (exact pixels) and the
-    declared deterministic fake for JPEG (no codec in sandbox);
-    _decode_audio likewise for WAV."""
+    """_decode_image uses the real codec for PNG (exact pixels,
+    decoded_real=True) and the declared deterministic fake for a corrupt
+    JPEG (decoded_real=False); _decode_audio likewise for WAV."""
     png = _png(2, 1, 0, bytes([0, 11, 22]))
     assert sniff_format(png) == "png"
-    np.testing.assert_array_equal(_decode_image(png), [[11, 22]])
+    img, real = _decode_image(png)
+    np.testing.assert_array_equal(img, [[11, 22]])
+    assert real is True
 
-    jpeg = b"\xff\xd8\xff" + b"\x00" * 64
+    jpeg = b"\xff\xd8\xff" + b"\x00" * 64  # sniffs jpeg, decode fails
     assert sniff_format(jpeg) == "jpeg"
-    fake = _decode_image(jpeg)
-    np.testing.assert_array_equal(fake, _decode_image(jpeg))  # deterministic
+    fake, real = _decode_image(jpeg)
+    assert real is False
+    np.testing.assert_array_equal(fake, _decode_image(jpeg)[0])  # stable
 
     s = np.array([0, 8192], dtype="<i2")
     wav = _wav(s)
     assert sniff_format(wav) == "wav"
-    np.testing.assert_allclose(_decode_audio(wav), [0.0, 0.25], atol=1e-6)
+    au, real = _decode_audio(wav)
+    np.testing.assert_allclose(au, [0.0, 0.25], atol=1e-6)
+    assert real is True
 
 
 def test_spark_image_features_on_real_png(spark):
@@ -339,10 +344,12 @@ def test_corrupt_payloads_fall_back_to_stub_not_crash():
         b"RIFF1234WAVEfmt ",                                 # truncated WAV
     ]
     for payload in corrupt:
-        img = _decode_image(payload)
+        img, real_i = _decode_image(payload)
         assert img.dtype == np.uint8 and img.size > 0
-        au = _decode_audio(payload)
+        assert real_i is False  # fallback rows are FLAGGED, never silent
+        au, real_a = _decode_audio(payload)
         assert au.dtype == np.float32 and au.size > 0
+        assert real_a is False
 
 
 def test_video_max_frames_one(spark):
@@ -358,7 +365,7 @@ def test_video_max_frames_one(spark):
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.integers(0, 2 ** 32 - 1), st.integers(0, 4))
+@given(st.integers(0, 2 ** 32 - 1), st.integers(0, 6))
 def test_decoder_fuzz_terminates(seed, kind):
     """Random and mutated-valid payloads: decoders must terminate with a
     normal exception (absorbed upstream by the stub fallback) or a valid
@@ -380,6 +387,9 @@ def test_decoder_fuzz_terminates(seed, kind):
             3: _gif(2, 2, _PAL4, _pack_codes(
                 [(4, 3), (0, 3), (4, 3), (1, 3), (5, 3)])),
             4: None,
+            5: _palette_png(3, 2, 4, [(i, i, i) for i in range(16)],
+                            bytes([0, 0x12, 0x30, 2, 0x11, 0x10])),
+            6: _mp4([(b"vide", 12800, [(240, 512)])]),
         }[kind]
         if base is None:  # mutated JPEG built from the codec test helpers
             from tests.test_jpeg_codec import _emit_block, _jpeg
@@ -389,7 +399,10 @@ def test_decoder_fuzz_terminates(seed, kind):
         for _ in range(rng.integers(1, 6)):
             b[rng.integers(0, len(b))] = rng.integers(0, 256)
         payload = bytes(b)
-    for dec in (decode_png, decode_jpeg, decode_gif, decode_wav):
+    from ocr_hardsubx_spark.functions.media_codecs import probe_mp4
+
+    for dec in (decode_png, decode_jpeg, decode_gif, decode_wav,
+                probe_mp4):
         try:
             out = dec(payload)
             assert out is not None
@@ -418,3 +431,206 @@ def test_decode_bomb_dimensions_rejected():
     seg = bytes([0xFF, 0xC0]) + struct.pack(">H", len(sof) + 2) + sof
     with pytest.raises(UnsupportedMedia):
         decode_jpeg(b"\xff\xd8" + seg + b"\xff\xd9")
+
+
+# ---- palette PNG (colortype 3, round-3 verdict item) ----------------------
+
+def _palette_png(width, height, bitdepth, palette, scanlines: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, bitdepth, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    return (PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+            + _chunk(b"IDAT", zlib.compress(scanlines))
+            + _chunk(b"IEND", b""))
+
+
+def _q14_grey(r, g, b):
+    return (4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14
+
+
+def test_palette_png_8bit_hand_computed():
+    """2x2 palette PNG: indices map through PLTE and the reference Q14
+    grey form, hand-computed."""
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    png = _palette_png(2, 2, 8, pal, bytes([0, 0, 1, 0, 2, 3]))
+    want = [[_q14_grey(*pal[0]), _q14_grey(*pal[1])],
+            [_q14_grey(*pal[2]), _q14_grey(*pal[3])]]
+    np.testing.assert_array_equal(decode_png(png), want)
+
+
+def test_palette_png_4bit_packed_indices():
+    """4-bit palette: two pixels per byte, MSB-first; width 3 leaves the
+    last nibble as padding."""
+    pal = [(i * 16, i * 16, i * 16) for i in range(16)]
+    # row: indices 1, 2, 3 -> bytes 0x12, 0x30
+    png = _palette_png(3, 1, 4, pal, bytes([0, 0x12, 0x30]))
+    want = [[_q14_grey(16, 16, 16), _q14_grey(32, 32, 32),
+             _q14_grey(48, 48, 48)]]
+    np.testing.assert_array_equal(decode_png(png), want)
+
+
+def test_palette_png_1bit_and_filtered():
+    """1-bit palette with an Up-filtered row (filters operate on the
+    packed index bytes)."""
+    pal = [(0, 0, 0), (255, 255, 255)]
+    # 8 pixels/row; row0: 0b10100101 unfiltered; row1: Up with raw=same
+    # byte -> recon = (0xA5 + 0xA5) & 0xFF = 0x4A
+    png = _palette_png(8, 2, 1, pal, bytes([0, 0xA5, 2, 0xA5]))
+    got = decode_png(png)
+    row0 = [int(b) * 255 for b in "10100101"]
+    recon1 = (0xA5 + 0xA5) & 0xFF  # 0x4A = 01001010
+    row1 = [int(b) * 255 for b in f"{recon1:08b}"]
+    want = [[_q14_grey(v, v, v) for v in row0],
+            [_q14_grey(v, v, v) for v in row1]]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_palette_png_bad_index_raises():
+    pal = [(1, 2, 3)]  # 1 entry; index 5 is out of range
+    png = _palette_png(1, 1, 8, pal, bytes([0, 5]))
+    with pytest.raises(ValueError):
+        decode_png(png)
+
+
+def test_palette_png_without_plte_raises():
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    png = (PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(png)
+
+
+def test_palette_png_routes_real_in_operator():
+    img, real = _decode_image(_palette_png(
+        2, 1, 8, [(255, 255, 255), (0, 0, 0)], bytes([0, 0, 1])))
+    np.testing.assert_array_equal(img, [[255, 0]])
+    assert real is True
+
+
+# ---- JPEG AC-run overshoot (advisory: fail loudly, no silent desync) ------
+
+def test_jpeg_ac_run_past_block_raises():
+    """A (run, size) symbol whose run pushes k past coefficient 63 is
+    corruption and must raise — a silent break would leave the symbol's
+    value bits unconsumed and desync the rest of the scan (advisory)."""
+    from tests.test_jpeg_codec import (
+        AC_COUNTS,
+        AC_SYMBOLS,
+        DC_COUNTS,
+        DC_SYMBOLS,
+        _code_of,
+        _jpeg,
+    )
+
+    def emit_overshoot(w):
+        length, code = _code_of(DC_COUNTS, DC_SYMBOLS, 0)  # DC diff 0
+        w.put(code, length)
+        for _ in range(3):                 # ZRL x3: k 1 -> 49
+            length, code = _code_of(AC_COUNTS, AC_SYMBOLS, 0xF0)
+            w.put(code, length)
+        for _ in range(8):                 # (1,1) x8: k 49->51->...->63,
+            length, code = _code_of(AC_COUNTS, AC_SYMBOLS, 0x11)
+            w.put(code, length)            # the 8th lands k += 1 = 64
+            w.put(1, 1)                    # the 1-bit coefficient value
+        length, code = _code_of(AC_COUNTS, AC_SYMBOLS, 0x00)  # EOB
+        w.put(code, length)
+
+    jpg = _jpeg(8, 8, [(1, 1, 1)], emit_overshoot)
+    from ocr_hardsubx_spark.functions.media_codecs import decode_jpeg
+    with pytest.raises(ValueError, match="AC run past block"):
+        decode_jpeg(jpg)
+
+
+# ---- mp4 probe (real box parse; round-3 verdict item) ---------------------
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4(tracks) -> bytes:
+    """Minimal ISO BMFF: ftyp + moov(trak...) + mdat.  Each track is
+    (handler, timescale, stts_entries)."""
+    traks = b""
+    for handler, timescale, entries in tracks:
+        mdhd = _box(b"mdhd", struct.pack(">B3xIIII2x2x", 0, 0, 0,
+                                         timescale, 0))
+        hdlr = _box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4
+                    + handler + b"\x00" * 12 + b"\x00")
+        stts = _box(b"stts", struct.pack(">B3xI", 0, len(entries))
+                    + b"".join(struct.pack(">II", c, d)
+                               for c, d in entries))
+        minf = _box(b"minf", _box(b"stbl", stts))
+        traks += _box(b"trak", _box(b"mdia", mdhd + hdlr + minf))
+    return (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + _box(b"moov", traks) + _box(b"mdat", b"\x00" * 16))
+
+
+def test_mp4_probe_video_track():
+    from ocr_hardsubx_spark.functions.media_codecs import probe_mp4
+
+    # audio track first: the probe must skip it and read the video trak
+    clip = _mp4([(b"soun", 48000, [(100, 1024)]),
+                 (b"vide", 12800, [(240, 512)])])
+    n, fps = probe_mp4(clip)
+    assert n == 240
+    assert fps == 12800 / 512 == 25.0
+
+
+def test_mp4_probe_variable_frame_durations():
+    from ocr_hardsubx_spark.functions.media_codecs import probe_mp4
+
+    # 100 frames at delta 400 + 50 at delta 800 -> 150 frames over
+    # 80000 ticks at timescale 24000 -> fps = 45
+    clip = _mp4([(b"vide", 24000, [(100, 400), (50, 800)])])
+    n, fps = probe_mp4(clip)
+    assert n == 150
+    assert fps == 150 * 24000 / 80000
+
+
+def test_mp4_probe_rejects_non_mp4_and_broken():
+    from ocr_hardsubx_spark.functions.media_codecs import (
+        UnsupportedMedia,
+        probe_mp4,
+    )
+
+    with pytest.raises(UnsupportedMedia):
+        probe_mp4(b"RIFF1234WAVE")
+    with pytest.raises(ValueError):
+        probe_mp4(_box(b"ftyp", b"isom") + _box(b"free", b""))  # no moov
+    with pytest.raises((UnsupportedMedia, ValueError)):
+        probe_mp4(_mp4([(b"soun", 48000, [(10, 10)])]))  # no video trak
+
+
+def test_video_probe_routing_real_vs_stub():
+    from ocr_hardsubx_spark.operators.multimodal import _probe_video
+
+    clip = _mp4([(b"vide", 12800, [(240, 512)])])
+    assert _probe_video(clip) == (240, 25.0, True)
+    n, fps, real = _probe_video(b"not a video container")
+    assert real is False and n >= 100 and fps >= 24
+
+
+def test_video_frame_sample_real_mp4(spark):
+    from ocr_hardsubx_spark.operators.multimodal import video_frame_sample
+
+    clip = _mp4([(b"vide", 12800, [(240, 512)])])  # 240 frames @ 25 fps
+    df = spark.createDataFrame([(1, bytearray(clip))],
+                               "id long, payload binary")
+    r = video_frame_sample(df, every_seconds=1.0, max_frames=32).collect()[0]
+    assert (r["n_frames"], r["fps"], r["probed_real"]) == (240, 25.0, True)
+    # 1-second hops at 25 fps over 240 frames -> indices 0, 25, ..., 225
+    assert r["sampled_frames"] == list(range(0, 240, 25))
+
+
+def test_spark_provenance_flags_mixed_batch(spark):
+    """One real PNG + one corrupt payload in the same Arrow batch: the
+    schema-level decoded_real flag separates them."""
+    from ocr_hardsubx_spark.operators.multimodal import attach_media_meta
+
+    png = _png(2, 1, 0, bytes([0, 11, 22]))
+    rows = [(1, bytearray(png)), (2, bytearray(b"\xff\xd8\xffgarbage"))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in attach_media_meta(df).collect()}
+    assert out[1]["decoded_real"] is True
+    assert (out[1]["width"], out[1]["height"]) == (2, 1)
+    assert out[2]["decoded_real"] is False

@@ -75,6 +75,9 @@ def test_media_meta(spark):
         assert r["format"] == "jpeg"
         assert r["width"] >= 16 and r["height"] >= 16
         assert r["n_bytes"] > 0
+        # these payloads sniff as jpeg but are garbage: the declared
+        # fake decoded them, and the schema says so (provenance flag)
+        assert r["decoded_real"] is False
 
 
 def test_image_features_deterministic(spark):
