@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top1_per_group": q.q_top1_per_group,
         "q_pair_range_join": q.q_pair_range_join,
         "q_triplet_consistency": q.q_triplet_consistency,
+        "q_sequence_compat": q.q_sequence_compat,
         "q_nms_running_max": q.q_nms_running_max,
         "q_broadcast_dim_join": q.q_broadcast_dim_join,
         "q_stream_dedup_shadow": q.q_stream_dedup_shadow,
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "q_top1_per_group": q.q_top1_per_group_sql(),
         "q_pair_range_join": q.q_pair_range_join_sql(),
         "q_triplet_consistency": q.q_triplet_consistency_sql(),
+        "q_sequence_compat": q.q_sequence_compat_sql(),
         "q_nms_running_max": q.q_nms_running_max_sql(),
         "q_broadcast_dim_join": q.q_broadcast_dim_join_sql(),
         "q_stream_dedup_shadow": q.q_stream_dedup_shadow_sql(),

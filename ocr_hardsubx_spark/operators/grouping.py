@@ -135,9 +135,51 @@ def group_regions(kept: list[Region]) -> list[list[Region]]:
         for g, i in gaps[1:]:
             if not gaps_consistent(tightest, g):
                 dropped.add((i, j))
-    for i, j in edges.items():
-        if (i, j) not in dropped:
-            union(i, j)
+
+    # G4 sequence-compatibility gate (reference isValidSequence,
+    # erfilter.c:1131-1147: two sequences merge only if SOME triplet of
+    # one is within distance of SOME triplet of the other).  Our 1-D
+    # analog: an edge may join two chains only if some gap of the chain
+    # behind it is consistent with some gap of the chain ahead of it —
+    # two internally-tight chains with divergent overall gap profiles
+    # stay separate even when the junction's own gaps pass the triplet
+    # gate transitively (e.g. gaps 2..2 -12- 50..50: 12 is consistent
+    # with both neighbours but 2-vs-50 is not).  Evaluated simultaneously
+    # over the surviving edge graph, so the result is independent of
+    # union order; a chain with no gap evidence (singleton) is vacuously
+    # compatible, matching the reference's feedback-recovered degenerate
+    # sequences.
+    kept_edges = [(i, j) for i, j in edges.items() if (i, j) not in dropped]
+    gap_of = {(i, j): kept[j].start - kept[i].end for i, j in kept_edges}
+    fwd = dict(kept_edges)
+    back: dict[int, list[int]] = {}
+    for i, j in kept_edges:
+        back.setdefault(j, []).append(i)
+
+    def _gaps_ahead(j: int) -> list[int]:
+        out = []
+        while j in fwd:                    # starts strictly increase: no cycle
+            out.append(gap_of[(j, fwd[j])])
+            j = fwd[j]
+        return out
+
+    def _gaps_behind(i: int) -> list[int]:
+        out = []
+        stack = [i]
+        while stack:
+            x = stack.pop()
+            for p in back.get(x, []):
+                out.append(gap_of[(p, x)])
+                stack.append(p)
+        return out
+
+    for i, j in kept_edges:
+        ga = _gaps_behind(i)
+        gb = _gaps_ahead(j)
+        if ga and gb and not any(
+                gaps_consistent(x, y) for x in ga for y in gb):
+            continue                       # sequence-incompatible: no union
+        union(i, j)
 
     groups: dict[int, list[Region]] = {}
     for i, r in enumerate(kept):

@@ -444,6 +444,66 @@ def q_triplet_consistency_sql() -> str:
     """
 
 
+def q_sequence_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-compatibility shadow (G4, isValidSequence analog,
+    erfilter.c:1131-1147): two chains merge only if SOME gap of one is
+    consistent with SOME gap of the other.  Relationally: each user's
+    event-gap set is a chain's gap profile; adjacent users (u, u+1) play
+    the two chains; the EXISTS-a-consistent-pair test is a theta join on
+    the gaps_consistent band predicate, aggregated to a per-pair count +
+    boolean.  Mirrors the in-stage gate in operators/grouping.py
+    (_gaps_behind x _gaps_ahead any-pair test)."""
+    from ..config import TRIPLET_GAP_TOLERANCE, TRIPLET_MAX_GAP_RATIO
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = us - F.lag(us).over(w)
+    gaps = ev.select("user_id", g.alias("gap")).where(
+        F.col("gap").isNotNull())
+    a = gaps.alias("a")
+    b = gaps.alias("b")
+    lo = F.least(F.col("a.gap"), F.col("b.gap"))
+    hi = F.greatest(F.col("a.gap"), F.col("b.gap"))
+    ok = hi <= (F.lit(TRIPLET_GAP_TOLERANCE * 1_000_000)
+                + F.lit(TRIPLET_MAX_GAP_RATIO) * F.greatest(lo, F.lit(0)))
+    return (
+        a.join(b, F.col("b.user_id") == F.col("a.user_id") + 1)
+        .groupBy(F.col("a.user_id").alias("user_a"),
+                 F.col("b.user_id").alias("user_b"))
+        .agg(F.count("*").cast("bigint").alias("n_gap_pairs"),
+             F.sum(ok.cast("int")).cast("bigint").alias("n_consistent"))
+        .withColumn("compatible", F.col("n_consistent") > 0)
+    )
+
+
+def q_sequence_compat_sql() -> str:
+    from ..config import TRIPLET_GAP_TOLERANCE, TRIPLET_MAX_GAP_RATIO
+
+    tol = TRIPLET_GAP_TOLERANCE * 1_000_000
+    return f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (SELECT * FROM gaps WHERE gap IS NOT NULL)
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(count(*) AS BIGINT) AS n_gap_pairs,
+           CAST(sum(CASE WHEN greatest(a.gap, b.gap) <=
+                              {tol} + {TRIPLET_MAX_GAP_RATIO}
+                              * greatest(least(a.gap, b.gap), 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+           sum(CASE WHEN greatest(a.gap, b.gap) <=
+                         {tol} + {TRIPLET_MAX_GAP_RATIO}
+                         * greatest(least(a.gap, b.gap), 0)
+                    THEN 1 ELSE 0 END) > 0 AS compatible
+    FROM g a JOIN g b ON b.user_id = a.user_id + 1
+    GROUP BY a.user_id, b.user_id
+    """
+
+
 def q_nms_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ancestor-path running-max shadow (D8): max/min over the path prefix."""
     ev = spark.read.parquet(_t(sf_dir, "events"))

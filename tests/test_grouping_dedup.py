@@ -177,3 +177,47 @@ def test_consistent_convergent_junction_merges():
     # gaps 210 and 60: 210 <= 8 + 4*60 -> consistent, both edges kept
     groups = group_regions([a, b, c])
     assert len(groups) == 1
+
+
+# --- sequence compatibility gate (G4, isValidSequence analog) -------------
+
+def test_divergent_gap_profiles_do_not_merge():
+    """Two internally-tight chains with divergent gap profiles must NOT
+    merge even when the junction passes the triplet gate transitively
+    (round-2 verdict item 7): gaps 2,2 -12- 50,50 — 12 is consistent
+    with 2 (12 <= 8+4*2=16) and with 50 (50 <= 8+4*12=56), but no gap of
+    {2,2} is consistent with any gap of {50,50} (50 > 8+4*2)."""
+    from ocr_hardsubx_spark.operators.grouping import gaps_consistent
+
+    a1 = _r(0, 0, 100)
+    a2 = _r(1, 102, 100)          # gap 2
+    a3 = _r(2, 204, 100)          # gap 2
+    b1 = _r(3, 316, 100)          # boundary gap 12
+    b2 = _r(4, 466, 100)          # gap 50
+    b3 = _r(5, 616, 100)          # gap 50
+    # the junction gaps themselves are pairwise consistent...
+    assert gaps_consistent(2, 12) and gaps_consistent(12, 50)
+    # ...but the chain profiles are not
+    assert not gaps_consistent(2, 50)
+    groups = group_regions([a1, a2, a3, b1, b2, b3])
+    assert [len(g) for g in groups] == [3, 3]
+    assert {r.group_id for r in (a1, a2, a3)} == {0}
+    assert {r.group_id for r in (b1, b2, b3)} == {1}
+
+
+def test_compatible_profiles_still_merge():
+    """The same shape with compatible profiles (2,2 -6- 10,10) stays one
+    group: gaps_consistent(2, 10) holds (10 <= 8+8)."""
+    rs = [_r(0, 0, 100), _r(1, 102, 100), _r(2, 204, 100),
+          _r(3, 310, 100), _r(4, 420, 100), _r(5, 530, 100)]
+    groups = group_regions(rs)
+    assert len(groups) == 1
+
+
+def test_singleton_chain_is_vacuously_compatible():
+    """A region with no gap evidence joins an adjacent chain through the
+    ordinary pair/triplet gates (the reference's feedback-recovered
+    degenerate sequences must not be blocked by G4)."""
+    rs = [_r(0, 0, 100), _r(1, 110, 100), _r(2, 222, 100)]
+    groups = group_regions(rs)
+    assert len(groups) == 1
