@@ -86,9 +86,60 @@ def _hadoop_list(spark: SparkSession, uri: str) -> list[str]:
     return sorted(out)
 
 
-def committed_manifests(spark: SparkSession, output_path: str) -> DataFrame:
+def _hdfs(spark: SparkSession, uri: str):
+    """(Hadoop FileSystem, Path class) for a URI — the same API the
+    input listing uses, so manifests work against s3a://hdfs:// outputs
+    too (round-2 advisory: glob/os.path manifest IO silently found
+    nothing on resume under a URI output, duplicating every rerun)."""
+    jvm = spark._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(uri).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path_cls
+
+
+def _manifest_files(spark: SparkSession, output_path: str) -> list[str]:
     mdir = os.path.join(output_path, "_manifests")
-    files = sorted(glob.glob(os.path.join(mdir, "*.parquet")))
+    if _is_uri(output_path):
+        fs, path_cls = _hdfs(spark, mdir)
+        statuses = fs.globStatus(path_cls(mdir + "/*.parquet"))
+        if statuses is None:
+            return []
+        return sorted(s.getPath().toString() for s in statuses)
+    return sorted(glob.glob(os.path.join(mdir, "*.parquet")))
+
+
+def _commit_manifest(spark: SparkSession, output_path: str,
+                     run_id: str, table) -> None:
+    """Atomic manifest commit (tmp + rename).  Local outputs use
+    os.replace; URI outputs stage through a local temp file and rename
+    via the Hadoop FileSystem (atomic on HDFS; S3A rename is
+    copy+delete, the standard commit-protocol caveat there)."""
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(output_path, "_manifests")
+    if _is_uri(output_path):
+        import tempfile
+
+        fs, path_cls = _hdfs(spark, mdir)
+        fs.mkdirs(path_cls(mdir))
+        with tempfile.NamedTemporaryFile(suffix=".parquet",
+                                         delete=False) as t:
+            local = t.name
+        pq.write_table(table, local)
+        tmp = path_cls(f"{mdir}/.{run_id}.tmp")
+        # delSrc=True removes the local temp after upload
+        fs.copyFromLocalFile(True, True, path_cls("file://" + local), tmp)
+        if not fs.rename(tmp, path_cls(f"{mdir}/{run_id}.parquet")):
+            raise IOError(f"manifest rename failed for run {run_id}")
+    else:
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".{run_id}.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(mdir, f"{run_id}.parquet"))
+
+
+def committed_manifests(spark: SparkSession, output_path: str) -> DataFrame:
+    files = _manifest_files(spark, output_path)
     if not files:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
     df = spark.read.option("mergeSchema", "true").parquet(*files)
@@ -122,8 +173,7 @@ def pending_input_files(spark: SparkSession, input_path: str,
     exist yet the check is pure-Python — no Spark job on the fresh-start
     path."""
     all_files = list_input_files(input_path, spark)
-    mdir = os.path.join(output_path, "_manifests")
-    if not glob.glob(os.path.join(mdir, "*.parquet")):
+    if not _manifest_files(spark, output_path):
         return all_files
     committed = (
         committed_manifests(spark, output_path)
@@ -287,11 +337,9 @@ def _run_extraction_job_inner(spark, pending, output_path, day_range,
 
     wall_ms = int((time.time() - t0) * 1000)
 
-    # atomic manifest commit: tmp file + rename
+    # atomic manifest commit: tmp file + rename (URI-aware)
     import pyarrow as pa
 
-    mdir = os.path.join(output_path, "_manifests")
-    os.makedirs(mdir, exist_ok=True)
     rows = [
         {
             "run_id": run_id,
@@ -307,10 +355,7 @@ def _run_extraction_job_inner(spark, pending, output_path, day_range,
         # (e.g. fully pruned by day_range) — it must not be re-processed
         for f in sorted({*by_file, *map(_norm_path, pending)})
     ]
-    table = pa.Table.from_pylist(rows)
-    tmp = os.path.join(mdir, f".{run_id}.tmp")
-    pq.write_table(table, tmp)
-    os.replace(tmp, os.path.join(mdir, f"{run_id}.parquet"))
+    _commit_manifest(spark, output_path, run_id, pa.Table.from_pylist(rows))
     return {"run_id": run_id, "files": len(pending), "rows": rows_total,
             "wall_ms": wall_ms}
 
@@ -322,11 +367,13 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
         for r in committed_manifests(spark, output_path)
         .select("run_id").distinct().collect()
     ]
-    dirs = [
-        d for d in (os.path.join(output_path, "data", f"run_id={r}")
-                    for r in committed)
-        if os.path.isdir(d)
-    ]
+    candidates = [os.path.join(output_path, "data", f"run_id={r}")
+                  for r in committed]
+    if _is_uri(output_path):
+        fs, path_cls = _hdfs(spark, output_path)
+        dirs = [d for d in candidates if fs.exists(path_cls(d))]
+    else:
+        dirs = [d for d in candidates if os.path.isdir(d)]
     if not dirs:
         raise FileNotFoundError(f"no committed runs under {output_path}")
     return spark.read.parquet(*dirs)

@@ -197,3 +197,31 @@ def test_max_partition_bytes_restored_after_run(spark, corpus, tmp_path):
         assert spark.conf.get(key) == "77777777"
     finally:
         spark.conf.set(key, before)
+
+
+def test_uri_output_manifests_and_resume(spark, corpus, tmp_path):
+    """Manifest commit log under a URI output (round-2 advisory): with
+    output=file://... the manifests must land under the output, resume
+    must see them (no duplicate reprocessing), and read_extracted must
+    work — all through the Hadoop FileSystem API, the same path an
+    s3a:// output takes."""
+    out = "file://" + str(tmp_path / "uri_out")
+    r1 = run_extraction_job(spark, corpus, out, max_files=2)
+    assert r1["files"] == 2
+    n_files = len(list_input_files(corpus))
+    # resume sees the committed manifests through the FS API
+    assert len(pending_input_files(spark, corpus, out)) == n_files - 2
+    r2 = run_extraction_job(spark, corpus, out)
+    assert r2["files"] == n_files - 2
+    r3 = run_extraction_job(spark, corpus, out)      # no-op, NOT a re-run
+    assert r3["files"] == 0 and r3["run_id"] is None
+    # exactly one committed copy of every url, byte-identical
+    result = read_extracted(spark, out)
+    assert result.select("url").distinct().count() == N_DOCS
+    assert result.count() == N_DOCS
+    golden = spark.read.parquet(corpus).select("url", "text")
+    bad = [r["url"] for r in result.join(golden, "url").collect()
+           if r["extracted_text"] != r["text"]]
+    assert not bad, bad[:3]
+    # no stray local-relative manifest dir was created by the URI run
+    assert not os.path.exists("file:")
