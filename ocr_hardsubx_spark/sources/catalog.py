@@ -26,8 +26,16 @@ if TYPE_CHECKING:
 
 def iceberg_available(spark: "SparkSession") -> bool:
     """True iff an Iceberg catalog is configured AND the runtime class
-    loads (the jar must be on the session classpath)."""
-    confs = spark.sparkContext.getConf().getAll()
+    loads (the jar must be on the session classpath).
+
+    Catalog confs are read from the session's SQL conf (``SET``), not
+    only the construction-time SparkConf: Spark 3+ resolves
+    ``spark.sql.catalog.*`` lazily at first catalog reference, so a
+    catalog registered at runtime via ``spark.conf.set`` is just as
+    usable — and a test can gate on the jar without building (or worse,
+    ``getOrCreate()``-ing and stopping) a second session."""
+    confs = [(r.key, r.value or "") for r in spark.sql("SET").collect()]
+    confs += spark.sparkContext.getConf().getAll()
     has_catalog = any(
         k.startswith("spark.sql.catalog.") and "iceberg" in v.lower()
         for k, v in confs
