@@ -7,7 +7,9 @@ them instead of stubbed:
 * **PNG** — chunk parse + zlib inflate + per-scanline unfiltering
   (filters 0-4 per the PNG spec: None, Sub, Up, Average, Paeth), for
   8-bit greyscale / grey+alpha / RGB / RGBA and palette (colortype 3,
-  bit depths 1/2/4/8 via PLTE lookup), non-interlaced.  Output is
+  bit depths 1/2/4/8 via PLTE lookup), non-interlaced AND Adam7
+  interlaced (7 independently-filtered reduced images scattered onto
+  the full grid).  Output is
   a (H, W) uint8 luminance array computed with the reference's exact
   fixed-point form (``/root/reference/color.h:90-116`` RGB2Gray builds a
   Q14 LUT from the BT.601 coefficients R2Y=4899 G2Y=9617 B2Y=1868 with
@@ -23,15 +25,15 @@ them instead of stubbed:
   (SOF2), arithmetic coding, and 12-bit raise UnsupportedMedia.
 
 * **GIF (87a/89a)** — LZW decode (variable-width codes, CLEAR/END,
-  the KwKwK rule), global/local palettes, first frame, through the same
-  Q14 grey form; interlaced raises UnsupportedMedia.
+  the KwKwK rule), global/local palettes, first frame (interlaced rows
+  reordered), through the same Q14 grey form.
 
 * **MP4 (ISO BMFF)** — box-structure probe: the video trak's ``stts``
   sample census + ``mdhd`` timescale give (n_frames, fps) without
   decoding any sample data (the only facts frame sampling needs).
 
 Every sniffable format now decodes for real; only unsupported subsets
-(progressive JPEG, interlaced GIF, 16-bit PNG) fall back to Pillow when
+(progressive JPEG, 16-bit PNG) fall back to Pillow when
 importable, else to the declared deterministic stub in
 operators/multimodal.py — and the multimodal schemas carry a
 ``decoded_real`` provenance flag so fallback rows are distinguishable.
@@ -66,11 +68,69 @@ def _check_dims(width: int, height: int) -> None:
         raise UnsupportedMedia(f"implausible dimensions {width}x{height}")
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unfilter(raw: bytes, off: int, height: int, stride: int,
+              bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4 over `height` rows of `stride`
+    bytes starting at byte `off` (each row prefixed by its filter type).
+    `bpp` is the filter's left-neighbor distance in bytes."""
+    img = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row_off = off + y * (stride + 1)
+        ftype = raw[row_off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_off + 1
+        ).astype(np.int32)
+        if ftype == 0:                       # None
+            recon = line
+        elif ftype == 2:                     # Up
+            recon = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):             # Sub / Average / Paeth
+            recon = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0         # left
+                b = prev[x]                                   # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0      # up-left
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else \
+                        (b if pb <= pc else c)
+                recon[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        img[y] = recon
+        prev = recon
+    return img
+
+
+def _row_indices(img: np.ndarray, width: int, bitdepth: int) -> np.ndarray:
+    """Palette scanline bytes -> (H, width) int32 palette indices."""
+    height = img.shape[0]
+    if bitdepth == 8:
+        return img[:, :width].astype(np.int32)
+    bits = np.unpackbits(img, axis=1)[:, :width * bitdepth]
+    weights = 1 << np.arange(bitdepth - 1, -1, -1)
+    return bits.reshape(height, width, bitdepth).dot(weights) \
+        .astype(np.int32)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (H, W) uint8 luminance. Raises UnsupportedMedia for
-    subsets not implemented (16-bit non-palette, interlaced), ValueError
-    for malformed data.  Palette images (colortype 3, depths 1/2/4/8)
-    decode via PLTE lookup through the same Q14 grey form."""
+    subsets not implemented (16-bit non-palette), ValueError for
+    malformed data.  Palette images (colortype 3, depths 1/2/4/8)
+    decode via PLTE lookup through the same Q14 grey form.  Adam7
+    interlacing is supported for every supported color form: the IDAT
+    stream holds 7 independently-filtered reduced images whose pixels
+    scatter onto the full grid at (x0 + j*dx, y0 + i*dy)."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -96,79 +156,59 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     width, height, bitdepth, colortype, comp, filt, interlace = ihdr
     _check_dims(width, height)
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if colortype == 3:
-        if bitdepth not in (1, 2, 4, 8) or interlace != 0:
+        if bitdepth not in (1, 2, 4, 8):
             raise UnsupportedMedia(
-                f"PNG palette subset not implemented: depth={bitdepth} "
-                f"interlace={interlace}")
+                f"PNG palette subset not implemented: depth={bitdepth}")
         if plte is None:
             raise ValueError("palette PNG without PLTE")
         ch = 1  # filters operate on bytes; bpp = 1 byte for depth <= 8
-        stride = (width * bitdepth + 7) // 8
-    elif bitdepth != 8 or colortype not in _CHANNELS or interlace != 0:
+        bits_pp = bitdepth
+    elif bitdepth != 8 or colortype not in _CHANNELS:
         raise UnsupportedMedia(
             f"PNG subset not implemented: depth={bitdepth} "
-            f"color={colortype} interlace={interlace}")
+            f"color={colortype}")
     else:
         ch = _CHANNELS[colortype]
-        stride = width * ch
-    expect = height * (stride + 1)
+        bits_pp = 8 * ch
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    dims = []                       # (x0, y0, dx, dy, pw, ph, stride)
+    expect = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw and ph:
+            stride = (pw * bits_pp + 7) // 8
+            dims.append((x0, y0, dx, dy, pw, ph, stride))
+            expect += ph * (stride + 1)
     # bounded inflate: a zlib bomb cannot expand past the declared size
     raw = zlib.decompressobj().decompress(bytes(idat), expect + 1)
     if len(raw) != expect:
         raise ValueError("PNG data size mismatch")
-    img = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        row_off = y * (stride + 1)
-        ftype = raw[row_off]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=row_off + 1
-        ).astype(np.int32)
-        if ftype == 0:                       # None
-            recon = line
-        elif ftype == 2:                     # Up
-            recon = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):             # Sub / Average / Paeth
-            recon = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = recon[x - ch] if x >= ch else 0           # left
-                b = prev[x]                                   # up
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c = prev[x - ch] if x >= ch else 0        # up-left
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = a if pa <= pb and pa <= pc else \
-                        (b if pb <= pc else c)
-                recon[x] = (line[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        img[y] = recon
-        prev = recon
     if colortype == 3:
-        if bitdepth == 8:
-            idx = img[:, :width].astype(np.int32)
+        full_idx = np.zeros((height, width), dtype=np.int32)
+    else:
+        full_px = np.zeros((height, width, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph, stride in dims:
+        img = _unfilter(raw, off, ph, stride, ch)
+        off += ph * (stride + 1)
+        if colortype == 3:
+            full_idx[y0::dy, x0::dx] = _row_indices(img, pw, bitdepth)
         else:
-            bits = np.unpackbits(img, axis=1)[:, :width * bitdepth]
-            weights = 1 << np.arange(bitdepth - 1, -1, -1)
-            idx = bits.reshape(height, width, bitdepth).dot(weights) \
-                .astype(np.int32)
-        if idx.max(initial=0) >= len(plte):
+            full_px[y0::dy, x0::dx] = img.reshape(ph, pw, ch)
+    if colortype == 3:
+        if full_idx.max(initial=0) >= len(plte):
             raise ValueError("PNG palette index out of range")
-        px = plte[idx]
-        r = px[:, :, 0].astype(np.int32)
-        g = px[:, :, 1].astype(np.int32)
-        b = px[:, :, 2].astype(np.int32)
-        return ((4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14) \
-            .astype(np.uint8)
-    px = img.reshape(height, width, ch)
-    if colortype == 0:
-        return px[:, :, 0].copy()
-    if colortype == 4:                        # grey + alpha
-        return px[:, :, 0].copy()
+        px = plte[full_idx]
+    elif colortype == 0:
+        return full_px[:, :, 0].copy()
+    elif colortype == 4:                      # grey + alpha
+        return full_px[:, :, 0].copy()
+    else:
+        px = full_px
     r = px[:, :, 0].astype(np.int32)
     g = px[:, :, 1].astype(np.int32)
     b = px[:, :, 2].astype(np.int32)
@@ -474,8 +514,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
 
 def decode_gif(payload: bytes) -> "np.ndarray":
     """GIF87a/89a first frame -> (H, W) uint8 luminance (palette RGB
-    through the same reference Q14 grey form as PNG).  Non-interlaced
-    only; interlaced images raise UnsupportedMedia (Pillow fallback)."""
+    through the same reference Q14 grey form as PNG).  Interlaced images
+    (GIF89a §20: row passes 0::8, 4::8, 2::4, 1::2) are reordered after
+    LZW decode."""
     if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF")
     pos = 6
@@ -505,8 +546,6 @@ def decode_gif(payload: bytes) -> "np.ndarray":
                 pal = np.frombuffer(
                     payload, np.uint8, size * 3, pos).reshape(size, 3)
                 pos += size * 3
-            if iflags & 0x40:
-                raise UnsupportedMedia("interlaced GIF")
             if pal is None:
                 raise ValueError("GIF image without a color table")
             min_code = payload[pos]
@@ -521,8 +560,16 @@ def decode_gif(payload: bytes) -> "np.ndarray":
             r = px[:, 0].astype(np.int32)
             g = px[:, 1].astype(np.int32)
             bch = px[:, 2].astype(np.int32)
-            lum = ((4899 * r + 9617 * g + 1868 * bch + (1 << 13)) >> 14)
-            return lum.astype(np.uint8).reshape(h, w)
+            lum = ((4899 * r + 9617 * g + 1868 * bch + (1 << 13)) >> 14) \
+                .astype(np.uint8).reshape(h, w)
+            if iflags & 0x40:     # interlaced: stored rows are the 4
+                order = np.concatenate([    # passes 0::8, 4::8, 2::4, 1::2
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2)])
+                out = np.empty_like(lum)
+                out[order] = lum
+                return out
+            return lum
         elif b == 0x3B:                    # trailer
             break
         else:

@@ -253,14 +253,32 @@ def test_gif_lzw_kwkwk_case():
     np.testing.assert_array_equal(decode_gif(gif), np.full((2, 2), 76))
 
 
-def test_gif_interlaced_rejected():
+def test_gif_interlaced_rows_reordered():
+    """5x1 interlaced GIF: storage order is the pass sequence
+    [row0, row4, row2, row1, row3] (GIF89a §20); the decoder must put
+    rows back in display order.  Display indices [0,1,2,3,0] are stored
+    as [0,0,2,1,3]."""
     from ocr_hardsubx_spark.functions.media_codecs import decode_gif
 
-    head = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+    stored = [0, 0, 2, 1, 3]
+    codes = []
+    for px in stored:
+        codes += [(4, 3), (px, 3)]      # CLEAR before every literal
+    codes.append((5, 3))                # END
+    head = (b"GIF89a" + struct.pack("<HHBBB", 1, 5, 0x81, 0, 0)
             + bytes(v for rgb in _PAL4 for v in rgb))
-    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x40) + b"\x02"
-    with pytest.raises(UnsupportedMedia):
-        decode_gif(head + img + b"\x00\x3b")
+    img = (b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 5, 0x40)
+           + bytes([2]))
+    data = _pack_codes(codes)
+    body = bytes([len(data)]) + data + b"\x00"
+    gif = head + img + body + b"\x3b"
+    np.testing.assert_array_equal(
+        decode_gif(gif), [[76], [150], [29], [255], [76]])
+
+
+def test_gif_bad_magic_rejected():
+    from ocr_hardsubx_spark.functions.media_codecs import decode_gif
+
     with pytest.raises(ValueError):
         decode_gif(b"GIF00 nope")
 
@@ -634,3 +652,93 @@ def test_spark_provenance_flags_mixed_batch(spark):
     assert out[1]["decoded_real"] is True
     assert (out[1]["width"], out[1]["height"]) == (2, 1)
     assert out[2]["decoded_real"] is False
+
+
+# ---- Adam7 interlaced PNG -------------------------------------------------
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_scanlines(img: np.ndarray, pack_row) -> bytes:
+    """Encode an image as the concatenated Adam7 pass scanlines (all
+    rows filter 0).  `img` is (H, W) or (H, W, C); `pack_row` turns one
+    pass row (1-D or 2-D slice) into scanline bytes."""
+    h, w = img.shape[0], img.shape[1]
+    lines = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            lines += bytes([0]) + pack_row(row)
+    return bytes(lines)
+
+
+def _png_interlaced(width, height, colortype, scanlines: bytes,
+                    bitdepth=8, palette=None) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, bitdepth, colortype,
+                       0, 0, 1)
+    out = PNG_SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    return (out + _chunk(b"IDAT", zlib.compress(scanlines))
+            + _chunk(b"IEND", b""))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 13), st.integers(1, 13), st.integers(0, 2 ** 32 - 1))
+def test_png_adam7_rgb_matches_progressive(w, h, seed):
+    """The same RGB pixels encoded progressive and Adam7-interlaced must
+    decode identically (the progressive path is pinned by hand tests)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    prog_lines = b"".join(bytes([0]) + img[y].tobytes() for y in range(h))
+    progressive = _png(w, h, 2, prog_lines)
+    interlaced = _png_interlaced(
+        w, h, 2, _adam7_scanlines(img, lambda row: row.tobytes()))
+    np.testing.assert_array_equal(
+        decode_png(interlaced), decode_png(progressive))
+
+
+def test_png_adam7_grey_hand_grid():
+    """10x10 grey ramp: every Adam7 pass is non-empty; pixel (y,x) must
+    land back at (y,x)."""
+    img = (np.arange(100, dtype=np.uint8).reshape(10, 10) * 2)
+    interlaced = _png_interlaced(
+        10, 10, 0, _adam7_scanlines(img, lambda row: row.tobytes()))
+    np.testing.assert_array_equal(decode_png(interlaced), img)
+
+
+def test_png_adam7_palette_2bit():
+    """Palette colortype with a sub-byte depth: per-pass bit packing and
+    PLTE lookup compose with the interlace scatter."""
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 4, size=(9, 11), dtype=np.uint8)
+
+    def pack2(row):
+        bits = np.unpackbits(row[:, None], axis=1)[:, 6:]
+        return np.packbits(bits.ravel()).tobytes()
+
+    interlaced = _png_interlaced(
+        11, 9, 3, _adam7_scanlines(idx, pack2), bitdepth=2, palette=_PAL4)
+    lums = np.array([76, 150, 29, 255], dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(interlaced), lums[idx])
+
+
+def test_png_adam7_small_image_skips_empty_passes():
+    """A 1x1 image has data only in pass 1; passes 2-7 are empty and the
+    stream must not expect scanlines for them (PNG spec 8.2)."""
+    img = np.array([[137]], dtype=np.uint8)
+    interlaced = _png_interlaced(
+        1, 1, 0, _adam7_scanlines(img, lambda row: row.tobytes()))
+    np.testing.assert_array_equal(decode_png(interlaced), img)
+
+
+def test_png_bad_interlace_method_rejected():
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)
+    png = (PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(png)
