@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_cosine_topk": dq.q_ann_cosine_topk,
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed,
         "q_ann_bucketed_topk": dq.q_ann_bucketed_topk,
+        "q_ann_ivf_census": dq.q_ann_ivf_census,
+        "q_ann_ivf_topk": dq.q_ann_ivf_topk,
         "q_embed_neardup": dq.q_embed_neardup,
         "q_embed_neardup_census": dq.q_embed_neardup_census,
         "q_minhash_band_census": dq.q_minhash_band_census,
@@ -125,6 +127,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_cosine_topk": dq.q_ann_cosine_topk_sql(),
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed_sql(),
         "q_ann_bucketed_topk": dq.q_ann_bucketed_topk_sql(),
+        "q_ann_ivf_census": dq.q_ann_ivf_census_sql(),
+        "q_ann_ivf_topk": dq.q_ann_ivf_topk_sql(),
         "q_embed_neardup": dq.q_embed_neardup_sql(),
         "q_embed_neardup_census": dq.q_embed_neardup_census_sql(),
         "q_minhash_band_census": dq.q_minhash_band_census_sql(),

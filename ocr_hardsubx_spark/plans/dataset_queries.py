@@ -707,6 +707,201 @@ def q_ann_bucketed_topk_sql() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path beside LSH bucketing
+# --------------------------------------------------------------------------
+#
+# Coarse quantizer: IVF_K data vectors (vec_id 1..IVF_K — deterministic
+# at every sf, and relationally recomputable by the DuckDB oracle, which
+# a trained/sampled codebook would not be) are the centroids; every
+# vector is assigned to the centroid with the highest cosine.  The
+# assignment is a PURE PROJECTION (one array-of-arrays literal of the
+# driver-collected, L2-normalized centroids; per-centroid dots from one
+# `transform`; argmax via array_position-of-max, which takes the FIRST
+# max — i.e. lowest centroid id on ties, mirrored by `ORDER BY sim DESC,
+# cid ASC` in the oracle).  Zero shuffles: scan -> assign -> probe
+# filter -> exact cosine -> TakeOrderedAndProject.
+#
+# Cross-engine float discipline: sims are rounded to 4 decimals BEFORE
+# the argmax on both engines, so the ~1e-14 discrepancy between Spark's
+# left-fold over pre-normalized literals and DuckDB's
+# list_dot_product/sqrt never flips an assignment; genuine ties at 4
+# decimals resolve to the lower centroid id on both sides.
+#
+# At 100 TB: the assignment column is computed once at ingest and the
+# table is written bucketed/partitioned BY list id, so a probe prunes at
+# the scan (Iceberg/parquet partition pruning) instead of filtering
+# post-scan; the codebook comes from an offline k-means over a sample
+# and IVF_K grows to ~sqrt(n) (10^6 lists at 10^12 vectors) with
+# IVF_NPROBE the recall dial.  The shape here is that plan at sandbox
+# dials.
+
+IVF_K = 16
+IVF_NPROBE = 2
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Driver-collected, L2-normalized centroid vectors ordered by
+    vec_id 1..IVF_K (position i+1 <-> centroid id i+1)."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(_t(sf_dir, "embeddings"))
+        .where(F.col("vec_id").between(1, IVF_K))
+        .select("vec_id", "embedding").collect())
+    cents = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        cents[r["vec_id"]] = (v / np.linalg.norm(v)).tolist()
+    return [cents[i] for i in range(1, IVF_K + 1)]
+
+
+def _ivf_sims_col(cents_norm: list[list[float]]):
+    """Array of round(cos(v, centroid_k), 4) for k = 1..IVF_K."""
+    matrix = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents_norm])
+    return F.transform(
+        matrix,
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with("embedding", c,
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, v: acc + v)
+            / F.sqrt(F.aggregate(
+                F.transform("embedding",
+                            lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v)), 4),
+    )
+
+
+def _ivf_assign_col(cents_norm: list[list[float]]):
+    """Assigned list id (1..IVF_K): first-max position of the rounded
+    sims — lowest centroid id wins ties, matching the oracle's ORDER BY
+    sim DESC, cid ASC."""
+    sims = _ivf_sims_col(cents_norm)
+    return F.array_position(sims, F.array_max(sims)).cast("int")
+
+
+_IVF_SIMS_SQL = f"""
+    cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {IVF_K}
+    ),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c)
+                   / (sqrt(list_dot_product(c.c, c.c))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))),
+                   4) AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid ASC) AS rn
+        FROM sims) WHERE rn = 1
+    )"""
+
+
+def q_ann_ivf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF planning view: (list_id, n_vecs, min_vec_id) per inverted
+    list.  This is the balance census a probe planner (and a skew
+    monitor) reads — the IVF analog of q_ann_lsh_bucketed."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    cents = _ivf_centroids(spark, sf_dir)
+    return (
+        emb.select(_ivf_assign_col(cents).alias("list_id"), "vec_id")
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n_vecs"),
+             F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def q_ann_ivf_census_sql() -> str:
+    return f"""
+    WITH {_IVF_SIMS_SQL}
+    SELECT cid AS list_id, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+    FROM assign GROUP BY 1
+    """
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF search: assign every vector (projection), keep the `nprobe`
+    lists closest to the query vector (probe ids computed driver-side
+    from the collected codebook — the same numbers the oracle derives
+    relationally), exact cosine on the survivors, ranked top-10."""
+    import numpy as np
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    cents = _ivf_centroids(spark, sf_dir)
+    qv = np.asarray(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64)
+    qsims = np.asarray(cents, dtype=np.float64) @ (qv / np.linalg.norm(qv))
+    # HALF_UP to 4 decimals, matching F.round / DuckDB round
+    qsims = np.sign(qsims) * np.floor(np.abs(qsims) * 1e4 + 0.5) / 1e4
+    order = sorted(range(IVF_K), key=lambda k: (-qsims[k], k))
+    probe_ids = [k + 1 for k in order[:nprobe]]
+
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .where(_ivf_assign_col(cents).isin(probe_ids))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("qv"))), 4)
+             .alias("cos_sim"),
+        )
+    )
+    return _ranked_top10(scored)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search at the registered dial (IVF_NPROBE of IVF_K
+    lists).  tests/test_ivf_ann.py pins that nprobe=IVF_K reproduces the
+    brute-force q_ann_cosine_topk exactly, and measures recall and the
+    candidate-pruning fraction at this dial."""
+    return _ivf_topk(spark, sf_dir, IVF_NPROBE)
+
+
+def q_ann_ivf_topk_sql() -> str:
+    return f"""
+    WITH {_IVF_SIMS_SQL},
+    probes AS (
+      SELECT cid FROM sims WHERE vec_id = 0
+      ORDER BY sim DESC, cid ASC LIMIT {IVF_NPROBE}
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+      FROM embeddings e
+      JOIN assign a ON a.vec_id = e.vec_id
+      JOIN probes p ON a.cid = p.cid
+      CROSS JOIN q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
 def _nd_tables() -> list[list[list[float]]]:
     return [_lsh_planes(ND_PLANES, seed=LSH_SEED + 100 + t)
             for t in range(ND_TABLES)]
