@@ -902,6 +902,104 @@ def q_ann_ivf_topk_sql() -> str:
     """
 
 
+def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration of spherical k-means over the
+    IVF codebook: assign every vector (the same pure-projection
+    quantizer the search uses), then compute each list's elementwise
+    mean as EMB_DIM independent `avg` aggregates — one shuffle with
+    map-side partial aggregation, NO posexplode (an explode would
+    multiply the shuffle by EMB_DIM; at 10^12 vectors that is the
+    difference between a routine agg and a dead stage).
+
+    Output is scalar per list — (list_id, n_members, shift) where
+    `shift` = round(cos(new_mean, old_centroid), 4) — so the oracle
+    compares engine-stable numbers instead of float-formatted arrays.
+    A shift of 1.0 means the list is already converged; training loops
+    this step until min(shift) ~ 1 (tests/test_ivf_ann.py pins the
+    monotone-inertia property over ivf_lloyd)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    cents = _ivf_centroids(spark, sf_dir)
+    assigned = emb.select(
+        _ivf_assign_col(cents).alias("list_id"), "embedding")
+    means = assigned.groupBy("list_id").agg(
+        F.count("*").alias("n_members"),
+        *[F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
+          for i in range(EMB_DIM)],
+    )
+    # shift vs the old centroid (a per-list literal lookup via element_at
+    # on a map literal — still a projection)
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(i + 1) for i in range(IVF_K)]),
+        F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents]))
+    mean_arr = F.array(*[F.col(f"m{i}") for i in range(EMB_DIM)])
+    old = F.element_at(cmap, F.col("list_id"))
+    dot = F.aggregate(F.zip_with(mean_arr, old, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nrm = F.sqrt(F.aggregate(F.transform(mean_arr, lambda a: a * a),
+                             F.lit(0.0), lambda acc, v: acc + v))
+    return means.select(
+        "list_id", "n_members",
+        F.round(dot / nrm, 4).alias("shift"))  # old centroid is unit-norm
+
+
+def q_ivf_train_step_sql() -> str:
+    avgs = ", ".join(
+        f"avg(CAST(embedding[{i + 1}] AS DOUBLE)) AS m{i}"
+        for i in range(EMB_DIM))
+    mean_list = ", ".join(f"m{i}" for i in range(EMB_DIM))
+    return f"""
+    WITH {_IVF_SIMS_SQL},
+    means AS (
+      SELECT a.cid AS list_id, count(*) AS n_members, {avgs}
+      FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+      GROUP BY a.cid
+    ),
+    cents2 AS (
+      SELECT vec_id AS cid,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x / sqrt(list_dot_product(
+                                CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])))) AS cn
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {IVF_K}
+    )
+    SELECT m.list_id, m.n_members,
+           round(list_dot_product([{mean_list}], c.cn)
+                 / sqrt(list_dot_product([{mean_list}], [{mean_list}])),
+                 4) AS shift
+    FROM means m JOIN cents2 c ON c.cid = m.list_id
+    """
+
+
+def ivf_lloyd(spark: SparkSession, sf_dir: str,
+              iters: int = 2) -> list[list[float]]:
+    """Full spherical-k-means refinement: `iters` Lloyd steps from the
+    deterministic seed codebook, re-normalizing each mean.  Returns the
+    trained codebook (position k <-> list id k+1).  Not a registered
+    query (iterative; the single step above is the oracle-checked unit),
+    but the trainer a production IVF build would loop."""
+    import numpy as np
+
+    cents = _ivf_centroids(spark, sf_dir)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    for _ in range(iters):
+        means = emb.select(
+            _ivf_assign_col(cents).alias("list_id"), "embedding"
+        ).groupBy("list_id").agg(
+            *[F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
+              for i in range(EMB_DIM)])
+        rows = {r["list_id"]: [r[f"m{i}"] for i in range(EMB_DIM)]
+                for r in means.collect()}
+        nxt = []
+        for k in range(1, IVF_K + 1):
+            if k in rows:
+                v = np.asarray(rows[k], dtype=np.float64)
+                nxt.append((v / np.linalg.norm(v)).tolist())
+            else:                      # empty list keeps its centroid
+                nxt.append(cents[k - 1])
+        cents = nxt
+    return cents
+
+
 def _nd_tables() -> list[list[list[float]]]:
     return [_lsh_planes(ND_PLANES, seed=LSH_SEED + 100 + t)
             for t in range(ND_TABLES)]

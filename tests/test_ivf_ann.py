@@ -83,3 +83,36 @@ def test_centroids_are_normalized_and_ordered(spark):
         spark.read.parquet(SF + "/embeddings.parquet")
         .where(F.col("vec_id") == 1).first()["embedding"], dtype=np.float64)
     np.testing.assert_allclose(cents[0], v1 / np.linalg.norm(v1))
+
+
+def test_train_step_outputs_all_lists_with_sane_shifts(spark):
+    rows = dq.q_ivf_train_step(spark, SF).collect()
+    total = spark.read.parquet(SF + "/embeddings.parquet").count()
+    assert sum(r["n_members"] for r in rows) == total
+    for r in rows:
+        # a list's mean cannot be anti-aligned with the centroid that
+        # attracted its members; shift in (0, 1]
+        assert 0.0 < r["shift"] <= 1.0
+
+
+def test_lloyd_training_improves_the_quantizer(spark):
+    """Two refinement steps must raise the spherical-k-means objective
+    (mean best-centroid cosine) over the seed codebook — deterministic
+    on the fixed corpus."""
+    import numpy as np
+
+    vecs = np.array([
+        r["embedding"] for r in
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .select("embedding").collect()], dtype=np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def objective(cents):
+        return (vecs @ np.asarray(cents, dtype=np.float64).T) \
+            .max(axis=1).mean()
+
+    seed = dq._ivf_centroids(spark, SF)
+    trained = dq.ivf_lloyd(spark, SF, iters=2)
+    assert objective(trained) > objective(seed)
+    for c in trained:                       # means re-normalized
+        assert abs(np.linalg.norm(c) - 1.0) < 1e-9
