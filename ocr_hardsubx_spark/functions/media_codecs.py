@@ -17,12 +17,16 @@ them instead of stubbed:
   cvtColor(→GRAY) analog is bit-identical, not merely same-weights.
 * **WAV** — stdlib ``wave`` for framing, numpy for PCM conversion
   (8/16/32-bit), channel-averaged to mono float32 in [-1, 1].
-* **JPEG (baseline sequential DCT, ITU T.81)** — marker parse, canonical
+* **JPEG (ITU T.81)** — baseline sequential DCT: marker parse, canonical
   huffman decode, run-length/EOB/ZRL, DC prediction with restart-marker
-  resync, dequant + de-zigzag + orthonormal IDCT.  Only the luma
-  component is inverse-transformed (the output is luminance); chroma
-  blocks are entropy-decoded to keep the bitstream in sync.  Progressive
-  (SOF2), arithmetic coding, and 12-bit raise UnsupportedMedia.
+  resync, dequant + de-zigzag + orthonormal IDCT.  PROGRESSIVE (SOF2) is
+  also decoded: scans accumulate coefficients with spectral selection
+  and successive approximation (DC first/refine, AC first with EOBRUN,
+  AC refinement with interleaved correction bits per T.81 G.1.2.3),
+  IDCT at the end.  Only the luma component is inverse-transformed (the
+  output is luminance); chroma blocks are entropy-decoded to keep the
+  bitstream in sync.  Arithmetic coding, lossless/hierarchical SOFs,
+  and 12-bit raise UnsupportedMedia.
 
 * **GIF (87a/89a)** — LZW decode (variable-width codes, CLEAR/END,
   the KwKwK rule), global/local palettes, first frame (interlaced rows
@@ -33,7 +37,7 @@ them instead of stubbed:
   decoding any sample data (the only facts frame sampling needs).
 
 Every sniffable format now decodes for real; only unsupported subsets
-(progressive JPEG, 16-bit PNG) fall back to Pillow when
+(16-bit PNG, exotic JPEG coding modes) fall back to Pillow when
 importable, else to the declared deterministic stub in
 operators/multimodal.py — and the multimodal schemas carry a
 ``decoded_real`` provenance flag so fallback rows are distinguishable.
@@ -362,12 +366,15 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> "np.ndarray":
-    """Baseline sequential-DCT JPEG -> (H, W) uint8 LUMINANCE.
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (H, W) uint8
+    LUMINANCE.
 
     The Y component is fully decoded (huffman -> dequant -> de-zigzag ->
     IDCT -> level shift); chroma blocks are entropy-decoded only to keep
     the bitstream in sync, never inverse-transformed (we output luma).
-    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+    Progressive scans accumulate coefficients (spectral selection +
+    successive approximation) and the IDCT runs once at EOI.  Arithmetic
+    coding, lossless/hierarchical SOFs, and 12-bit precision raise
     UnsupportedMedia."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -411,7 +418,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
                     counts, symbols)
                 i += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             precision = seg[0]
             if precision != 8:
                 raise UnsupportedMedia(f"JPEG precision {precision}")
@@ -423,10 +430,14 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            frame = {"w": width, "h": height, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": width, "h": height, "comps": comps,
+                     "prog": marker == 0xC2}
+            if frame["prog"]:
+                coef_state = _prog_init_state(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise UnsupportedMedia(f"JPEG SOF{marker - 0xC0} not baseline")
+            raise UnsupportedMedia(
+                f"JPEG SOF{marker - 0xC0} not baseline/progressive")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -438,10 +449,231 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 cs, tables = seg[1 + 2 * c:3 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append({**comp, "dc": tables >> 4, "ac": tables & 0xF})
-            return _decode_scan(payload, pos + 2 + seglen, frame, scan,
-                                qt, huff_dc, huff_ac, restart_interval)
+            if not frame["prog"]:
+                return _decode_scan(payload, pos + 2 + seglen, frame, scan,
+                                    qt, huff_dc, huff_ac, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            end = _prog_decode_scan(
+                payload, pos + 2 + seglen, frame, scan, coef_state,
+                huff_dc, huff_ac, ss, se, ah, al, restart_interval)
+            frame["saw_scan"] = True
+            pos = end
+            continue
         pos += 2 + seglen
+    if frame is not None and frame["prog"] and frame.get("saw_scan"):
+        return _prog_finish(frame, coef_state, qt)
     raise ValueError("JPEG: no scan data found")
+
+
+# -- progressive (SOF2): scans accumulate coefficients; IDCT at the end --
+
+def _prog_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _prog_init_state(frame):
+    """Per component: (coef ndarray (bh, bw, 64) int32 in ZIGZAG order
+    over the interleave-padded block grid, dc predictor)."""
+    hmax, vmax, mcux, mcuy = _prog_geometry(frame)
+    state = {}
+    for c in frame["comps"]:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        state[c["id"]] = np.zeros((bh, bw, 64), dtype=np.int32)
+    return state
+
+
+def _prog_scan_blocks(frame, comp):
+    """Raster (by, bx) order of a NON-interleaved scan over one
+    component: the component's own block grid (T.81 A.2.2), which
+    excludes the interleave-only padding blocks."""
+    hmax, vmax, _, _ = _prog_geometry(frame)
+    cw = (frame["w"] * comp["h"] + hmax - 1) // hmax
+    chh = (frame["h"] * comp["v"] + vmax - 1) // vmax
+    return (chh + 7) // 8, (cw + 7) // 8
+
+
+def _prog_decode_scan(data, pos, frame, scan, state, huff_dc, huff_ac,
+                      ss, se, ah, al, restart_interval):
+    """Decode one progressive scan into the coefficient state; returns
+    the payload offset of the next marker segment."""
+    reader = _BitReader(data, pos)
+    if ss == 0:                                  # DC scan
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan with Se != 0")
+        _prog_dc_scan(reader, frame, scan, state, huff_dc, ah, al,
+                      restart_interval)
+    else:                                        # AC scan: 1 component
+        if len(scan) != 1:
+            raise ValueError("JPEG progressive AC scan must be"
+                             " non-interleaved")
+        comp = scan[0]
+        coefs = state[comp["id"]]
+        bh, bw = _prog_scan_blocks(frame, comp)
+        blocks = [coefs[by, bx] for by in range(bh) for bx in range(bw)]
+        table = huff_ac[comp["ac"]]
+        if ah == 0:
+            _prog_ac_first(reader, blocks, table, ss, se, al,
+                           restart_interval)
+        else:
+            _prog_ac_refine(reader, blocks, table, ss, se, al,
+                            restart_interval)
+    # walk to the next marker (skipping stuffing and RSTs)
+    p = max(reader.pos, pos)
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and \
+                not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(data)
+
+
+def _prog_dc_scan(reader, frame, scan, state, huff_dc, ah, al,
+                  restart_interval):
+    hmax, vmax, mcux, mcuy = _prog_geometry(frame)
+    pred = {c["id"]: 0 for c in scan}
+    if len(scan) == 1:
+        bh, bw = _prog_scan_blocks(frame, scan[0])
+        units = [(scan[0], by, bx) for by in range(bh) for bx in range(bw)]
+        per_mcu = 1
+    else:
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            units.append((c, my * c["v"] + by,
+                                          mx * c["h"] + bx))
+        per_mcu = sum(c["v"] * c["h"] for c in scan)
+    mcu = 0
+    for i, (c, by, bx) in enumerate(units):
+        if restart_interval and i % per_mcu == 0:
+            if mcu and mcu % restart_interval == 0:
+                reader.resync_restart()
+                for k in pred:
+                    pred[k] = 0
+            mcu += 1 if per_mcu else 0
+        block = state[c["id"]][by, bx]
+        if ah == 0:
+            s = reader.huff(huff_dc[c["dc"]])
+            pred[c["id"]] += _extend(reader.bits(s), s)
+            block[0] = pred[c["id"]] << al
+        else:
+            block[0] |= reader.bits(1) << al
+
+
+def _prog_ac_first(reader, blocks, table, ss, se, al, restart_interval):
+    eobrun = 0
+    for i, block in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            reader.resync_restart()
+            eobrun = 0
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = reader.huff(table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:                       # EOBn
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += 16                          # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            block[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+
+def _prog_ac_refine(reader, blocks, table, ss, se, al, restart_interval):
+    """Successive-approximation AC refinement (T.81 G.1.2.3, the
+    libjpeg arithmetic): already-nonzero coefficients consume one
+    correction bit each as the band is traversed; zero-history
+    coefficients count toward the run, and a new ±1<<Al lands where the
+    run ends."""
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    for i, block in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            reader.resync_restart()
+            eobrun = 0
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.huff(table)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        # EOBn: includes the CURRENT block — the tail
+                        # refine below must still run for it, and for
+                        # every covered block after it (correction bits
+                        # of nonzero coefficients are consumed even in
+                        # skipped blocks)
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    val = 0                      # ZRL: 16 zero-history
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "JPEG AC refinement size must be 1")
+                    val = p1 if reader.bits(1) else m1
+                while k <= se:
+                    if block[k] != 0:
+                        if reader.bits(1) and (block[k] & p1) == 0:
+                            block[k] += p1 if block[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            if val:
+                                block[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                if block[k] != 0:
+                    if reader.bits(1) and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+
+
+def _prog_finish(frame, state, qt):
+    """Dequant + de-zigzag + IDCT the LUMA component (first in frame),
+    matching the baseline path's output contract."""
+    luma = frame["comps"][0]
+    coefs = state[luma["id"]]
+    q = np.asarray(qt[luma["tq"]], dtype=np.float64)
+    bh, bw = coefs.shape[0], coefs.shape[1]
+    C = _idct_matrix()
+    plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = np.zeros((8, 8))
+            block.flat[_ZIGZAG] = coefs[by, bx] * q
+            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                C.T @ block @ C + 128.0
+    hmax, vmax, _, _ = _prog_geometry(frame)
+    # luma plane covers the full image iff luma has max sampling (true
+    # for every real-world progressive file); crop to pixel dims
+    cw = (frame["w"] * luma["h"] + hmax - 1) // hmax
+    chh = (frame["h"] * luma["v"] + vmax - 1) // vmax
+    if (cw, chh) != (frame["w"], frame["h"]):
+        raise UnsupportedMedia("JPEG progressive with subsampled luma")
+    return np.clip(np.round(plane[:frame["h"], :frame["w"]]),
+                   0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,

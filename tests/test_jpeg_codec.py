@@ -23,8 +23,11 @@ from ocr_hardsubx_spark.functions.media_codecs import (
 # AC symbols EOB, (0,1), (0,2), (1,1), ZRL at code length 4
 DC_COUNTS = [0, 0, 0, 12] + [0] * 12
 DC_SYMBOLS = bytes(range(12))
-AC_COUNTS = [0, 0, 0, 5] + [0] * 12
-AC_SYMBOLS = bytes([0x00, 0x01, 0x02, 0x11, 0xF0])
+# all (run, size<=2) symbols at one canonical length (includes EOB 0x00
+# and ZRL 0xF0); richer blocks in the progressive-parity tests need
+# arbitrary runs in their baseline ground-truth encodings too
+AC_SYMBOLS = bytes((r << 4) | sz for r in range(16) for sz in (0, 1, 2))
+AC_COUNTS = [0, 0, 0, 0, 0, len(AC_SYMBOLS)] + [0] * 10
 
 
 def _code_of(counts, symbols, want):
@@ -202,10 +205,10 @@ def test_420_interleave_luma_quadrants():
     np.testing.assert_array_equal(img[8:, 8:], np.full((8, 8), 160))
 
 
-def test_progressive_rejected():
+def test_progressive_without_scans_rejected():
     body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     jpg = (b"\xff\xd8" + _seg(0xC2, body) + b"\xff\xd9")
-    with pytest.raises(UnsupportedMedia):
+    with pytest.raises(ValueError):
         decode_jpeg(jpg)
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not jpeg")
@@ -220,3 +223,255 @@ def test_operator_routes_real_jpeg():
     img, real = _decode_image(jpg)
     np.testing.assert_array_equal(img, np.full((8, 8), 138, np.uint8))
     assert real is True
+
+
+# ---- progressive (SOF2): independent in-test progressive encoder ---------
+#
+# The encoder below implements the ENCODER side of T.81 G.1.2 (spectral
+# selection + successive approximation, libjpeg bit-buffering order) and
+# shares no code with the decoder.  The ground truth for every test is
+# the BASELINE encoding of the same coefficients — the progressive
+# decode must produce byte-identical pixels.
+
+# the progressive scans use the same wide table
+PAC_SYMBOLS = AC_SYMBOLS
+PAC_COUNTS = AC_COUNTS
+
+
+def _pac_emit(w, sym):
+    length, code = _code_of(PAC_COUNTS, PAC_SYMBOLS, sym)
+    w.put(code, length)
+
+
+def _dc_emit(w, diff):
+    s = _category(diff)
+    length, code = _code_of(DC_COUNTS, DC_SYMBOLS, s)
+    w.put(code, length)
+    _emit_value(w, diff, s)
+
+
+def _trunc(v, sh):
+    """Point transform for AC coefficients: magnitude shift (toward 0)."""
+    return -((-v) >> sh) if v < 0 else v >> sh
+
+
+def _emit_ac_first_scan(w, blocks, ss, se, al):
+    """One (run,size) stream per block; EOB0 per block (EOBn grouping is
+    exercised separately)."""
+    for block in blocks:
+        k = ss
+        emitted_to = ss - 1
+        for zz in range(ss, se + 1):
+            v = _trunc(int(block[zz]), al)
+            if v == 0:
+                continue
+            run = zz - emitted_to - 1
+            while run >= 16:
+                _pac_emit(w, 0xF0)
+                run -= 16
+            s = _category(v)
+            _pac_emit(w, (run << 4) | s)
+            _emit_value(w, v, s)
+            emitted_to = zz
+        if emitted_to < se:
+            _pac_emit(w, 0x00)
+
+
+def _emit_ac_refine_scan(w, blocks, ss, se, al):
+    """libjpeg order: symbol, sign bit, then the correction bits
+    buffered while the run accumulated; EOB carries the rest."""
+    for block in blocks:
+        buffered = []
+        run = 0
+        emitted_any_tail = False
+        for zz in range(ss, se + 1):
+            c = int(block[zz])
+            hist = _trunc(c, al + 1)
+            if hist != 0:
+                buffered.append((abs(c) >> al) & 1)
+                continue
+            v = _trunc(c, al)          # zero history: v in {-1, 0, 1}
+            if v == 0:
+                run += 1
+                while run >= 16:
+                    _pac_emit(w, 0xF0)
+                    for b in buffered:
+                        w.put(b, 1)
+                    buffered = []
+                    run -= 16
+                continue
+            assert abs(v) == 1
+            _pac_emit(w, (run << 4) | 1)
+            w.put(1 if v > 0 else 0, 1)
+            for b in buffered:
+                w.put(b, 1)
+            buffered = []
+            run = 0
+            emitted_any_tail = zz == se
+        if not emitted_any_tail:
+            _pac_emit(w, 0x00)         # EOB1 (r=0): covers this block
+            for b in buffered:
+                w.put(b, 1)
+
+
+def _jpeg_prog(width, height, comps, scans, qdc=8, qrest=2):
+    """scans: list of (scan_comp_ids, ss, se, ah, al, writer_fn)."""
+    qtable = bytes([0]) + bytes([qdc] + [qrest] * 63)
+    dht = (bytes([0x00]) + bytes(DC_COUNTS) + DC_SYMBOLS
+           + bytes([0x10]) + bytes(PAC_COUNTS) + PAC_SYMBOLS)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
+    for cid, h, v in comps:
+        sof += bytes([cid, (h << 4) | v, 0])
+    out = b"\xff\xd8" + _seg(0xDB, qtable) + _seg(0xC4, dht) + _seg(0xC2, sof)
+    for comp_ids, ss, se, ah, al, writer in scans:
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        w = _BitWriter()
+        writer(w)
+        out += _seg(0xDA, sos) + w.flush()
+    return out + b"\xff\xd9"
+
+
+def _baseline_of_blocks(width, height, blocks):
+    """Baseline encoding of full-precision zigzag coefficient blocks —
+    the pixel ground truth for the progressive tests."""
+    def wr(w):
+        prev = 0
+        for block in blocks:
+            ac = [(zz, int(block[zz])) for zz in range(1, 64) if block[zz]]
+            _emit_block(w, int(block[0]) - prev, ac=ac)
+            prev = int(block[0])
+    return _jpeg(width, height, [(1, 1, 1)], wr)
+
+
+def _prog_grayscale(width, height, blocks, split=6):
+    """Canonical 6-scan progression: DC first (Al=1), two AC bands first
+    (Al=1), DC refine, two AC band refines (Al=0)."""
+    dcs = [int(b[0]) for b in blocks]
+
+    def dc_first(w):
+        prev = 0
+        for dc in dcs:
+            v = dc >> 1                   # DC point transform: arithmetic
+            _dc_emit(w, v - prev)         # shift (floor), per T.81
+            prev = v
+
+    def dc_refine(w):
+        for dc in dcs:
+            w.put(dc & 1, 1)
+
+    return _jpeg_prog(
+        width, height, [(1, 1, 1)],
+        [([1], 0, 0, 0, 1, dc_first),
+         ([1], 1, split - 1, 0, 1,
+          lambda w: _emit_ac_first_scan(w, blocks, 1, split - 1, 1)),
+         ([1], split, 63, 0, 1,
+          lambda w: _emit_ac_first_scan(w, blocks, split, 63, 1)),
+         ([1], 0, 0, 1, 0, dc_refine),
+         ([1], 1, split - 1, 1, 0,
+          lambda w: _emit_ac_refine_scan(w, blocks, 1, split - 1, 0)),
+         ([1], split, 63, 1, 0,
+          lambda w: _emit_ac_refine_scan(w, blocks, split, 63, 0))])
+
+
+def test_progressive_dc_only_matches_baseline():
+    blocks = [np.zeros(64, dtype=int)]
+    blocks[0][0] = 5                      # odd DC: refinement bit matters
+    prog = _prog_grayscale(8, 8, blocks)
+    np.testing.assert_array_equal(
+        decode_jpeg(prog), decode_jpeg(_baseline_of_blocks(8, 8, blocks)))
+
+
+def test_progressive_full_progression_matches_baseline():
+    """2x2 blocks with DC/AC values across both bands, odd and even,
+    positive and negative — the complete 6-scan progression must land on
+    the baseline pixels exactly."""
+    rng = np.random.default_rng(3)
+    blocks = []
+    for _ in range(4):
+        b = np.zeros(64, dtype=int)
+        b[0] = int(rng.integers(-20, 21))
+        for zz in sorted(rng.choice(np.arange(1, 64), size=9,
+                                    replace=False)):
+            b[zz] = int(rng.integers(-3, 4)) or 1
+        blocks.append(b)
+    prog = _prog_grayscale(16, 16, blocks)
+    np.testing.assert_array_equal(
+        decode_jpeg(prog), decode_jpeg(_baseline_of_blocks(16, 16, blocks)))
+
+
+def test_progressive_eobrun_spans_blocks():
+    """Three blocks whose high band is empty: AC-first scan encodes them
+    as ONE EOB2 symbol (r=1, extra bit 1 -> run of 3 blocks)."""
+    blocks = []
+    for dc in (4, 6, 8):
+        b = np.zeros(64, dtype=int)
+        b[0] = dc
+        b[1] = 2                          # low band only
+        blocks.append(b)
+
+    def ac_high_first(w):
+        _pac_emit(w, 0x10)                # EOB1: eobrun = 2 + extra
+        w.put(1, 1)                       # extra bit -> covers 3 blocks
+
+    prog = _jpeg_prog(
+        24, 8, [(1, 1, 1)],
+        [([1], 0, 0, 0, 0, lambda w: (
+            _dc_emit(w, int(blocks[0][0])),
+            _dc_emit(w, int(blocks[1][0] - blocks[0][0])),
+            _dc_emit(w, int(blocks[2][0] - blocks[1][0])))),
+         ([1], 1, 5, 0, 0,
+          lambda w: _emit_ac_first_scan(w, blocks, 1, 5, 0)),
+         ([1], 6, 63, 0, 0, ac_high_first)])
+    np.testing.assert_array_equal(
+        decode_jpeg(prog), decode_jpeg(_baseline_of_blocks(24, 8, blocks)))
+
+
+def test_progressive_refinement_corrects_existing_coefficients():
+    """A coefficient visible at Al=1 (magnitude >= 2) must absorb its
+    correction bit; a magnitude-1 coefficient appears only in the
+    refinement scan (newly-nonzero path)."""
+    b = np.zeros(64, dtype=int)
+    b[0] = 6
+    b[3] = 3      # visible at Al=1 as 1, refined to 3? no: 3>>1=1, bit 1
+    b[5] = -1     # invisible at Al=1, newly nonzero in refinement
+    b[9] = -2     # visible at Al=1 as -1, correction bit 0
+    blocks = [b]
+    prog = _prog_grayscale(8, 8, blocks, split=32)
+    np.testing.assert_array_equal(
+        decode_jpeg(prog), decode_jpeg(_baseline_of_blocks(8, 8, blocks)))
+
+
+def test_progressive_three_component_interleaved_dc():
+    """Interleaved DC scan over Y/Cb/Cr + per-component AC scans: chroma
+    is entropy-tracked; luma pixels equal the single-component baseline."""
+    yb = np.zeros(64, dtype=int)
+    yb[0], yb[2] = 9, 2
+    cb = np.zeros(64, dtype=int)
+    cb[0] = 4
+    cr = np.zeros(64, dtype=int)
+    cr[0], cr[1] = -3, 1
+
+    def dc_first(w):
+        _dc_emit(w, int(yb[0]) >> 1)
+        _dc_emit(w, int(cb[0]) >> 1)
+        _dc_emit(w, int(cr[0]) >> 1)
+
+    def dc_refine(w):
+        for v in (int(yb[0]), int(cb[0]), int(cr[0])):
+            w.put(v & 1, 1)
+
+    prog = _jpeg_prog(
+        8, 8, [(1, 1, 1), (2, 1, 1), (3, 1, 1)],
+        [([1, 2, 3], 0, 0, 0, 1, dc_first),
+         ([1], 1, 63, 0, 0,
+          lambda w: _emit_ac_first_scan(w, [yb], 1, 63, 0)),
+         ([2], 1, 63, 0, 0,
+          lambda w: _emit_ac_first_scan(w, [cb], 1, 63, 0)),
+         ([3], 1, 63, 0, 0,
+          lambda w: _emit_ac_first_scan(w, [cr], 1, 63, 0)),
+         ([1, 2, 3], 0, 0, 1, 0, dc_refine)])
+    np.testing.assert_array_equal(
+        decode_jpeg(prog), decode_jpeg(_baseline_of_blocks(8, 8, [yb])))

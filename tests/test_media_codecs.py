@@ -383,7 +383,7 @@ def test_video_max_frames_one(spark):
 
 
 @settings(max_examples=40, deadline=None)
-@given(st.integers(0, 2 ** 32 - 1), st.integers(0, 6))
+@given(st.integers(0, 2 ** 32 - 1), st.integers(0, 8))
 def test_decoder_fuzz_terminates(seed, kind):
     """Random and mutated-valid payloads: decoders must terminate with a
     normal exception (absorbed upstream by the stub fallback) or a valid
@@ -408,11 +408,23 @@ def test_decoder_fuzz_terminates(seed, kind):
             5: _palette_png(3, 2, 4, [(i, i, i) for i in range(16)],
                             bytes([0, 0x12, 0x30, 2, 0x11, 0x10])),
             6: _mp4([(b"vide", 12800, [(240, 512)])]),
+            7: None,   # progressive JPEG
+            8: None,   # Adam7 PNG
         }[kind]
-        if base is None:  # mutated JPEG built from the codec test helpers
+        if base is None and kind == 4:  # baseline JPEG from codec helpers
             from tests.test_jpeg_codec import _emit_block, _jpeg
 
             base = _jpeg(8, 8, [(1, 1, 1)], lambda w: _emit_block(w, 10))
+        elif base is None and kind == 7:
+            from tests.test_jpeg_codec import _prog_grayscale
+
+            blk = np.zeros(64, dtype=int)
+            blk[0], blk[3], blk[9] = 7, 3, -2
+            base = _prog_grayscale(8, 8, [blk])
+        elif base is None:  # kind 8: Adam7-interlaced PNG
+            img9 = (np.arange(81, dtype=np.uint8).reshape(9, 9) * 3)
+            base = _png_interlaced(
+                9, 9, 0, _adam7_scanlines(img9, lambda row: row.tobytes()))
         b = bytearray(base)
         for _ in range(rng.integers(1, 6)):
             b[rng.integers(0, len(b))] = rng.integers(0, 256)
