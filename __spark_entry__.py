@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_funnel": dq.q_curation_funnel,
         "q_vocab_df": dq.q_vocab_df,
         "q_lang_id": dq.q_lang_id,
+        "q_pii_scrub": dq.q_pii_scrub,
+        "q_embed_quantize": dq.q_embed_quantize,
     }
 
 
@@ -145,4 +147,6 @@ def oracle_sql() -> dict[str, str]:
         "q_curation_funnel": dq.q_curation_funnel_sql(),
         "q_vocab_df": dq.q_vocab_df_sql(),
         "q_lang_id": dq.q_lang_id_sql(),
+        "q_pii_scrub": dq.q_pii_scrub_sql(),
+        "q_embed_quantize": dq.q_embed_quantize_sql(),
     }

@@ -1768,3 +1768,139 @@ def q_lang_id_sql() -> str:
                 ELSE 'es' END AS lang_pred
     FROM h
     """
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene: detect + redact, narrow JVM regexps)
+# --------------------------------------------------------------------------
+#
+# The synthetic corpus carries no real PII, so — like the URL
+# canonicalization family's _messy_url_col — both engines deterministically
+# lace the text with the forms a crawl actually contains (emails, IPv4s,
+# phone numbers) and the operator's detection/redaction is what's tested.
+# Scale shape: pure projection (regexp count + chained regexp_replace),
+# zero shuffles; the patterns are deliberately RE2-compatible so the same
+# strings drive Spark (Java regex) and the DuckDB oracle.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d ]{7,}\d"
+
+
+def _pii_text_col():
+    email = F.concat(F.lit(" Contact: user"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@Example-Mail.com."))
+    ip = F.concat(F.lit(" from 10.0."),
+                  (F.col("doc_id") % 256).cast("string"), F.lit(".17"))
+    phone = F.concat(F.lit(" call +1 415 "),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"),
+                            4, "0"),
+                     F.lit(" 2368"))
+    t = F.col("text")
+    return (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(t, email, ip))
+        .when(F.col("doc_id") % 5 == 1, F.concat(t, phone))
+        .when(F.col("doc_id") % 5 == 2, F.concat(t, email, phone, ip))
+        .otherwise(t)
+    )
+
+
+_PII_TEXT_SQL = """
+    CASE WHEN doc_id % 5 = 0 THEN text || ' Contact: user' ||
+              CAST(doc_id AS VARCHAR) || '@Example-Mail.com.' ||
+              ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+         WHEN doc_id % 5 = 1 THEN text || ' call +1 415 ' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 2368'
+         WHEN doc_id % 5 = 2 THEN text || ' Contact: user' ||
+              CAST(doc_id AS VARCHAR) || '@Example-Mail.com.' ||
+              ' call +1 415 ' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 2368' ||
+              ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+         ELSE text END
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII census + redaction: count emails / IPv4s /
+    phone-shaped numbers, replace them with typed tokens (emails first —
+    an address can embed digits that the looser patterns would bite),
+    and emit the md5 of the redacted text (narrow output; the full
+    redacted column is what a production pipeline would write)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pii = _pii_text_col()
+    red = F.regexp_replace(pii, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(pii, F.lit(PII_EMAIL_RE), F.lit(0)))
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all(pii, F.lit(PII_IPV4_RE), F.lit(0)))
+         .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(pii, F.lit(PII_PHONE_RE), F.lit(0)))
+         .alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def q_pii_scrub_sql() -> str:
+    return f"""
+    WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+    SELECT doc_id,
+           length(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+           length(regexp_extract_all(t, '{PII_IPV4_RE}')) AS n_ipv4,
+           length(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_IPV4_RE}', '<IP>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM pii
+    """
+
+
+# --------------------------------------------------------------------------
+# embedding int8 quantization (4x storage cut for the vector column)
+# --------------------------------------------------------------------------
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization census: scale =
+    127/max|v|, q_i = round(v_i * scale); reports the scale and the
+    reconstruction RMSE.  Pure projection (JVM higher-order functions)
+    — at 100 TB this runs inside the ingest scan and writes the int8
+    column + scale; the census here is the quality gate a pipeline
+    monitors.  Rounding of q_i happens identically on both engines
+    (HALF_UP == half-away-from-zero for these magnitudes), so the
+    RMSE matches the oracle bit-for-bit after the output rounding."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.aggregate(v, F.lit(0.0),
+                       lambda a, x: F.greatest(a, F.abs(x)))
+    scale = F.lit(127.0) / amax
+    diff = F.transform(v, lambda x: x - F.round(x * scale) / scale)
+    mse = F.aggregate(diff, F.lit(0.0),
+                      lambda a, d: a + d * d) / F.size(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 4).alias("scale"),
+        F.round(F.sqrt(mse), 6).alias("rmse"),
+    ).where(F.col("scale").isNotNull())
+
+
+def q_embed_quantize_sql() -> str:
+    return """
+    SELECT vec_id,
+           round(127.0 / amax, 4) AS scale,
+           round(sqrt(list_dot_product(d, d) / len(d)), 6) AS rmse
+    FROM (
+      SELECT vec_id, amax,
+             list_transform(v, x -> x - round(x * 127.0 / amax)
+                                       / (127.0 / amax)) AS d
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS amax
+        FROM embeddings
+      )
+    )
+    """
