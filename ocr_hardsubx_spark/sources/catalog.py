@@ -69,3 +69,32 @@ def read_documents(spark: "SparkSession", source: str,
             df = df.where(
                 F.to_date(F.col("warc_ts")).between(*day_range))
     return df
+
+
+def write_bucketed(df: "DataFrame", table: str, key: str,
+                   buckets: int, database_location: str | None = None
+                   ) -> None:
+    """Persist a table bucketed (and sorted) by `key` so every
+    subsequent equi-join or aggregation on that key is CO-LOCATED: both
+    sides land in matching buckets and Spark elides the shuffle
+    exchange entirely (tests/test_bucketed_join.py asserts the
+    executed plan has zero ShuffleExchange, vs. the SortMergeJoin +
+    two Exchanges the same join costs un-bucketed).
+
+    At 100 TB this is the difference between re-shuffling the corpus on
+    every host-keyed stage and paying the partitioning ONCE at ingest:
+    write documents bucketed by canonical host (or doc hash for dedup
+    joins) and the whole downstream host-keyed pipeline — dedup,
+    sessionize, domain census, host-rate joins — runs exchange-free.
+    Bucket count rules of thumb: ~2-4x total executor cores, and sized
+    so one bucket's rows fit an executor's memory at the target SF.
+
+    `database_location` lets callers (and tests) route the managed
+    table's files away from the default warehouse directory."""
+    spark = df.sparkSession
+    db = table.split(".")[0] if "." in table else None
+    if db and database_location is not None:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} "
+                  f"LOCATION '{database_location}'")
+    (df.write.mode("overwrite").format("parquet")
+       .bucketBy(buckets, key).sortBy(key).saveAsTable(table))
