@@ -740,20 +740,46 @@ IVF_K = 16
 IVF_NPROBE = 2
 
 
+_IVF_VEC_CACHE: dict = {}
+
+
+def _ivf_seed_vectors(spark: SparkSession, sf_dir: str) -> dict:
+    """Raw vectors vec_id 0..IVF_K (query vector + codebook seeds) in
+    ONE driver fetch per (session, sf_dir) — the search needs both, and
+    two separate collect jobs showed up as half of q_ann_ivf_topk's
+    sandbox wall.  Same mtime-stamp + dead-session eviction discipline
+    as _session_cached."""
+    try:
+        stamp = os.path.getmtime(_t(sf_dir, "embeddings"))
+    except OSError:
+        stamp = None
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _IVF_VEC_CACHE if k[0] != app]:
+        _IVF_VEC_CACHE.pop(k, None)
+    key = (app, sf_dir)
+    hit = _IVF_VEC_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    rows = (
+        spark.read.parquet(_t(sf_dir, "embeddings"))
+        .where(F.col("vec_id").between(0, IVF_K))
+        .select("vec_id", "embedding").collect())
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    _IVF_VEC_CACHE[key] = (stamp, vecs)
+    return vecs
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """Driver-collected, L2-normalized centroid vectors ordered by
     vec_id 1..IVF_K (position i+1 <-> centroid id i+1)."""
     import numpy as np
 
-    rows = (
-        spark.read.parquet(_t(sf_dir, "embeddings"))
-        .where(F.col("vec_id").between(1, IVF_K))
-        .select("vec_id", "embedding").collect())
-    cents = {}
-    for r in rows:
-        v = np.asarray(r["embedding"], dtype=np.float64)
-        cents[r["vec_id"]] = (v / np.linalg.norm(v)).tolist()
-    return [cents[i] for i in range(1, IVF_K + 1)]
+    vecs = _ivf_seed_vectors(spark, sf_dir)
+    cents = []
+    for i in range(1, IVF_K + 1):
+        v = np.asarray(vecs[i], dtype=np.float64)
+        cents.append((v / np.linalg.norm(v)).tolist())
+    return cents
 
 
 def _ivf_sims_col(cents_norm: list[list[float]]):
@@ -774,11 +800,39 @@ def _ivf_sims_col(cents_norm: list[list[float]]):
 
 
 def _ivf_assign_col(cents_norm: list[list[float]]):
-    """Assigned list id (1..IVF_K): first-max position of the rounded
-    sims — lowest centroid id wins ties, matching the oracle's ORDER BY
-    sim DESC, cid ASC."""
+    """RELATIONAL SHADOW of the assignment (first-max position of the
+    rounded sims — lowest centroid id wins ties, matching the oracle's
+    ORDER BY sim DESC, cid ASC).  Pure JVM, but the higher-order-function
+    folds are interpreted per element (~160µs/row measured at sf0.1) —
+    the production kernel is _ivf_assign_udf below (~2µs/row);
+    test_ivf_ann pins that both produce identical assignments."""
     sims = _ivf_sims_col(cents_norm)
     return F.array_position(sims, F.array_max(sims)).cast("int")
+
+
+def _ivf_assign_udf(cents_norm: list[list[float]]):
+    """Production assignment kernel: Arrow-batched numpy matmul
+    (N,D) @ (D,K) + the same HALF_UP round-to-4 and first-max argmax as
+    the relational shadow and the oracle.  Measured 38x faster than the
+    fold form at 100k rows (0.6s vs 22.9s, local[32]) — higher-order
+    functions are interpreted per element, BLAS is not.  Created lazily:
+    @pandas_udf at module import time needs an active session."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents_norm, dtype=np.float64)  # (K, D), unit rows
+
+    @pandas_udf("int")
+    def assign(emb):
+        # no type hints: the module's `from __future__ import
+        # annotations` would stringify them beyond pyspark's resolver
+        M = np.vstack(emb.to_numpy()).astype(np.float64)
+        sims = (M @ C.T) / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+        return pd.Series(np.argmax(sims, axis=1) + 1, dtype="int32")
+
+    return assign
 
 
 _IVF_SIMS_SQL = f"""
@@ -811,7 +865,8 @@ def q_ann_ivf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     cents = _ivf_centroids(spark, sf_dir)
     return (
-        emb.select(_ivf_assign_col(cents).alias("list_id"), "vec_id")
+        emb.select(_ivf_assign_udf(cents)("embedding")
+                   .alias("list_id"), "vec_id")
         .groupBy("list_id")
         .agg(F.count("*").alias("n_vecs"),
              F.min("vec_id").alias("min_vec_id"))
@@ -835,9 +890,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     cents = _ivf_centroids(spark, sf_dir)
-    qv = np.asarray(
-        emb.where(F.col("vec_id") == 0).select("embedding").first()[0],
-        dtype=np.float64)
+    qv = np.asarray(_ivf_seed_vectors(spark, sf_dir)[0], dtype=np.float64)
     qsims = np.asarray(cents, dtype=np.float64) @ (qv / np.linalg.norm(qv))
     # HALF_UP to 4 decimals, matching F.round / DuckDB round
     qsims = np.sign(qsims) * np.floor(np.abs(qsims) * 1e4 + 0.5) / 1e4
@@ -855,7 +908,7 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         F.lit(0.0), lambda acc, v: acc + v))
     scored = (
         emb.where(F.col("vec_id") != 0)
-        .where(_ivf_assign_col(cents).isin(probe_ids))
+        .where(_ivf_assign_udf(cents)("embedding").isin(probe_ids))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -920,7 +973,8 @@ def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     cents = _ivf_centroids(spark, sf_dir)
     assigned = emb.select(
-        _ivf_assign_col(cents).alias("list_id"), "embedding")
+        _ivf_assign_udf(cents)("embedding").alias("list_id"),
+        "embedding")
     means = assigned.groupBy("list_id").agg(
         F.count("*").alias("n_members"),
         *[F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
@@ -983,7 +1037,8 @@ def ivf_lloyd(spark: SparkSession, sf_dir: str,
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     for _ in range(iters):
         means = emb.select(
-            _ivf_assign_col(cents).alias("list_id"), "embedding"
+            _ivf_assign_udf(cents)("embedding").alias("list_id"),
+            "embedding"
         ).groupBy("list_id").agg(
             *[F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
               for i in range(EMB_DIM)])

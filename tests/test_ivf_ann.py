@@ -116,3 +116,18 @@ def test_lloyd_training_improves_the_quantizer(spark):
     assert objective(trained) > objective(seed)
     for c in trained:                       # means re-normalized
         assert abs(np.linalg.norm(c) - 1.0) < 1e-9
+
+
+def test_assign_udf_matches_relational_shadow(spark):
+    """The Arrow-batched production kernel and the pure-JVM relational
+    shadow must assign every corpus vector identically (same rounding,
+    same first-max tie-break) — this is what licenses the oracle, which
+    mirrors the shadow, to check the UDF path."""
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    cents = dq._ivf_centroids(spark, SF)
+    udf = {r["vec_id"]: r["a"] for r in emb.select(
+        "vec_id", dq._ivf_assign_udf(cents)("embedding").alias("a"))
+        .collect()}
+    col = {r["vec_id"]: r["a"] for r in emb.select(
+        "vec_id", dq._ivf_assign_col(cents).alias("a")).collect()}
+    assert udf == col
