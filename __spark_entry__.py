@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": dq.q_lang_id,
         "q_pii_scrub": dq.q_pii_scrub,
         "q_embed_quantize": dq.q_embed_quantize,
+        "q_event_window_rate": dq.q_event_window_rate,
     }
 
 
@@ -149,4 +150,5 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": dq.q_lang_id_sql(),
         "q_pii_scrub": dq.q_pii_scrub_sql(),
         "q_embed_quantize": dq.q_embed_quantize_sql(),
+        "q_event_window_rate": dq.q_event_window_rate_sql(),
     }

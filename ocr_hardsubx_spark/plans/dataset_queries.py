@@ -1959,3 +1959,40 @@ def q_embed_quantize_sql() -> str:
       )
     )
     """
+
+
+# --------------------------------------------------------------------------
+# tumbling event-time windows (batch shadow of the streaming window+
+# watermark aggregation in streaming/extract_stream.stream_host_rates)
+# --------------------------------------------------------------------------
+
+def q_event_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per type per 10-minute tumbling event-time window — the
+    exact window spec the streaming host-rate query runs; once a
+    watermark closes a window the streaming result equals this batch
+    frame.  Window starts are emitted as epoch millis (BIGINT) so the
+    oracle compare never touches timestamp formatting.  Spark's window()
+    and DuckDB's time_bucket are both epoch-aligned (their origins
+    differ by an exact multiple of 10 minutes), so the buckets agree."""
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            # ts is TIMESTAMP_NTZ; the session is UTC, so the cast to
+            # (tz-aware) TIMESTAMP that unix_millis needs is an identity
+            F.unix_millis(F.col("w.start").cast("timestamp"))
+             .alias("window_start_ms"),
+            "event_type", "n_events", "sum_value")
+    )
+
+
+def q_event_window_rate_sql() -> str:
+    return """
+    SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', ts))
+             AS window_start_ms,
+           event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """

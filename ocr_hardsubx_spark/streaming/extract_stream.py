@@ -75,7 +75,10 @@ def stream_host_rates(spark: "SparkSession", input_path: str,
     """Watermarked windowed aggregation: docs per host per 10-minute
     event-time window, tolerating 30 minutes of late data."""
     docs = read_documents_stream(spark, input_path)
-    host = F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+    # scheme-agnostic, no trailing-slash requirement (round-2 advisory —
+    # the same fix as streaming/stateful_dedup._host_col)
+    host = F.regexp_extract("url", r"^[a-zA-Z]+://([^/?#]+)", 1) \
+        .alias("host")
     agg = (
         docs.select(host, "warc_ts")
         .withWatermark("warc_ts", "30 minutes")
