@@ -827,6 +827,8 @@ def _ivf_assign_udf(cents_norm: list[list[float]]):
     def assign(emb):
         # no type hints: the module's `from __future__ import
         # annotations` would stringify them beyond pyspark's resolver
+        if len(emb) == 0:          # empty Arrow batch: vstack would raise
+            return pd.Series([], dtype="int32")
         M = np.vstack(emb.to_numpy()).astype(np.float64)
         sims = (M @ C.T) / np.linalg.norm(M, axis=1, keepdims=True)
         sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4

@@ -475,3 +475,35 @@ def test_progressive_three_component_interleaved_dc():
          ([1, 2, 3], 0, 0, 1, 0, dc_refine)])
     np.testing.assert_array_equal(
         decode_jpeg(prog), decode_jpeg(_baseline_of_blocks(8, 8, [yb])))
+
+
+def test_progressive_dc_restart_markers():
+    """DRI=2 with a progressive DC scan: the restart resets the DC
+    predictor mid-scan; pixels must equal the baseline encoding of the
+    same absolute DCs."""
+    dcs = [4, 8, 12, 16]
+
+    def dc_scan_bytes():
+        w1 = _BitWriter()
+        _dc_emit(w1, dcs[0])
+        _dc_emit(w1, dcs[1] - dcs[0])
+        w2 = _BitWriter()
+        _dc_emit(w2, dcs[2])              # predictor RESET at the RST
+        _dc_emit(w2, dcs[3] - dcs[2])
+        return w1.flush() + b"\xff\xd0" + w2.flush()
+
+    qtable = bytes([0]) + bytes([8] + [2] * 63)
+    dht = bytes([0x00]) + bytes(DC_COUNTS) + DC_SYMBOLS
+    sof = bytes([8]) + struct.pack(">HH", 8, 32) + bytes([1, 1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 0, 0x00])
+    prog = (b"\xff\xd8" + _seg(0xDB, qtable) + _seg(0xC4, dht)
+            + _seg(0xDD, struct.pack(">H", 2)) + _seg(0xC2, sof)
+            + _seg(0xDA, sos) + dc_scan_bytes() + b"\xff\xd9")
+
+    blocks = []
+    for dc in dcs:
+        b = np.zeros(64, dtype=int)
+        b[0] = dc
+        blocks.append(b)
+    np.testing.assert_array_equal(
+        decode_jpeg(prog), decode_jpeg(_baseline_of_blocks(32, 8, blocks)))
