@@ -39,7 +39,8 @@ SCRATCH = "/root/repo/data/bench/out"
 HEADLINE_QUERIES = (
     "q1_pricing_summary", "q_broadcast_dim_join", "q_top1_per_group",
     "q_window_dedup", "q_dedup_exact", "q_minhash_dup_candidates",
-    "q_simhash", "q_ann_cosine_topk", "q_embed_neardup",
+    "q_simhash", "q_simhash_candidates", "q_ann_cosine_topk",
+    "q_ann_ivf_topk", "q_ivf_train_step", "q_embed_neardup",
     "q_stream_dedup_shadow", "q_triplet_consistency",
     "q_url_canonicalize", "q_token_stats", "q_lang_id",
 )
