@@ -600,6 +600,32 @@ def _code_col(planes: list[list[float]]):
                        lambda acc, v: acc + v).cast("int")
 
 
+def _code_udf(planes: list[list[float]]):
+    """Production LSH coder: Arrow-batched numpy sign-projection —
+    (N,D) @ (D,n_planes) >= 0, bits packed to one int.  The
+    higher-order-function form (_code_col) is interpreted per element
+    (~160µs/row measured, the same pathology as the IVF fold kernel) and
+    survives as the oracle-mirrored relational shadow; test_lsh_planes
+    pins code equality between the two on the corpus.  Lazy creation:
+    @pandas_udf needs an active session."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)        # (n_planes, D)
+    W = (1 << np.arange(len(planes))).astype(np.int64)
+
+    @pandas_udf("int")
+    def code(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.vstack(emb.to_numpy()).astype(np.float64)
+        bits = (M @ P.T) >= 0
+        return pd.Series(bits @ W, dtype="int32")
+
+    return code
+
+
 def _code_sql(planes: list[list[float]]) -> str:
     """DuckDB expression computing the same code from the same literals."""
     terms = []
@@ -620,7 +646,8 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     planes = _lsh_planes(ANN_N_PLANES)
     return (
-        emb.select(_code_col(planes).alias("bucket"), "vec_id")
+        emb.select(_code_udf(planes)("embedding").alias("bucket"),
+                   "vec_id")
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -648,7 +675,7 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     planes = _lsh_planes(ANN_TOPK_PLANES)
     coded = emb.select("vec_id", "embedding",
-                       _code_col(planes).alias("code"))
+                       _code_udf(planes)("embedding").alias("code"))
     qside = coded.where(F.col("vec_id") == 0).select(
         F.col("code").alias("qcode"), F.col("embedding").alias("qv"))
     probes = qside.select(
@@ -1071,7 +1098,8 @@ def _nd_codes_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "nd_codes", sf_dir, "embeddings",
         lambda: emb.select(
             "vec_id",
-            *[_code_col(p).alias(f"code{t}") for t, p in enumerate(tables)],
+            *[_code_udf(p)("embedding").alias(f"code{t}")
+              for t, p in enumerate(tables)],
         ))
     stack_args = ", ".join(f"{t}, code{t}" for t in range(ND_TABLES))
     return codes.select(

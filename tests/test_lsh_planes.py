@@ -128,3 +128,20 @@ def test_zero_norm_vector_yields_null_not_nan(spark, tmp_path):
     assert (0, 1) not in pairs            # NULL dropped, not NaN-passed
     assert (2, 3) in pairs
     assert all(r["cos_sim"] == r["cos_sim"] for r in rows)  # no NaN
+
+
+def test_code_udf_matches_relational_shadow(spark):
+    """The Arrow-batched sign-projection coder and the pure-JVM fold
+    form must code every corpus vector identically — this licenses the
+    oracle (which mirrors the fold/_code_sql form) to check the UDF
+    path."""
+    from ocr_hardsubx_spark.plans import dataset_queries as dq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for planes in (dq._lsh_planes(dq.ANN_N_PLANES), dq._nd_tables()[0]):
+        udf = {r["vec_id"]: r["c"] for r in emb.select(
+            "vec_id", dq._code_udf(planes)("embedding").alias("c"))
+            .collect()}
+        col = {r["vec_id"]: r["c"] for r in emb.select(
+            "vec_id", dq._code_col(planes).alias("c")).collect()}
+        assert udf == col
