@@ -433,6 +433,16 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             frame = {"w": width, "h": height, "comps": comps,
                      "prog": marker == 0xC2}
             if frame["prog"]:
+                # gate on SOF fields NOW — decoding every scan and
+                # running the IDCT before discovering the luma plane
+                # can't cover the image would waste the whole decode
+                # (review finding); real-world progressive files always
+                # have max-sampled luma
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+                    raise UnsupportedMedia(
+                        "JPEG progressive with subsampled luma")
                 coef_state = _prog_init_state(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -665,13 +675,8 @@ def _prog_finish(frame, state, qt):
             block.flat[_ZIGZAG] = coefs[by, bx] * q
             plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
                 C.T @ block @ C + 128.0
-    hmax, vmax, _, _ = _prog_geometry(frame)
-    # luma plane covers the full image iff luma has max sampling (true
-    # for every real-world progressive file); crop to pixel dims
-    cw = (frame["w"] * luma["h"] + hmax - 1) // hmax
-    chh = (frame["h"] * luma["v"] + vmax - 1) // vmax
-    if (cw, chh) != (frame["w"], frame["h"]):
-        raise UnsupportedMedia("JPEG progressive with subsampled luma")
+    # luma is max-sampled (gated at SOF2 parse), so the plane covers the
+    # full image; crop to pixel dims
     return np.clip(np.round(plane[:frame["h"], :frame["w"]]),
                    0, 255).astype(np.uint8)
 

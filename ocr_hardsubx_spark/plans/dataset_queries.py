@@ -69,25 +69,38 @@ def q_dedup_exact_sql() -> str:
 _FRAME_CACHE: dict = {}
 
 
-def _session_cached(spark: SparkSession, tag: str, sf_dir: str,
-                    source: str, builder):
+def _stamped_state(cache: dict, spark: SparkSession, tag: str,
+                   sf_dir: str, source: str):
+    """The shared cache discipline (one implementation for the frame
+    cache AND driver-value caches like the IVF seeds): key on
+    (applicationId, tag, sf_dir), stamp on the source file's mtime, and
+    evict entries from other (stopped) sessions — their cached values
+    are dead weight and unpersist against a stopped session would be a
+    silent no-op anyway (round-2 advisory).  Returns
+    (key, stamp, fresh_value_or_None, stale_value_or_None)."""
     try:
         stamp = os.path.getmtime(_t(sf_dir, source))
     except OSError:
         stamp = None
     app = spark.sparkContext.applicationId
-    # evict entries from other (stopped) sessions: their cached
-    # DataFrames are dead weight and unpersist against a stopped session
-    # would be a silent no-op anyway (round-2 advisory)
-    for k in [k for k in _FRAME_CACHE if k[0] != app]:
-        _FRAME_CACHE.pop(k, None)
+    for k in [k for k in cache if k[0] != app]:
+        cache.pop(k, None)
     key = (app, tag, sf_dir)
-    hit = _FRAME_CACHE.get(key)
+    hit = cache.get(key)
     if hit is not None and hit[0] == stamp:
-        return hit[1]
-    if hit is not None:
+        return key, stamp, hit[1], None
+    return key, stamp, None, (hit[1] if hit is not None else None)
+
+
+def _session_cached(spark: SparkSession, tag: str, sf_dir: str,
+                    source: str, builder):
+    key, stamp, fresh, stale = _stamped_state(
+        _FRAME_CACHE, spark, tag, sf_dir, source)
+    if fresh is not None:
+        return fresh
+    if stale is not None:
         try:
-            hit[1].unpersist()
+            stale.unpersist()
         except Exception:
             pass
     df = builder().cache()
@@ -615,13 +628,24 @@ def _code_udf(planes: list[list[float]]):
     P = np.asarray(planes, dtype=np.float64)        # (n_planes, D)
     W = (1 << np.arange(len(planes))).astype(np.int64)
 
+    # Sign decisions at |dot| ~ 1e-15 are knife-edge across summation
+    # orders (BLAS vs left-fold vs list_dot_product) — inherent to ANY
+    # sign-projection LSH, pre-existing between the fold and DuckDB, and
+    # measure-~0 for continuous data; an occasional flip perturbs recall
+    # marginally, never correctness of the candidates-then-verify
+    # contract.  (The IVF argmax rounds before comparing because its
+    # ties are breakable; a sign-at-zero has no cross-engine tiebreak.)
     @pandas_udf("int")
     def code(emb):
         if len(emb) == 0:
-            return pd.Series([], dtype="int32")
-        M = np.vstack(emb.to_numpy()).astype(np.float64)
-        bits = (M @ P.T) >= 0
-        return pd.Series(bits @ W, dtype="int32")
+            return pd.Series([], dtype="Int32")
+        valid = emb.map(lambda v: v is not None).to_numpy()
+        out = pd.array([pd.NA] * len(emb), dtype="Int32")
+        if valid.any():
+            M = np.vstack(emb[valid].to_numpy()).astype(np.float64)
+            bits = (M @ P.T) >= 0
+            out[valid] = pd.array(bits @ W, dtype="Int32")
+        return pd.Series(out)
 
     return code
 
@@ -774,19 +798,12 @@ def _ivf_seed_vectors(spark: SparkSession, sf_dir: str) -> dict:
     """Raw vectors vec_id 0..IVF_K (query vector + codebook seeds) in
     ONE driver fetch per (session, sf_dir) — the search needs both, and
     two separate collect jobs showed up as half of q_ann_ivf_topk's
-    sandbox wall.  Same mtime-stamp + dead-session eviction discipline
-    as _session_cached."""
-    try:
-        stamp = os.path.getmtime(_t(sf_dir, "embeddings"))
-    except OSError:
-        stamp = None
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _IVF_VEC_CACHE if k[0] != app]:
-        _IVF_VEC_CACHE.pop(k, None)
-    key = (app, sf_dir)
-    hit = _IVF_VEC_CACHE.get(key)
-    if hit is not None and hit[0] == stamp:
-        return hit[1]
+    sandbox wall.  Shares _stamped_state's mtime-stamp + dead-session
+    eviction discipline with the frame cache."""
+    key, stamp, fresh, _ = _stamped_state(
+        _IVF_VEC_CACHE, spark, "ivf_seed", sf_dir, "embeddings")
+    if fresh is not None:
+        return fresh
     rows = (
         spark.read.parquet(_t(sf_dir, "embeddings"))
         .where(F.col("vec_id").between(0, IVF_K))
@@ -814,15 +831,20 @@ def _ivf_sims_col(cents_norm: list[list[float]]):
     matrix = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents_norm])
     return F.transform(
         matrix,
+        # try_divide: ANSI mode (Spark 4 default) makes x/0 THROW; a
+        # zero-norm vector must instead yield NULL sims -> NULL argmax,
+        # the shadow of the production kernel's NULL assignment
         lambda c: F.round(
-            F.aggregate(
-                F.zip_with("embedding", c,
-                           lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda acc, v: acc + v)
-            / F.sqrt(F.aggregate(
-                F.transform("embedding",
-                            lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0), lambda acc, v: acc + v)), 4),
+            F.try_divide(
+                F.aggregate(
+                    F.zip_with("embedding", c,
+                               lambda x, y: x.cast("double") * y),
+                    F.lit(0.0), lambda acc, v: acc + v),
+                F.sqrt(F.aggregate(
+                    F.transform("embedding",
+                                lambda x: x.cast("double")
+                                * x.cast("double")),
+                    F.lit(0.0), lambda acc, v: acc + v))), 4),
     )
 
 
@@ -855,11 +877,24 @@ def _ivf_assign_udf(cents_norm: list[list[float]]):
         # no type hints: the module's `from __future__ import
         # annotations` would stringify them beyond pyspark's resolver
         if len(emb) == 0:          # empty Arrow batch: vstack would raise
-            return pd.Series([], dtype="int32")
-        M = np.vstack(emb.to_numpy()).astype(np.float64)
-        sims = (M @ C.T) / np.linalg.norm(M, axis=1, keepdims=True)
-        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
-        return pd.Series(np.argmax(sims, axis=1) + 1, dtype="int32")
+            return pd.Series([], dtype="Int32")
+        valid = emb.map(lambda v: v is not None).to_numpy()
+        out = pd.array([pd.NA] * len(emb), dtype="Int32")
+        if valid.any():
+            M = np.vstack(emb[valid].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nz = (nrm[:, 0] != 0)
+            sims = np.divide(M @ C.T, nrm,
+                             out=np.full((len(M), C.shape[0]), np.nan),
+                             where=nrm != 0)
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+            vals = pd.array(np.argmax(sims, axis=1) + 1, dtype="Int32")
+            # zero-norm vectors have no angle: NULL assignment, matching
+            # the relational shadow (try_divide -> NULL sims -> NULL
+            # argmax) and the oracle's explicit zero-norm filter
+            vals[~nz] = pd.NA
+            out[valid] = vals
+        return pd.Series(out)
 
     return assign
 
@@ -877,6 +912,10 @@ _IVF_SIMS_SQL = f"""
                                               CAST(e.embedding AS DOUBLE[])))),
                    4) AS sim
       FROM embeddings e CROSS JOIN cents c
+      -- zero-norm vectors have no angle: excluded from assignment
+      -- (the Spark side yields NULL list_id for them, filtered out)
+      WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])) <> 0
     ),
     assign AS (
       SELECT vec_id, cid FROM (
@@ -896,6 +935,7 @@ def q_ann_ivf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select(_ivf_assign_udf(cents)("embedding")
                    .alias("list_id"), "vec_id")
+        .where(F.col("list_id").isNotNull())
         .groupBy("list_id")
         .agg(F.count("*").alias("n_vecs"),
              F.min("vec_id").alias("min_vec_id"))
@@ -1003,7 +1043,7 @@ def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_centroids(spark, sf_dir)
     assigned = emb.select(
         _ivf_assign_udf(cents)("embedding").alias("list_id"),
-        "embedding")
+        "embedding").where(F.col("list_id").isNotNull())
     means = assigned.groupBy("list_id").agg(
         F.count("*").alias("n_members"),
         *[F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
@@ -1961,7 +2001,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.transform("embedding", lambda x: x.cast("double"))
     amax = F.aggregate(v, F.lit(0.0),
                        lambda a, x: F.greatest(a, F.abs(x)))
-    scale = F.lit(127.0) / amax
+    # try_divide: under ANSI (Spark 4 default) 127/0 would THROW on a
+    # zero vector instead of producing the NULL the filter below drops
+    scale = F.try_divide(F.lit(127.0), amax)
     diff = F.transform(v, lambda x: x - F.round(x * scale) / scale)
     mse = F.aggregate(diff, F.lit(0.0),
                       lambda a, d: a + d * d) / F.size(F.col("embedding"))
@@ -1986,7 +2028,7 @@ def q_embed_quantize_sql() -> str:
                list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                        x -> abs(x))) AS amax
         FROM embeddings
-      )
+      ) WHERE amax <> 0  -- zero vector: Spark's 127/0 -> NULL scale, dropped
     )
     """
 

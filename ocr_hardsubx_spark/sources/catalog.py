@@ -92,7 +92,13 @@ def write_bucketed(df: "DataFrame", table: str, key: str,
     `database_location` lets callers (and tests) route the managed
     table's files away from the default warehouse directory."""
     spark = df.sparkSession
-    db = table.split(".")[0] if "." in table else None
+    parts = table.split(".")
+    # the database is the SECOND-TO-LAST part (catalog.db.tbl or db.tbl)
+    db = parts[-2] if len(parts) >= 2 else None
+    if database_location is not None and db is None:
+        raise ValueError(
+            f"database_location given but table {table!r} is unqualified "
+            f"— the location can only bind to a database (use 'db.table')")
     if db and database_location is not None:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} "
                   f"LOCATION '{database_location}'")

@@ -131,3 +131,27 @@ def test_assign_udf_matches_relational_shadow(spark):
     col = {r["vec_id"]: r["a"] for r in emb.select(
         "vec_id", dq._ivf_assign_col(cents).alias("a")).collect()}
     assert udf == col
+
+
+def test_zero_norm_and_null_rows_assign_null(spark):
+    """A zero-norm vector has no angle: both the production kernel and
+    the relational shadow must yield a NULL assignment (the oracle
+    filters such rows explicitly); a NULL embedding row must not crash
+    the Arrow kernel."""
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.1]), (2, [0.0, 0.0]), (3, None)],
+        "vec_id int, embedding array<float>")
+    udf = {r["vec_id"]: r["a"] for r in df.select(
+        "vec_id", dq._ivf_assign_udf(cents)("embedding").alias("a"))
+        .collect()}
+    assert udf == {1: 1, 2: None, 3: None}
+    col = {r["vec_id"]: r["a"] for r in df.select(
+        "vec_id", dq._ivf_assign_col(cents).alias("a")).collect()}
+    assert col[1] == 1 and col[2] is None
+
+    # LSH coder: NULL row -> NULL code, not a vstack crash
+    planes = [[1.0, 0.0], [0.0, -1.0]]
+    codes = {r["vec_id"]: r["c"] for r in df.select(
+        "vec_id", dq._code_udf(planes)("embedding").alias("c")).collect()}
+    assert codes[1] is not None and codes[3] is None
