@@ -360,15 +360,29 @@ def _run_extraction_job_inner(spark, pending, output_path, day_range,
             "wall_ms": wall_ms}
 
 
+def live_runs(spark: SparkSession, output_path: str) -> list[str]:
+    """Committed run ids minus any run superseded by a compaction
+    (listed in some committed manifest's `replaces` column).  The
+    `replaces` flip is what makes compaction crash-safe: the moment the
+    compacted run's manifest commits, readers exclude the replaced runs
+    even though their data dirs may still exist until GC."""
+    m = committed_manifests(spark, output_path)
+    if "replaces" not in m.columns:
+        m = m.withColumn("replaces", F.lit(""))
+    m = m.fillna({"replaces": ""})
+    runs = {r["run_id"] for r in m.select("run_id").distinct().collect()}
+    superseded: set[str] = set()
+    for r in (m.where(F.col("replaces") != "")
+              .select("replaces").distinct().collect()):
+        superseded.update(x for x in r["replaces"].split(",") if x)
+    return sorted(runs - superseded)
+
+
 def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
-    """Read only committed runs (manifest = commit log)."""
-    committed = [
-        r["run_id"]
-        for r in committed_manifests(spark, output_path)
-        .select("run_id").distinct().collect()
-    ]
+    """Read only committed, non-superseded runs (manifest = commit
+    log)."""
     candidates = [os.path.join(output_path, "data", f"run_id={r}")
-                  for r in committed]
+                  for r in live_runs(spark, output_path)]
     if _is_uri(output_path):
         fs, path_cls = _hdfs(spark, output_path)
         dirs = [d for d in candidates if fs.exists(path_cls(d))]
@@ -377,3 +391,101 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no committed runs under {output_path}")
     return spark.read.parquet(*dirs)
+
+
+def _run_dir_bytes(spark: SparkSession, data_dir: str) -> int:
+    if _is_uri(data_dir):
+        fs, path_cls = _hdfs(spark, data_dir)
+        statuses = fs.globStatus(path_cls(data_dir + "/*.parquet"))
+        return sum(s.getLen() for s in (statuses or []))
+    return sum(
+        os.path.getsize(os.path.join(data_dir, f))
+        for f in os.listdir(data_dir) if f.endswith(".parquet"))
+
+
+def compact_extracted(spark: SparkSession, output_path: str,
+                      target_file_mb: int = 256) -> dict:
+    """Compact all live runs into ONE run with size-targeted files.
+
+    Incremental backfills accumulate a ``run_id=`` dir per job, each
+    with per-core part files — at 100 TB that is the classic
+    small-files problem (every downstream scan pays a task per file and
+    the namenode/listing pays per object).  Protocol, crash-safe around
+    a single atomic visibility flip:
+
+    1. read the live runs' data; total bytes -> n_files =
+       ceil(bytes / target) (coalesce, no shuffle);
+    2. write the compacted run dir;
+    3. commit its manifest, which (a) carries forward every
+       input_file row from the replaced manifests — input coverage for
+       pending_input_files survives the GC of old manifests — and
+       (b) names the replaced run ids in ``replaces``: committing this
+       ONE file atomically makes readers drop the old runs;
+    4. GC the replaced data dirs, then their manifest files.  A crash
+       anywhere in (4) leaves a consistent view (readers already
+       exclude superseded runs) and the GC is idempotent.
+    """
+    t0 = time.time()
+    runs = live_runs(spark, output_path)
+    if len(runs) <= 1:
+        return {"compacted": False, "runs": len(runs)}
+    dirs = [os.path.join(output_path, "data", f"run_id={r}")
+            for r in runs]
+    total_bytes = sum(_run_dir_bytes(spark, d) for d in dirs)
+    n_files = max(1, -(-total_bytes // (target_file_mb << 20)))
+
+    new_id = "compact" + uuid.uuid4().hex[:9]
+    data_dir = os.path.join(output_path, "data", f"run_id={new_id}")
+    (spark.read.parquet(*dirs).coalesce(n_files)
+     .write.mode("overwrite").parquet(data_dir))
+
+    # carry forward input coverage + supersede in one manifest commit
+    import pyarrow as pa
+
+    m = committed_manifests(spark, output_path)
+    carried = (
+        m.where(F.col("run_id").isin(runs))
+        .select("input_file", "rows", "bytes_out", "day_range")
+        .collect())
+    run_bytes = sum(int(r["bytes_out"]) for r in carried
+                    if r["bytes_out"] and r["bytes_out"] > 0)
+    wall_ms = int((time.time() - t0) * 1000)
+    table = pa.Table.from_pylist([
+        {
+            "run_id": new_id,
+            "input_file": r["input_file"],
+            "rows": int(r["rows"]),
+            "bytes_out": int(r["bytes_out"]),
+            "run_bytes_out": run_bytes,
+            "n_partitions": int(n_files),
+            "wall_ms": wall_ms,
+            "day_range": r["day_range"] or "",
+            "replaces": ",".join(runs),
+        }
+        for r in carried
+    ])
+    _commit_manifest(spark, output_path, new_id, table)
+
+    # GC (idempotent; visibility already flipped by the commit above)
+    if _is_uri(output_path):
+        fs, path_cls = _hdfs(spark, output_path)
+        for d in dirs:
+            fs.delete(path_cls(d), True)
+        for r in runs:
+            fs.delete(path_cls(
+                os.path.join(output_path, "_manifests",
+                             f"{r}.parquet")), False)
+    else:
+        import shutil
+
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        for r in runs:
+            try:
+                os.remove(os.path.join(output_path, "_manifests",
+                                       f"{r}.parquet"))
+            except OSError:
+                pass
+    return {"compacted": True, "run_id": new_id, "replaced": len(runs),
+            "n_files": int(n_files), "bytes": int(total_bytes),
+            "wall_ms": wall_ms}

@@ -225,3 +225,87 @@ def test_uri_output_manifests_and_resume(spark, corpus, tmp_path):
     assert not bad, bad[:3]
     # no stray local-relative manifest dir was created by the URI run
     assert not os.path.exists("file:")
+
+
+def test_compaction_preserves_rows_and_coverage(spark, corpus, tmp_path):
+    from ocr_hardsubx_spark.plans.pipeline import (
+        compact_extracted,
+        live_runs,
+    )
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, corpus, out, max_files=2)
+    run_extraction_job(spark, corpus, out)          # second run: the rest
+    before = sorted(
+        (r["url"], r["extracted_text"])
+        for r in read_extracted(spark, out).collect())
+    assert len(live_runs(spark, out)) == 2
+
+    res = compact_extracted(spark, out, target_file_mb=256)
+    assert res["compacted"] and res["replaced"] == 2
+    # one live run; replaced data dirs GC'd
+    assert live_runs(spark, out) == [res["run_id"]]
+    assert sorted(os.listdir(os.path.join(out, "data"))) == \
+        [f"run_id={res['run_id']}"]
+    # byte-identical content
+    after = sorted(
+        (r["url"], r["extracted_text"])
+        for r in read_extracted(spark, out).collect())
+    assert after == before
+    # input coverage carried forward: nothing is pending, nothing re-runs
+    assert pending_input_files(spark, corpus, out) == []
+    assert run_extraction_job(spark, corpus, out)["files"] == 0
+    # second compaction is a no-op (single live run)
+    assert compact_extracted(spark, out)["compacted"] is False
+
+
+def test_compaction_crash_window_never_duplicates(spark, corpus, tmp_path):
+    """Simulate a crash AFTER the supersede commit but BEFORE GC: the
+    replaced data dirs still exist, yet readers must not see their rows
+    twice (the `replaces` flip, not the deletion, is the visibility
+    boundary)."""
+    import shutil
+
+    from ocr_hardsubx_spark.plans.pipeline import (
+        compact_extracted,
+        live_runs,
+    )
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, corpus, out, max_files=2)
+    run_extraction_job(spark, corpus, out)
+    old = live_runs(spark, out)
+    # stash the old run dirs + manifests, compact, then restore them —
+    # exactly the on-disk state of a crash before GC
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    for r in old:
+        shutil.copytree(os.path.join(out, "data", f"run_id={r}"),
+                        stash / f"run_id={r}")
+        shutil.copy(os.path.join(out, "_manifests", f"{r}.parquet"),
+                    stash / f"{r}.parquet")
+    before = sorted(r["url"] for r in read_extracted(spark, out).collect())
+    res = compact_extracted(spark, out)
+    for r in old:
+        shutil.copytree(stash / f"run_id={r}",
+                        os.path.join(out, "data", f"run_id={r}"))
+        shutil.copy(stash / f"{r}.parquet",
+                    os.path.join(out, "_manifests", f"{r}.parquet"))
+    assert set(live_runs(spark, out)) == {res["run_id"]}
+    after = sorted(r["url"] for r in read_extracted(spark, out).collect())
+    assert after == before
+
+
+def test_compaction_targets_file_size(spark, corpus, tmp_path):
+    from ocr_hardsubx_spark.plans.pipeline import compact_extracted
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, corpus, out, max_files=2)
+    run_extraction_job(spark, corpus, out)
+    # a 1 MB target on a tiny corpus -> 1 output file; the formula is
+    # ceil(bytes/target)
+    res = compact_extracted(spark, out, target_file_mb=1)
+    files = [f for f in os.listdir(
+        os.path.join(out, "data", f"run_id={res['run_id']}"))
+        if f.endswith(".parquet")]
+    assert len(files) == res["n_files"] >= 1
