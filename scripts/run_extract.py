@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--max-files", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None,
                     help="local-mode cores (ignored under spark-submit)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the job, compact all live runs into one "
+                         "size-targeted run (crash-safe supersede)")
+    ap.add_argument("--target-file-mb", type=int, default=256)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,6 +73,11 @@ def main() -> None:
         day_range=day_range, max_files=args.max_files,
         n_partitions=args.partitions, salt=args.salt,
     )
+    if args.compact:
+        from ocr_hardsubx_spark.plans.pipeline import compact_extracted
+
+        res["compaction"] = compact_extracted(
+            spark, args.output, target_file_mb=args.target_file_mb)
     print(json.dumps(res))
     spark.stop()
 
