@@ -309,3 +309,19 @@ def test_compaction_targets_file_size(spark, corpus, tmp_path):
         os.path.join(out, "data", f"run_id={res['run_id']}"))
         if f.endswith(".parquet")]
     assert len(files) == res["n_files"] >= 1
+
+
+def test_compaction_preserves_day_range_policy(spark, corpus, tmp_path):
+    """Compacted manifests carry the original day_range rows, so the
+    one-policy-per-output-dir rule survives compaction: same-range
+    resume sees full coverage, different-range resume still refuses."""
+    from ocr_hardsubx_spark.plans.pipeline import compact_extracted
+
+    out = str(tmp_path / "out")
+    rng = ("2025-01-01", "2025-01-02")
+    run_extraction_job(spark, corpus, out, day_range=rng, max_files=2)
+    run_extraction_job(spark, corpus, out, day_range=rng)
+    assert compact_extracted(spark, out)["compacted"]
+    assert pending_input_files(spark, corpus, out, day_range=rng) == []
+    with pytest.raises(ValueError):
+        pending_input_files(spark, corpus, out)  # full range: refuse
