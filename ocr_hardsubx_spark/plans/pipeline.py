@@ -218,8 +218,15 @@ def run_extraction_job(
     max_files: int | None = None,
     n_partitions: int | None = None,
     salt: bool = False,
+    partition_by_day: bool = False,
 ) -> dict:
     """One resumable run. Returns the run's metrics summary.
+
+    ``partition_by_day``: write the run's data hive-partitioned on
+    ``warc_dt=date(warc_ts)`` so downstream scans of the EXTRACTED
+    table prune by day exactly like the input does (at 100 TB the
+    output is itself a 100 TB table someone day-filters).  Keep one
+    layout per output directory.
 
     ``max_files`` limits this run's slice (used by tests to simulate a
     killed job; a real deployment uses it for incremental backfill).
@@ -261,13 +268,14 @@ def run_extraction_job(
     try:
         return _run_extraction_job_inner(
             spark, pending, output_path, day_range, n_partitions, salt,
-            local_inputs, t0)
+            local_inputs, t0, partition_by_day)
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
 
 def _run_extraction_job_inner(spark, pending, output_path, day_range,
-                              n_partitions, salt, local_inputs, t0):
+                              n_partitions, salt, local_inputs, t0,
+                              partition_by_day=False):
     df = spark.read.parquet(*pending).withColumn(
         "input_file", F.input_file_name())
     if day_range is not None:
@@ -292,10 +300,18 @@ def _run_extraction_job_inner(spark, pending, output_path, day_range,
     run_id = uuid.uuid4().hex[:16]
     data_dir = os.path.join(output_path, "data", f"run_id={run_id}")
 
+    def _write(frame):
+        if partition_by_day:
+            (frame.withColumn("warc_dt", F.to_date("warc_ts"))
+             .write.mode("overwrite").partitionBy("warc_dt")
+             .parquet(data_dir))
+        else:
+            frame.write.mode("overwrite").parquet(data_dir)
+
     import pyarrow.parquet as pq
 
     if day_range is None and local_inputs:
-        extracted.write.mode("overwrite").parquet(data_dir)
+        _write(extracted)
         # extraction maps documents 1:1, so per-file rows == input parquet
         # footer counts — driver-side metadata, no second Spark job
         per_file = {
@@ -320,7 +336,7 @@ def _run_extraction_job_inner(spark, pending, output_path, day_range,
 
         extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            extracted.write.mode("overwrite").parquet(data_dir)
+            _write(extracted)
             metrics = (
                 extracted.groupBy("input_file")
                 .agg(F.count("*").alias("rows"),
@@ -390,7 +406,17 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
         dirs = [d for d in candidates if os.path.isdir(d)]
     if not dirs:
         raise FileNotFoundError(f"no committed runs under {output_path}")
-    return spark.read.parquet(*dirs)
+    frames = [spark.read.parquet(d) for d in dirs]
+    if not all("warc_dt" in f.columns for f in frames):
+        # mixed layouts (partitioned + flat runs): drop the partition
+        # column so the union is well-typed; it stays derivable from
+        # warc_ts.  With a uniform partitioned layout it is KEPT so
+        # day filters prune at the scan (PartitionFilters).
+        frames = [f.drop("warc_dt") for f in frames]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _run_dir_bytes(spark: SparkSession, data_dir: str) -> int:

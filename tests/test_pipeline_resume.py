@@ -325,3 +325,31 @@ def test_compaction_preserves_day_range_policy(spark, corpus, tmp_path):
     assert pending_input_files(spark, corpus, out, day_range=rng) == []
     with pytest.raises(ValueError):
         pending_input_files(spark, corpus, out)  # full range: refuse
+
+
+def test_partitioned_output_prunes_and_matches(spark, corpus, tmp_path):
+    """partition_by_day=True writes hive day dirs inside the run dir;
+    reading the EXTRACTED table with a day filter prunes at the scan,
+    and content equals the flat layout byte for byte."""
+    out_p = str(tmp_path / "part")
+    out_f = str(tmp_path / "flat")
+    run_extraction_job(spark, corpus, out_p, partition_by_day=True)
+    run_extraction_job(spark, corpus, out_f)
+
+    r = committed_manifests(spark, out_p).select("run_id").first()["run_id"]
+    day_dirs = [d for d in os.listdir(
+        os.path.join(out_p, "data", f"run_id={r}"))
+        if d.startswith("warc_dt=")]
+    assert len(day_dirs) > 1
+
+    part = read_extracted(spark, out_p)
+    assert "warc_dt" in part.columns
+    one_day = sorted(d.split("=")[1] for d in day_dirs)[0]
+    filtered = part.where(F.col("warc_dt") == one_day)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(warc_dt" in plan, plan
+
+    a = sorted((r["url"], r["extracted_text"]) for r in part.collect())
+    b = sorted((r["url"], r["extracted_text"])
+               for r in read_extracted(spark, out_f).collect())
+    assert a == b
