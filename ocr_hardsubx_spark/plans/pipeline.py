@@ -462,8 +462,17 @@ def compact_extracted(spark: SparkSession, output_path: str,
 
     new_id = "compact" + uuid.uuid4().hex[:9]
     data_dir = os.path.join(output_path, "data", f"run_id={new_id}")
-    (spark.read.parquet(*dirs).coalesce(n_files)
-     .write.mode("overwrite").parquet(data_dir))
+    # read through read_extracted: it handles mixed layouts; a uniform
+    # day-partitioned layout is PRESERVED (repartition by day -> one
+    # writer task per day), a flat/mixed layout coalesces to the size
+    # target
+    df = read_extracted(spark, output_path)
+    if "warc_dt" in df.columns:
+        (df.repartition("warc_dt").write.mode("overwrite")
+         .partitionBy("warc_dt").parquet(data_dir))
+    else:
+        (df.coalesce(n_files)
+         .write.mode("overwrite").parquet(data_dir))
 
     # carry forward input coverage + supersede in one manifest commit
     import pyarrow as pa

@@ -353,3 +353,23 @@ def test_partitioned_output_prunes_and_matches(spark, corpus, tmp_path):
     b = sorted((r["url"], r["extracted_text"])
                for r in read_extracted(spark, out_f).collect())
     assert a == b
+
+
+def test_compaction_preserves_partitioned_layout(spark, corpus, tmp_path):
+    from ocr_hardsubx_spark.plans.pipeline import compact_extracted
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, corpus, out, max_files=2,
+                       partition_by_day=True)
+    run_extraction_job(spark, corpus, out, partition_by_day=True)
+    before = sorted((r["url"], r["extracted_text"])
+                    for r in read_extracted(spark, out).collect())
+    res = compact_extracted(spark, out)
+    assert res["compacted"]
+    day_dirs = [d for d in os.listdir(
+        os.path.join(out, "data", f"run_id={res['run_id']}"))
+        if d.startswith("warc_dt=")]
+    assert len(day_dirs) > 1
+    after = sorted((r["url"], r["extracted_text"])
+                   for r in read_extracted(spark, out).collect())
+    assert after == before
