@@ -394,6 +394,26 @@ def live_runs(spark: SparkSession, output_path: str) -> list[str]:
     return sorted(runs - superseded)
 
 
+def _read_run_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    """Union a fixed list of run dirs.  Fast path: ONE multi-path read
+    (shared FileIndex; uniform day-partitioned layouts keep warc_dt and
+    its scan-time pruning).  Mixed layouts or cross-run schema drift
+    fall back to a per-dir unionByName, dropping the partition column
+    when it is not universal (it stays derivable from warc_ts)."""
+    if len(dirs) == 1:
+        return spark.read.parquet(dirs[0])
+    try:
+        return spark.read.parquet(*dirs)
+    except Exception:
+        frames = [spark.read.parquet(d) for d in dirs]
+        if not all("warc_dt" in f.columns for f in frames):
+            frames = [f.drop("warc_dt") for f in frames]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+
 def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
     """Read only committed, non-superseded runs (manifest = commit
     log)."""
@@ -406,27 +426,109 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
         dirs = [d for d in candidates if os.path.isdir(d)]
     if not dirs:
         raise FileNotFoundError(f"no committed runs under {output_path}")
-    frames = [spark.read.parquet(d) for d in dirs]
-    if not all("warc_dt" in f.columns for f in frames):
-        # mixed layouts (partitioned + flat runs): drop the partition
-        # column so the union is well-typed; it stays derivable from
-        # warc_ts.  With a uniform partitioned layout it is KEPT so
-        # day filters prune at the scan (PartitionFilters).
-        frames = [f.drop("warc_dt") for f in frames]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return _read_run_dirs(spark, dirs)
 
 
-def _run_dir_bytes(spark: SparkSession, data_dir: str) -> int:
+def _run_dir_stats(spark: SparkSession, data_dir: str) -> tuple[int, int]:
+    """(bytes, n_files) over *.parquet at ANY depth — day-partitioned
+    runs nest part files under ``warc_dt=*/`` (a top-level-only listing
+    would count them as 0 bytes and mis-size the compaction)."""
     if _is_uri(data_dir):
         fs, path_cls = _hdfs(spark, data_dir)
-        statuses = fs.globStatus(path_cls(data_dir + "/*.parquet"))
-        return sum(s.getLen() for s in (statuses or []))
-    return sum(
-        os.path.getsize(os.path.join(data_dir, f))
-        for f in os.listdir(data_dir) if f.endswith(".parquet"))
+        if not fs.exists(path_cls(data_dir)):
+            return 0, 0
+        it = fs.listFiles(path_cls(data_dir), True)
+        b = n = 0
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().toString().endswith(".parquet"):
+                b += st.getLen()
+                n += 1
+        return b, n
+    b = n = 0
+    for root, _, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                b += os.path.getsize(os.path.join(root, f))
+                n += 1
+    return b, n
+
+
+def _delete_run(spark: SparkSession, output_path: str, run_id: str) -> bool:
+    """Remove one run's data dir + manifest file.  Idempotent; returns
+    whether anything existed."""
+    d = os.path.join(output_path, "data", f"run_id={run_id}")
+    mf = os.path.join(output_path, "_manifests", f"{run_id}.parquet")
+    if _is_uri(output_path):
+        fs, path_cls = _hdfs(spark, output_path)
+        existed = fs.exists(path_cls(d)) or fs.exists(path_cls(mf))
+        fs.delete(path_cls(d), True)
+        fs.delete(path_cls(mf), False)
+        return existed
+    import shutil
+
+    existed = os.path.isdir(d) or os.path.exists(mf)
+    shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.remove(mf)
+    except OSError:
+        pass
+    return existed
+
+
+def vacuum_superseded(spark: SparkSession, output_path: str) -> dict:
+    """Retry/resume the GC a crashed compaction left behind.
+    Idempotent; runs at the start of every compaction (single-compactor
+    assumption — the same one-writer assumption the extraction output
+    dir already carries for resume).
+
+    Two leftover classes:
+
+    * a SUPERSEDED run whose data dir / manifest survived a GC crash —
+      harmless to readers (the ``replaces`` flip already hides it), but
+      it MUST be reclaimed before a later compaction deletes the
+      manifest that records its supersession; otherwise that deletion
+      would resurrect the run's rows as duplicates (review finding);
+    * an orphan ``run_id=compact*`` data dir with no manifest (crash
+      between the data write and the commit) — invisible to readers,
+      pure dead disk.  Only ``compact*`` ids are eligible: a PLAIN run
+      dir without a manifest may be a live extraction job between its
+      write and its commit.
+    """
+    m = committed_manifests(spark, output_path)
+    if "replaces" not in m.columns:
+        m = m.withColumn("replaces", F.lit(""))
+    m = m.fillna({"replaces": ""})
+    committed = {r["run_id"]
+                 for r in m.select("run_id").distinct().collect()}
+    superseded: set[str] = set()
+    for r in (m.where(F.col("replaces") != "")
+              .select("replaces").distinct().collect()):
+        superseded.update(x for x in r["replaces"].split(",") if x)
+    n_super = sum(
+        _delete_run(spark, output_path, r) for r in sorted(superseded))
+
+    data_root = os.path.join(output_path, "data")
+    orphans = []
+    if _is_uri(output_path):
+        fs, path_cls = _hdfs(spark, output_path)
+        if fs.exists(path_cls(data_root)):
+            for st in fs.listStatus(path_cls(data_root)):
+                name = st.getPath().getName()
+                if name.startswith("run_id=compact"):
+                    rid = name.split("=", 1)[1]
+                    if rid not in committed:
+                        orphans.append(rid)
+    elif os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            if name.startswith("run_id=compact"):
+                rid = name.split("=", 1)[1]
+                if rid not in committed:
+                    orphans.append(rid)
+    for rid in orphans:
+        _delete_run(spark, output_path, rid)
+    return {"superseded_removed": int(n_super),
+            "orphans_removed": len(orphans)}
 
 
 def compact_extracted(spark: SparkSession, output_path: str,
@@ -437,53 +539,69 @@ def compact_extracted(spark: SparkSession, output_path: str,
     with per-core part files — at 100 TB that is the classic
     small-files problem (every downstream scan pays a task per file and
     the namenode/listing pays per object).  Protocol, crash-safe around
-    a single atomic visibility flip:
+    a single atomic visibility flip (single compactor at a time):
 
-    1. read the live runs' data; total bytes -> n_files =
-       ceil(bytes / target) (coalesce, no shuffle);
-    2. write the compacted run dir;
-    3. commit its manifest, which (a) carries forward every
-       input_file row from the replaced manifests — input coverage for
-       pending_input_files survives the GC of old manifests — and
-       (b) names the replaced run ids in ``replaces``: committing this
-       ONE file atomically makes readers drop the old runs;
-    4. GC the replaced data dirs, then their manifest files.  A crash
-       anywhere in (4) leaves a consistent view (readers already
-       exclude superseded runs) and the GC is idempotent.
+    0. ``vacuum_superseded`` retries any GC a previous crash left
+       half-done (required for supersede-chain correctness, see its
+       docstring) and reclaims orphaned compact dirs;
+    1. snapshot the live runs; every later step uses the PINNED dir
+       list, so a concurrently committed run is neither folded into the
+       output nor named in ``replaces`` — it simply stays live;
+    2. write the compacted run: flat layouts coalesce to
+       ceil(bytes/target) files; a uniform day-partitioned layout is
+       preserved (repartition by day keeps each day contiguous) with
+       big days split into size-capped files inside their writer task
+       via ``maxRecordsPerFile`` (cap derived from the corpus's
+       measured bytes/row);
+    3. commit its manifest: carries every input_file row forward (input
+       coverage survives manifest GC), sums the replaced runs'
+       authoritative ``run_bytes_out`` totals, records the ACTUAL
+       written file count, and names the replaced run ids in
+       ``replaces`` — committing this ONE file atomically flips
+       visibility;
+    4. GC the replaced runs (idempotent; a crash here is what step 0
+       repairs on the next invocation).
     """
     t0 = time.time()
+    vac = vacuum_superseded(spark, output_path)
     runs = live_runs(spark, output_path)
     if len(runs) <= 1:
-        return {"compacted": False, "runs": len(runs)}
+        return {"compacted": False, "runs": len(runs), "vacuum": vac}
     dirs = [os.path.join(output_path, "data", f"run_id={r}")
             for r in runs]
-    total_bytes = sum(_run_dir_bytes(spark, d) for d in dirs)
-    n_files = max(1, -(-total_bytes // (target_file_mb << 20)))
+    total_bytes = sum(_run_dir_stats(spark, d)[0] for d in dirs)
+    n_target = max(1, -(-total_bytes // (target_file_mb << 20)))
 
-    new_id = "compact" + uuid.uuid4().hex[:9]
-    data_dir = os.path.join(output_path, "data", f"run_id={new_id}")
-    # read through read_extracted: it handles mixed layouts; a uniform
-    # day-partitioned layout is PRESERVED (repartition by day -> one
-    # writer task per day), a flat/mixed layout coalesces to the size
-    # target
-    df = read_extracted(spark, output_path)
-    if "warc_dt" in df.columns:
-        (df.repartition("warc_dt").write.mode("overwrite")
-         .partitionBy("warc_dt").parquet(data_dir))
-    else:
-        (df.coalesce(n_files)
-         .write.mode("overwrite").parquet(data_dir))
-
-    # carry forward input coverage + supersede in one manifest commit
-    import pyarrow as pa
-
+    # snapshot-consistent carried metrics (same pinned run set)
     m = committed_manifests(spark, output_path)
     carried = (
         m.where(F.col("run_id").isin(runs))
         .select("input_file", "rows", "bytes_out", "day_range")
         .collect())
-    run_bytes = sum(int(r["bytes_out"]) for r in carried
-                    if r["bytes_out"] and r["bytes_out"] > 0)
+    # run_bytes_out is the authoritative per-run byte total on BOTH
+    # metric paths (the per-file bytes_out=-1 sentinel points at it)
+    run_bytes = sum(
+        int(r["run_bytes_out"] or 0)
+        for r in m.where(F.col("run_id").isin(runs))
+        .select("run_id", "run_bytes_out").distinct().collect())
+    rows_total = sum(int(r["rows"]) for r in carried)
+
+    new_id = "compact" + uuid.uuid4().hex[:9]
+    data_dir = os.path.join(output_path, "data", f"run_id={new_id}")
+    df = _read_run_dirs(spark, dirs)
+    if "warc_dt" in df.columns:
+        recs = max(1, int((target_file_mb << 20)
+                          / max(1.0, total_bytes / max(1, rows_total))))
+        (df.repartition("warc_dt")
+         .write.mode("overwrite").option("maxRecordsPerFile", recs)
+         .partitionBy("warc_dt").parquet(data_dir))
+    else:
+        (df.coalesce(n_target)
+         .write.mode("overwrite").parquet(data_dir))
+    _, n_written = _run_dir_stats(spark, data_dir)
+
+    import pyarrow as pa
+
     wall_ms = int((time.time() - t0) * 1000)
     table = pa.Table.from_pylist([
         {
@@ -492,7 +610,7 @@ def compact_extracted(spark: SparkSession, output_path: str,
             "rows": int(r["rows"]),
             "bytes_out": int(r["bytes_out"]),
             "run_bytes_out": run_bytes,
-            "n_partitions": int(n_files),
+            "n_partitions": int(n_written),
             "wall_ms": wall_ms,
             "day_range": r["day_range"] or "",
             "replaces": ",".join(runs),
@@ -501,26 +619,8 @@ def compact_extracted(spark: SparkSession, output_path: str,
     ])
     _commit_manifest(spark, output_path, new_id, table)
 
-    # GC (idempotent; visibility already flipped by the commit above)
-    if _is_uri(output_path):
-        fs, path_cls = _hdfs(spark, output_path)
-        for d in dirs:
-            fs.delete(path_cls(d), True)
-        for r in runs:
-            fs.delete(path_cls(
-                os.path.join(output_path, "_manifests",
-                             f"{r}.parquet")), False)
-    else:
-        import shutil
-
-        for d in dirs:
-            shutil.rmtree(d, ignore_errors=True)
-        for r in runs:
-            try:
-                os.remove(os.path.join(output_path, "_manifests",
-                                       f"{r}.parquet"))
-            except OSError:
-                pass
+    for r in runs:
+        _delete_run(spark, output_path, r)
     return {"compacted": True, "run_id": new_id, "replaced": len(runs),
-            "n_files": int(n_files), "bytes": int(total_bytes),
-            "wall_ms": wall_ms}
+            "n_files": int(n_written), "bytes": int(total_bytes),
+            "vacuum": vac, "wall_ms": wall_ms}

@@ -373,3 +373,68 @@ def test_compaction_preserves_partitioned_layout(spark, corpus, tmp_path):
     after = sorted((r["url"], r["extracted_text"])
                    for r in read_extracted(spark, out).collect())
     assert after == before
+
+
+def test_vacuum_repairs_crashed_gc_before_next_compaction(spark, corpus,
+                                                          tmp_path):
+    """The supersede-chain scenario (review finding): compaction 1
+    crashes before GC, a new run lands, compaction 2 runs.  Without the
+    vacuum step, compaction 2's GC would delete the manifest carrying
+    run1/run2's supersession while their dirs still exist — resurrecting
+    their rows as duplicates.  With it, the leftovers are reclaimed
+    first and the final state is exactly one live run with no
+    duplicates."""
+    import shutil
+
+    from ocr_hardsubx_spark.plans.pipeline import (
+        compact_extracted,
+        live_runs,
+    )
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, corpus, out, max_files=2)
+    run_extraction_job(spark, corpus, out, max_files=2)
+    old = live_runs(spark, out)
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    for r in old:
+        shutil.copytree(os.path.join(out, "data", f"run_id={r}"),
+                        stash / f"run_id={r}")
+        shutil.copy(os.path.join(out, "_manifests", f"{r}.parquet"),
+                    stash / f"{r}.parquet")
+    compact_extracted(spark, out)
+    # simulate: compaction 1's GC never happened
+    for r in old:
+        shutil.copytree(stash / f"run_id={r}",
+                        os.path.join(out, "data", f"run_id={r}"))
+        shutil.copy(stash / f"{r}.parquet",
+                    os.path.join(out, "_manifests", f"{r}.parquet"))
+    # a third run lands, then compaction 2
+    run_extraction_job(spark, corpus, out)
+    expected = sorted(r["url"] for r in read_extracted(spark, out).collect())
+    res = compact_extracted(spark, out)
+    assert res["vacuum"]["superseded_removed"] == len(old)
+    assert live_runs(spark, out) == [res["run_id"]]
+    got = sorted(r["url"] for r in read_extracted(spark, out).collect())
+    assert got == expected
+    # full corpus exactly once
+    n_docs = spark.read.parquet(corpus).count()
+    assert len(got) == n_docs and len(set(got)) == n_docs
+
+
+def test_vacuum_reclaims_orphan_compact_dir(spark, corpus, tmp_path):
+    """Crash between the compacted data write and its manifest commit:
+    the orphan compact* dir is reclaimed by the next vacuum; a PLAIN
+    run dir without a manifest (a live job mid-commit) is untouched."""
+    from ocr_hardsubx_spark.plans.pipeline import vacuum_superseded
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, corpus, out)
+    orphan = os.path.join(out, "data", "run_id=compactdeadbeef0")
+    os.makedirs(orphan)
+    midjob = os.path.join(out, "data", "run_id=aaaa1111bbbb2222")
+    os.makedirs(midjob)
+    vac = vacuum_superseded(spark, out)
+    assert vac["orphans_removed"] == 1
+    assert not os.path.exists(orphan)
+    assert os.path.exists(midjob)  # plain uncommitted run: NOT eligible
