@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": dq.q_pii_scrub,
         "q_embed_quantize": dq.q_embed_quantize,
         "q_event_window_rate": dq.q_event_window_rate,
+        "q_line_dedup": dq.q_line_dedup,
+        "q_decontaminate": dq.q_decontaminate,
     }
 
 
@@ -151,4 +153,6 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_scrub": dq.q_pii_scrub_sql(),
         "q_embed_quantize": dq.q_embed_quantize_sql(),
         "q_event_window_rate": dq.q_event_window_rate_sql(),
+        "q_line_dedup": dq.q_line_dedup_sql(),
+        "q_decontaminate": dq.q_decontaminate_sql(),
     }

@@ -2068,3 +2068,156 @@ def q_event_window_rate_sql() -> str:
            round(sum(value), 4) AS sum_value
     FROM events GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------
+# line-level dedup (RefinedWeb/CCNet-style boilerplate-line removal)
+# --------------------------------------------------------------------------
+
+LINE_DUP_MIN_DOCS = 2  # a line present in >= this many docs is boilerplate
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: drop lines (sentence-ish units here — the
+    synthetic corpus has no newlines) that repeat across >=
+    LINE_DUP_MIN_DOCS documents, the standard boilerplate-removal stage
+    between exact-dedup and near-dedup in web pipelines.
+
+    Scale shape: explode -> ONE groupBy(line_hash) census with map-side
+    partial counts (the shuffle carries 16-byte hashes + positions, not
+    line text... the text rides only to reassembly) -> hash-join back ->
+    per-doc ordered reassembly via sort_array(collect_list(struct)).
+    Output is narrow: counts + md5 of the kept text."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\. ")).alias("pos", "line"),
+    ).where(F.col("line") != "")
+    hashed = lines.select("doc_id", "pos", "line",
+                          F.md5("line").alias("h"))
+    census = hashed.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    joined = hashed.join(census, "h")
+    kept = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("n_docs") >= LINE_DUP_MIN_DOCS, 1)
+                  .otherwise(0)).alias("n_dup_lines"),
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.filter(
+                        F.collect_list(F.struct("pos", "line", "n_docs")),
+                        lambda x: x["n_docs"] < LINE_DUP_MIN_DOCS)),
+                    lambda x: x["line"]),
+                ". ")).alias("kept_md5"),
+        )
+    )
+    return kept
+
+
+def q_line_dedup_sql() -> str:
+    return f"""
+    WITH lines AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS line
+      FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS t
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+      WHERE t[i] <> ''
+    ),
+    hashed AS (SELECT doc_id, pos, line, md5(line) AS h FROM lines),
+    census AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs FROM hashed GROUP BY h
+    ),
+    joined AS (SELECT hashed.*, census.n_docs
+               FROM hashed JOIN census USING (h))
+    SELECT doc_id,
+           count(*) AS n_lines,
+           sum(CASE WHEN n_docs >= {LINE_DUP_MIN_DOCS} THEN 1 ELSE 0 END)
+             AS n_dup_lines,
+           md5(COALESCE(string_agg(line, '. ' ORDER BY pos)
+                        FILTER (WHERE n_docs < {LINE_DUP_MIN_DOCS}), ''))
+             AS kept_md5
+    FROM joined GROUP BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+# --------------------------------------------------------------------------
+
+DECON_NGRAM = 8
+DECON_BENCH_DOCS = 10  # docs 0..9 stand in for the benchmark/eval set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: flag documents sharing any
+    DECON_NGRAM-token n-gram with the benchmark set (here: the first
+    DECON_BENCH_DOCS docs stand in for an eval suite — deterministic at
+    every sf, relationally recomputable by the oracle).
+
+    Scale shape: the benchmark n-gram table is small by construction
+    (eval suites are MBs, corpora are TBs) -> distinct benchmark grams
+    BROADCAST to a hash-join against the corpus's exploded grams; one
+    groupBy(doc_id) with map-side partials for the overlap count.  The
+    corpus side never shuffles its text — only (doc_id, gram-hash)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+
+    def grams(df):
+        toks = F.split("text", " ")
+        n = F.greatest(F.size(toks) - (DECON_NGRAM - 1), F.lit(0))
+        return df.select(
+            "doc_id",
+            F.explode(F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.md5(F.array_join(
+                    F.slice(toks, i + 1, DECON_NGRAM), " ")),
+            )).alias("g"),
+        )
+
+    bench = (grams(docs.where(F.col("doc_id") < DECON_BENCH_DOCS))
+             .select("g").distinct())
+    corpus = grams(docs.where(F.col("doc_id") >= DECON_BENCH_DOCS))
+    hits = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        docs.where(F.col("doc_id") >= DECON_BENCH_DOCS)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_grams", F.lit(0))
+             .alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0)
+             .alias("contaminated"),
+        )
+    )
+
+
+def q_decontaminate_sql() -> str:
+    return f"""
+    WITH grams AS (
+      SELECT doc_id,
+             md5(array_to_string(t[i:i+{DECON_NGRAM - 1}], ' ')) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           LATERAL (SELECT unnest(range(1,
+                    greatest(len(t) - {DECON_NGRAM - 1}, 0) + 1)) AS i)
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < {DECON_BENCH_DOCS}
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n
+      FROM grams JOIN bench USING (g)
+      WHERE doc_id >= {DECON_BENCH_DOCS}
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n, 0) AS n_contaminated_grams,
+           COALESCE(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id >= {DECON_BENCH_DOCS}
+    """

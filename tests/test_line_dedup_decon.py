@@ -1,0 +1,89 @@
+"""Line-level dedup + decontamination: hand-authored fixtures.
+
+The synthetic corpus's sentences are unique word salads, so its
+boilerplate-removal path never fires there (the oracle gate still pins
+the trivial case); these tests build tiny documents tables with KNOWN
+shared lines / copied n-grams and assert the interesting paths.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ocr_hardsubx_spark.plans import dataset_queries as dq
+
+
+def _docs_dir(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(out + "/documents.parquet")
+    return out
+
+
+def test_shared_line_dropped_uniques_kept_in_order(spark, tmp_path):
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one. {boiler}. beta two"),
+        (2, f"{boiler}. gamma three"),
+        (3, "delta four. epsilon five"),
+    ]
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in dq.q_line_dedup(spark, out).collect()}
+    assert (got[1]["n_lines"], got[1]["n_dup_lines"]) == (3, 1)
+    assert (got[2]["n_lines"], got[2]["n_dup_lines"]) == (2, 1)
+    assert (got[3]["n_lines"], got[3]["n_dup_lines"]) == (2, 0)
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    assert got[1]["kept_md5"] == md5("alpha one. beta two")
+    assert got[2]["kept_md5"] == md5("gamma three")
+    assert got[3]["kept_md5"] == md5("delta four. epsilon five")
+
+
+def test_within_doc_repeat_is_not_cross_doc_boilerplate(spark, tmp_path):
+    """The census counts DISTINCT docs per line: a line repeated twice
+    inside ONE document is not boilerplate."""
+    rows = [(1, "same line. same line. other"), (2, "unrelated text")]
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in dq.q_line_dedup(spark, out).collect()}
+    assert got[1]["n_dup_lines"] == 0
+
+
+def test_decontamination_flags_copied_ngram(spark, tmp_path):
+    bench_text = " ".join(f"b{i}" for i in range(12))
+    copied = " ".join(f"b{i}" for i in range(dq.DECON_NGRAM))
+    rows = (
+        # docs 0..9 are the benchmark set
+        [(i, bench_text) for i in range(dq.DECON_BENCH_DOCS)]
+        + [
+            (50, "clean text " + " ".join(f"w{i}" for i in range(20))),
+            (51, f"prefix words {copied} suffix words"),
+        ]
+    )
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r
+           for r in dq.q_decontaminate(spark, out).collect()}
+    assert set(got) == {50, 51}            # benchmark docs excluded
+    assert got[50]["contaminated"] is False
+    assert got[51]["contaminated"] is True
+    assert got[51]["n_contaminated_grams"] == 1
+
+
+def test_decontamination_needs_full_ngram(spark, tmp_path):
+    """An overlap of DECON_NGRAM-1 consecutive benchmark tokens is NOT
+    contamination."""
+    bench_text = " ".join(f"b{i}" for i in range(12))
+    partial = " ".join(f"b{i}" for i in range(dq.DECON_NGRAM - 1))
+    rows = ([(i, bench_text) for i in range(dq.DECON_BENCH_DOCS)]
+            + [(60, f"x {partial} y")])
+    out = _docs_dir(spark, tmp_path, rows)
+    r = dq.q_decontaminate(spark, out).collect()[0]
+    assert r["contaminated"] is False
+
+
+def test_doc_of_only_boilerplate_keeps_empty_text(spark, tmp_path):
+    rows = [(1, "all shared"), (2, "all shared")]
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in dq.q_line_dedup(spark, out).collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert got[1]["kept_md5"] == empty_md5 == got[2]["kept_md5"]
