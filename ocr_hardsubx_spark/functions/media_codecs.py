@@ -64,6 +64,14 @@ class UnsupportedMedia(ValueError):
 MAX_PIXELS = 64 << 20  # decode-bomb guard: 64M pixels (~256MB of float64)
 
 
+def _q14_gray(r, g, b):
+    """The reference's exact RGB2gray fixed-point form (color.h:110-116):
+    Q14 BT.601 LUT sum, rounding constant 1<<13, >> 14.  ONE definition
+    — PNG and GIF luminance must never diverge."""
+    return ((4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14) \
+        .astype(np.uint8)
+
+
 def _check_dims(width: int, height: int) -> None:
     """Reject absurd dimensions BEFORE allocating planes — a corrupt or
     adversarial header (e.g. a bit-flipped JPEG SOF claiming 65535x65535)
@@ -213,13 +221,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         return full_px[:, :, 0].copy()
     else:
         px = full_px
-    r = px[:, :, 0].astype(np.int32)
-    g = px[:, :, 1].astype(np.int32)
-    b = px[:, :, 2].astype(np.int32)
-    # reference RGB2gray (color.h:110-116): Q14 LUT sum, >> 14; the
-    # 1<<13 rounding constant is folded into the R channel's LUT base
-    return ((4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14) \
-        .astype(np.uint8)
+    return _q14_gray(px[:, :, 0].astype(np.int32),
+                     px[:, :, 1].astype(np.int32),
+                     px[:, :, 2].astype(np.int32))
 
 
 def decode_wav(payload: bytes) -> np.ndarray:
@@ -390,6 +394,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:       # fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -432,17 +439,18 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                               "tq": tq})
             frame = {"w": width, "h": height, "comps": comps,
                      "prog": marker == 0xC2}
+            # gate on SOF fields NOW, for BOTH coding modes: with a
+            # non-max-sampled first component the luma plane cannot
+            # cover the image — the baseline path would silently return
+            # a clipped (h/2, w/2)-ish array flagged decoded_real, the
+            # progressive path would waste the whole decode before
+            # noticing (review findings); real files always max-sample
+            # luma
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+                raise UnsupportedMedia("JPEG with subsampled luma")
             if frame["prog"]:
-                # gate on SOF fields NOW — decoding every scan and
-                # running the IDCT before discovering the luma plane
-                # can't cover the image would waste the whole decode
-                # (review finding); real-world progressive files always
-                # have max-sampled luma
-                hmax = max(c["h"] for c in comps)
-                vmax = max(c["v"] for c in comps)
-                if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
-                    raise UnsupportedMedia(
-                        "JPEG progressive with subsampled luma")
                 coef_state = _prog_init_state(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -567,7 +575,7 @@ def _prog_dc_scan(reader, frame, scan, state, huff_dc, ah, al,
                 reader.resync_restart()
                 for k in pred:
                     pred[k] = 0
-            mcu += 1 if per_mcu else 0
+            mcu += 1
         block = state[c["id"]][by, bx]
         if ah == 0:
             s = reader.huff(huff_dc[c["dc"]])
@@ -684,6 +692,14 @@ def _prog_finish(frame, state, qt):
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                  restart_interval):
     w, h = frame["w"], frame["h"]
+    if len(scan) == 1:
+        # T.81 A.2: a one-component scan is NON-interleaved — one data
+        # unit per MCU over the component's own raster grid, regardless
+        # of its sampling factors (a grayscale SOF declaring h=v=2
+        # previously decoded in 2x2 tile order and came out scrambled —
+        # review finding).  The scan component is max-sampled (gated at
+        # SOF), so its grid is ceil(w/8) x ceil(h/8).
+        scan = [{**scan[0], "h": 1, "v": 1}]
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -797,8 +813,7 @@ def decode_gif(payload: bytes) -> "np.ndarray":
             r = px[:, 0].astype(np.int32)
             g = px[:, 1].astype(np.int32)
             bch = px[:, 2].astype(np.int32)
-            lum = ((4899 * r + 9617 * g + 1868 * bch + (1 << 13)) >> 14) \
-                .astype(np.uint8).reshape(h, w)
+            lum = _q14_gray(r, g, bch).reshape(h, w)
             if iflags & 0x40:     # interlaced: stored rows are the 4
                 order = np.concatenate([    # passes 0::8, 4::8, 2::4, 1::2
                     np.arange(0, h, 8), np.arange(4, h, 8),
@@ -817,6 +832,11 @@ def decode_gif(payload: bytes) -> "np.ndarray":
 def _gif_lzw(data: bytes, min_code: int, limit: int) -> list[int]:
     """GIF-variant LZW: LSB-first codes, width grows min_code+1..12,
     CLEAR resets the table, END stops."""
+    if not 1 <= min_code <= 11:
+        # attacker-controlled byte: 1 << 255 in reset() would allocate
+        # until the OOM killer fires — the LZW analog of _check_dims
+        # (max code width is 12, so min_code 12+ is malformed anyway)
+        raise ValueError(f"GIF LZW minimum code size {min_code}")
     clear = 1 << min_code
     end = clear + 1
     out: list[int] = []

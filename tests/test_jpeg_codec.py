@@ -507,3 +507,43 @@ def test_progressive_dc_restart_markers():
         blocks.append(b)
     np.testing.assert_array_equal(
         decode_jpeg(prog), decode_jpeg(_baseline_of_blocks(32, 8, blocks)))
+
+
+def test_single_component_scan_with_sampling_factors_is_raster_order():
+    """T.81 A.2: a one-component scan is NON-interleaved — blocks come
+    in the raster order of the component's own grid even when SOF
+    declares h=v=2 (previously decoded in 2x2 MCU tile order ->
+    scrambled quadrants)."""
+    def wr(w):
+        prev = 0
+        for dc in (8, 16, 24, 32):     # raster: TL TR BL BR
+            _emit_block(w, dc - prev)
+            prev = dc
+    jpg = _jpeg(16, 16, [(1, 2, 2)], wr)
+    img = decode_jpeg(jpg)
+    np.testing.assert_array_equal(img[:8, :8], np.full((8, 8), 136))
+    np.testing.assert_array_equal(img[:8, 8:], np.full((8, 8), 144))
+    np.testing.assert_array_equal(img[8:, :8], np.full((8, 8), 152))
+    np.testing.assert_array_equal(img[8:, 8:], np.full((8, 8), 160))
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; they must not be parsed as a segment."""
+    jpg = _jpeg(8, 8, [(1, 1, 1)], lambda w: _emit_block(w, 10))
+    sos = jpg.index(b"\xff\xda")
+    padded = jpg[:sos] + b"\xff\xff\xff" + jpg[sos:]
+    np.testing.assert_array_equal(
+        decode_jpeg(padded), np.full((8, 8), 138, np.uint8))
+
+
+def test_subsampled_luma_rejected_for_baseline_too():
+    """comps[0] not max-sampled: the baseline path used to silently
+    return a clipped half-size array flagged real."""
+    def wr(w):
+        _emit_block(w, 8)              # 1 Y block per MCU
+        for _ in range(4):             # 2x2 chroma blocks
+            _emit_block(w, 0)
+    jpg = _jpeg(16, 16, [(1, 1, 1), (2, 2, 2)], wr)
+    with pytest.raises(UnsupportedMedia):
+        decode_jpeg(jpg)

@@ -754,3 +754,20 @@ def test_png_bad_interlace_method_rejected():
            + _chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png(png)
+
+
+def test_gif_lzw_min_code_bomb_rejected():
+    """The LZW minimum-code-size byte is attacker-controlled: 0xFF
+    would make the table reset allocate 2^255 entries (hang/OOM no
+    except-clause can absorb).  Must raise promptly."""
+    from ocr_hardsubx_spark.functions.media_codecs import decode_gif
+
+    head = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+            + bytes(v for rgb in _PAL4 for v in rgb))
+    img = (b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+           + bytes([0xFF]) + b"\x01\x00" + b"\x00\x3b")
+    import time
+    t0 = time.time()
+    with pytest.raises(ValueError):
+        decode_gif(head + img)
+    assert time.time() - t0 < 1.0
