@@ -2221,3 +2221,84 @@ def q_decontaminate_sql() -> str:
     FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
     WHERE d.doc_id >= {DECON_BENCH_DOCS}
     """
+
+
+# --------------------------------------------------------------------------
+# near-dup clusters (connected components over the verified pair graph)
+# --------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def _connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS
+                          ) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected pair list
+    ``(doc_a, doc_b)`` -> ``(doc_id, cluster_rep)`` for every node in
+    the graph (cluster_rep = the component's min doc_id).
+
+    Each iteration is ONE shuffle (labels join edges -> min agg);
+    iteration count ~ component diameter, tiny for near-dup families
+    (boilerplate clusters are dense).  The loop checkpoints lineage per
+    round (localCheckpoint — iterative plans otherwise grow without
+    bound) and its convergence check is an explicit action; hitting
+    max_iters raises instead of returning silently-unconverged labels
+    (the repo's no-silent-caps discipline).  At 10^12 docs with
+    adversarial diameters you'd swap in large-star/small-star; the
+    fixpoint contract is identical."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst")))
+        .distinct().localCheckpoint()
+    )
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("lbl", F.col("doc_id")))
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src").agg(F.min("lbl").alias("nlbl")))
+        nxt = (
+            labels.join(prop, labels["doc_id"] == prop["src"], "left")
+            .select(labels["doc_id"],
+                    F.least(labels["lbl"],
+                            F.coalesce(prop["nlbl"], labels["lbl"]))
+                    .alias("lbl"))
+            .localCheckpoint())
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lbl") < F.col("o.lbl")).count())
+        labels = nxt
+        if changed == 0:
+            return labels.select("doc_id", F.col("lbl").alias("cluster_rep"))
+    raise RuntimeError(
+        f"connected components did not converge in {max_iters} iterations")
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL step: candidates (LSH) -> verified
+    pairs (exact Jaccard) -> CLUSTERS via connected components, with
+    the min doc_id as each cluster's canonical representative ("keep
+    one per cluster").  Singleton docs (no verified pair) are excluded
+    by definition — exact dedup owns them."""
+    pairs = q_jaccard_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    return _connected_components(pairs)
+
+
+def q_dup_clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({q_jaccard_candidates_sql()})
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS doc, src AS lbl FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc = e.dst
+    )
+    SELECT doc AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY doc
+    """

@@ -87,3 +87,39 @@ def test_doc_of_only_boilerplate_keeps_empty_text(spark, tmp_path):
     got = {r["doc_id"]: r for r in dq.q_line_dedup(spark, out).collect()}
     empty_md5 = hashlib.md5(b"").hexdigest()
     assert got[1]["kept_md5"] == empty_md5 == got[2]["kept_md5"]
+
+
+# ---- connected components (near-dup clusters) ----------------------------
+
+def test_cc_chain_transitivity(spark):
+    """a-b, b-c: one component labeled by the min id, even though a and
+    c never share a pair (label must propagate through b — two
+    iterations)."""
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 2)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_rep"]
+           for r in dq._connected_components(pairs).collect()}
+    assert got == {5: 2, 9: 2, 2: 2}
+
+
+def test_cc_separate_components_stay_separate(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (10, 11), (11, 12)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_rep"]
+           for r in dq._connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cc_long_chain_converges_and_short_budget_raises(spark):
+    """A 12-node path graph needs several propagation rounds; the
+    default budget converges, an artificially tiny one raises instead
+    of returning silently-unconverged labels."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(11, 0, -1)]  # 12..1 path
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_rep"]
+           for r in dq._connected_components(pairs).collect()}
+    assert set(got.values()) == {1} and len(got) == 12
+    with pytest.raises(RuntimeError):
+        dq._connected_components(pairs, max_iters=2)
