@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regions_by_channel": q.q_regions_by_channel,
         # relational shadows of the pipeline's physical primitives
         "q1_pricing_summary": q.q1_pricing_summary,
+        "q3_shipping_priority": q.q3_shipping_priority,
+        "q5_local_supplier_volume": q.q5_local_supplier_volume,
+        "q18_large_volume_customer": q.q18_large_volume_customer,
         "q_stump_scoring": q.q_stump_scoring,
         "q_stump_scoring_ref": q.q_stump_scoring_ref,
         "q_window_dedup": q.q_window_dedup,
@@ -114,6 +117,9 @@ def oracle_sql() -> dict[str, str]:
         "partition_prune": q.partition_prune_sql(),
         "q_regions_by_channel": q.q_regions_by_channel_sql(),
         "q1_pricing_summary": q.q1_pricing_summary_sql(),
+        "q3_shipping_priority": q.q3_shipping_priority_sql(),
+        "q5_local_supplier_volume": q.q5_local_supplier_volume_sql(),
+        "q18_large_volume_customer": q.q18_large_volume_customer_sql(),
         "q_stump_scoring": q.q_stump_scoring_sql(),
         "q_stump_scoring_ref": q.q_stump_scoring_ref_sql(),
         "q_window_dedup": q.q_window_dedup_sql(),

@@ -616,3 +616,137 @@ def q_broadcast_dim_join_sql() -> str:
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """
+
+
+# --------------------------------------------------------------------------
+# multi-way join analytics (TPC-H Q3 / Q5 / Q18 shapes over the driver
+# tables — the relational breadth side of the engine: join ordering,
+# broadcast dims, semi-join via HAVING, top-k under a 3-way join)
+# --------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (dates adapted to the synthetic 1995-2001 range):
+    filter two sides BEFORE the joins (Catalyst pushes both predicates
+    to the scans), 3-way join, agg, deterministic rounded top-10.
+    Order dates ride as epoch millis so the oracle compare never
+    touches timestamp formatting."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    cut = "1998-01-01"
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    out = (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.where(F.col("o_orderdate") < cut),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.where(F.col("l_shipdate") > cut),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+             .alias("o_date_ms"),
+            "o_orderpriority")
+    )
+    return out.orderBy(F.desc("revenue"), F.asc("o_date_ms"),
+                       F.asc("l_orderkey")).limit(10)
+
+
+def q3_shipping_priority_sql() -> str:
+    return """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           epoch_ms(o_orderdate) AS o_date_ms,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_date_ms ASC, l_orderkey ASC
+    LIMIT 10
+    """
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join where customer and supplier must share
+    a nation; region/nation are tiny broadcast dims, the local-supplier
+    constraint (c_nationkey = s_nationkey) runs as a join residual."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    region = spark.read.parquet(_t(sf_dir, "region"))
+    return (
+        cust
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where((F.col("o_orderdate") >= "1996-01-01")
+               & (F.col("o_orderdate") < "1997-01-01"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"))
+    )
+
+
+def q5_local_supplier_volume_sql() -> str:
+    return """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-gated semi-join — the big-order key set
+    is computed once (partial-agg'd) and joined back; only qualifying
+    orders' lineitems aggregate a second time."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("q"))
+           .where(F.col("q") > 250)
+           .select("l_orderkey"))
+    return (
+        li.join(big, "l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+def q18_large_volume_customer_sql() -> str:
+    return """
+    SELECT c_name, o_orderkey, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    JOIN (SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+      USING (l_orderkey)
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_name, o_orderkey, o_totalprice
+    """
