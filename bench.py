@@ -37,7 +37,8 @@ BENCH_CORPUS = f"/root/repo/data/bench/documents_{BENCH_DOCS}"
 SCRATCH = "/root/repo/data/bench/out"
 
 HEADLINE_QUERIES = (
-    "q1_pricing_summary", "q_broadcast_dim_join", "q_top1_per_group",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q_broadcast_dim_join", "q_top1_per_group",
     "q_window_dedup", "q_dedup_exact", "q_minhash_dup_candidates",
     "q_simhash", "q_simhash_candidates", "q_ann_cosine_topk",
     "q_ann_ivf_topk", "q_ivf_train_step", "q_embed_neardup",
