@@ -18,3 +18,13 @@ def spark():
     s = get_spark(app_name="ocr-hardsubx-spark-tests", cores=4)
     yield s
     s.stop()
+
+
+def drain_stream(q):
+    """Shared streaming-test shutdown: drain everything available, stop,
+    and wait — availableNow never self-terminates with
+    applyInPandasWithState (verify-skill learning), so every streaming
+    test uses this exact protocol."""
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)

@@ -79,3 +79,44 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert "extracted_text" in df.columns
     assert all(r["extracted_text"] for r in rows)
+
+
+# the round-3 relational/clustering additions also matched at sf0.001
+# during development; back that claim with an automated gate (the main
+# parametrized gate above runs everything at sf0.01 — running ALL 50
+# twice would double the suite's longest test for little marginal
+# signal, but the new multi-join/recursive queries have sf-dependent
+# predicates worth pinning at the second scale)
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority",
+                                  "q5_local_supplier_volume",
+                                  "q18_large_volume_customer",
+                                  "q_dup_clusters"])
+def test_new_queries_match_oracle_at_second_sf(spark, name):
+    sdf = QUERIES[name](spark, SF_SMALL).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_SMALL, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    odf = con.execute(ORACLES[name]).df()
+    assert len(sdf) == len(odf) > 0
+    assert _rows_set(sdf) == _rows_set(odf)
+
+
+def test_q3_plan_pushes_filters_and_takes_ordered(spark):
+    df = QUERIES["q3_shipping_priority"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" \
+        in plan, plan
+
+
+def test_q5_plan_broadcasts_the_dims(spark):
+    df = QUERIES["q5_local_supplier_volume"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan

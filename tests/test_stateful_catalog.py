@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ocr_hardsubx_spark.sources.catalog import iceberg_available, read_documents
 from ocr_hardsubx_spark.sources.fixtures import write_documents
 from ocr_hardsubx_spark.streaming.stateful_dedup import stateful_host_dedup
+from tests.conftest import drain_stream
 
 PART_CORPUS = "/root/repo/data/fixtures/documents_part"
 SCHEMA = "url string, warc_ts timestamp, extracted_text string"
@@ -20,12 +21,6 @@ def corpus():
     if not os.path.isdir(PART_CORPUS):
         write_documents(PART_CORPUS, 200, partition_by_day=True)
     return PART_CORPUS
-
-
-def _drain(q):
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
 
 
 def test_stateful_dedup_suppresses_refetches(spark, tmp_path):
@@ -47,7 +42,7 @@ def test_stateful_dedup_suppresses_refetches(spark, tmp_path):
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ck"))
          .start())
-    _drain(q)
+    drain_stream(q)
     kept = {r["url"]: r["kept"] for r in spark.sql("select * from sd1").collect()}
     assert kept["https://hostA.example/p/0"] is True
     assert all(kept[f"https://hostA.example/p/{i}"] is False for i in (1, 2, 3))
@@ -72,7 +67,7 @@ def test_stateful_dedup_state_crosses_batches(spark, tmp_path):
              .option("path", out).option("checkpointLocation", ck)
              .outputMode("append")
              .start())
-        _drain(q)
+        drain_stream(q)
 
     run_batch([("https://hostC.example/a", t0, BOILER)])
     run_batch([("https://hostC.example/b",

@@ -9,6 +9,7 @@ from ocr_hardsubx_spark.plans import dataset_queries as dq
 from ocr_hardsubx_spark.streaming.stateful_sessions import (
     stateful_sessionize,
 )
+from tests.conftest import drain_stream
 
 SCHEMA = "event_id long, ts timestamp, user_id long"
 T0 = dt.datetime(2025, 3, 1, 12, 0, 0)
@@ -29,12 +30,6 @@ def _rows():
     ]
 
 
-def _drain(q):
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
-
-
 def _stream_closed(spark, tmp_path, batches):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
@@ -48,7 +43,7 @@ def _stream_closed(spark, tmp_path, batches):
              .option("path", out).option("checkpointLocation", ck)
              .outputMode("append")
              .start())
-        _drain(q)
+        drain_stream(q)
     return {(r["user_id"], r["session_no"]):
             (r["n_events"], r["first_event"], r["last_event"])
             for r in spark.read.parquet(out).collect()}

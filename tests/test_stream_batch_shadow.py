@@ -15,6 +15,7 @@ from ocr_hardsubx_spark.streaming.stateful_dedup import (
     batch_host_dedup,
     stateful_host_dedup,
 )
+from tests.conftest import drain_stream
 
 SCHEMA = "url string, warc_ts timestamp, extracted_text string"
 BOILER = "Same navigation heavy page content repeated on every fetch"
@@ -51,12 +52,6 @@ def _rows():
     return out
 
 
-def _drain(q):
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
-
-
 def _stream_kept(spark, tmp_path, batches):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
@@ -70,7 +65,7 @@ def _stream_kept(spark, tmp_path, batches):
              .option("path", out).option("checkpointLocation", ck)
              .outputMode("append")
              .start())
-        _drain(q)
+        drain_stream(q)
     return {r["url"]: r["kept"] for r in spark.read.parquet(out).collect()}
 
 
