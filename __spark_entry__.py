@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q.q3_shipping_priority,
         "q5_local_supplier_volume": q.q5_local_supplier_volume,
         "q18_large_volume_customer": q.q18_large_volume_customer,
+        "q_customers_without_orders": q.q_customers_without_orders,
+        "q_order_priority_rollup": q.q_order_priority_rollup,
         "q_stump_scoring": q.q_stump_scoring,
         "q_stump_scoring_ref": q.q_stump_scoring_ref,
         "q_window_dedup": q.q_window_dedup,
@@ -120,6 +122,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": q.q3_shipping_priority_sql(),
         "q5_local_supplier_volume": q.q5_local_supplier_volume_sql(),
         "q18_large_volume_customer": q.q18_large_volume_customer_sql(),
+        "q_customers_without_orders": q.q_customers_without_orders_sql(),
+        "q_order_priority_rollup": q.q_order_priority_rollup_sql(),
         "q_stump_scoring": q.q_stump_scoring_sql(),
         "q_stump_scoring_ref": q.q_stump_scoring_ref_sql(),
         "q_window_dedup": q.q_window_dedup_sql(),

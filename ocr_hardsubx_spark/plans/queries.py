@@ -750,3 +750,63 @@ def q18_large_volume_customer_sql() -> str:
     JOIN customer ON o_custkey = c_custkey
     GROUP BY c_name, o_orderkey, o_totalprice
     """
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join shape (TPC-H Q22 spirit): customers with no 1996
+    orders (the unrestricted variant is empty on the synthetic data —
+    every customer orders eventually), counted per nation with their
+    idle balance.  The anti-join build side is just the distinct
+    o_custkey set — at scale the anti-join ships key hashes, never
+    customer rows."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    o96 = orders.where((F.col("o_orderdate") >= "1996-01-01")
+                       & (F.col("o_orderdate") < "1997-01-01"))
+    return (
+        cust.join(o96.select("o_custkey").distinct(),
+                  cust["c_custkey"] == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_idle_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("idle_balance"))
+    )
+
+
+def q_customers_without_orders_sql() -> str:
+    return """
+    SELECT n_name, count(*) AS n_idle_customers,
+           round(sum(c_acctbal), 2) AS idle_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey NOT IN (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01')
+    GROUP BY n_name
+    """
+
+
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP shape: order counts and value at three grain levels
+    (priority x status, priority subtotal, grand total) in ONE pass —
+    the partial aggregates are shared across grouping sets, so the
+    rollup costs one shuffle like the plain groupBy."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_value"))
+    )
+
+
+def q_order_priority_rollup_sql() -> str:
+    return """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """
