@@ -2166,10 +2166,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def grams(df):
         toks = F.split("text", " ")
         n = F.greatest(F.size(toks) - (DECON_NGRAM - 1), F.lit(0))
+        # n == 0 (doc shorter than the n-gram) must yield NO grams:
+        # sequence(0, -1) would infer step -1 and produce [0, -1], and
+        # slice(toks, 0, ...) then aborts the job — guard with an empty
+        # array so explode simply drops the short doc.
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+               .otherwise(F.array().cast("array<int>"))
         return df.select(
             "doc_id",
             F.explode(F.transform(
-                F.sequence(F.lit(0), n - 1),
+                idx,
                 lambda i: F.md5(F.array_join(
                     F.slice(toks, i + 1, DECON_NGRAM), " ")),
             )).alias("g"),

@@ -81,6 +81,34 @@ def test_decontamination_needs_full_ngram(spark, tmp_path):
     assert r["contaminated"] is False
 
 
+def test_decontamination_short_docs_survive(spark, tmp_path):
+    """Docs with < DECON_NGRAM tokens produce NO grams and must not
+    abort the job (sequence(0, n-1) with n=0 infers step -1 and slices
+    from index 0 — the regression the guard in grams() prevents).
+    Covers a short corpus doc, a short benchmark doc, and the boundary
+    doc of exactly DECON_NGRAM tokens (one gram)."""
+    bench_text = " ".join(f"b{i}" for i in range(12))
+    exact = " ".join(f"b{i}" for i in range(dq.DECON_NGRAM))
+    rows = (
+        [(i, bench_text) for i in range(dq.DECON_BENCH_DOCS - 1)]
+        + [(dq.DECON_BENCH_DOCS - 1, "short bench doc")]
+        + [
+            (70, "tiny"),                       # 1 token, no grams
+            (71, " ".join(f"w{i}" for i in range(dq.DECON_NGRAM - 1))),
+            (72, exact),                        # exactly one gram, copied
+        ]
+    )
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r
+           for r in dq.q_decontaminate(spark, out).collect()}
+    assert set(got) == {70, 71, 72}
+    assert got[70]["contaminated"] is False
+    assert got[70]["n_contaminated_grams"] == 0
+    assert got[71]["contaminated"] is False
+    assert got[72]["contaminated"] is True
+    assert got[72]["n_contaminated_grams"] == 1
+
+
 def test_doc_of_only_boilerplate_keeps_empty_text(spark, tmp_path):
     rows = [(1, "all shared"), (2, "all shared")]
     out = _docs_dir(spark, tmp_path, rows)
