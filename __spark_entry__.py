@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_bucketed_topk": dq.q_ann_bucketed_topk,
         "q_ann_ivf_census": dq.q_ann_ivf_census,
         "q_ann_ivf_topk": dq.q_ann_ivf_topk,
+        "q_ann_ivf_pruned_topk": dq.q_ann_ivf_pruned_topk,
         "q_ivf_train_step": dq.q_ivf_train_step,
         "q_embed_neardup": dq.q_embed_neardup,
         "q_embed_neardup_census": dq.q_embed_neardup_census,
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_bucketed_topk": dq.q_ann_bucketed_topk_sql(),
         "q_ann_ivf_census": dq.q_ann_ivf_census_sql(),
         "q_ann_ivf_topk": dq.q_ann_ivf_topk_sql(),
+        "q_ann_ivf_pruned_topk": dq.q_ann_ivf_pruned_topk_sql(),
         "q_ivf_train_step": dq.q_ivf_train_step_sql(),
         "q_embed_neardup": dq.q_embed_neardup_sql(),
         "q_embed_neardup_census": dq.q_embed_neardup_census_sql(),

@@ -950,21 +950,29 @@ def q_ann_ivf_census_sql() -> str:
     """
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """IVF search: assign every vector (projection), keep the `nprobe`
-    lists closest to the query vector (probe ids computed driver-side
-    from the collected codebook — the same numbers the oracle derives
-    relationally), exact cosine on the survivors, ranked top-10."""
+def _ivf_probe_ids(spark: SparkSession, sf_dir: str,
+                   nprobe: int) -> list[int]:
+    """The `nprobe` list ids closest to the query vector, computed
+    driver-side from the cached codebook fetch — the same numbers the
+    oracle derives relationally (ORDER BY sim DESC, cid ASC)."""
     import numpy as np
 
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     cents = _ivf_centroids(spark, sf_dir)
     qv = np.asarray(_ivf_seed_vectors(spark, sf_dir)[0], dtype=np.float64)
     qsims = np.asarray(cents, dtype=np.float64) @ (qv / np.linalg.norm(qv))
     # HALF_UP to 4 decimals, matching F.round / DuckDB round
     qsims = np.sign(qsims) * np.floor(np.abs(qsims) * 1e4 + 0.5) / 1e4
     order = sorted(range(IVF_K), key=lambda k: (-qsims[k], k))
-    probe_ids = [k + 1 for k in order[:nprobe]]
+    return [k + 1 for k in order[:nprobe]]
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF search: assign every vector (projection), keep the `nprobe`
+    lists closest to the query vector, exact cosine on the survivors,
+    ranked top-10."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    cents = _ivf_centroids(spark, sf_dir)
+    probe_ids = _ivf_probe_ids(spark, sf_dir, nprobe)
 
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"))
@@ -1022,6 +1030,106 @@ def q_ann_ivf_topk_sql() -> str:
     FROM scored
     QUALIFY rank <= 10
     """
+
+
+# --------------------------------------------------------------------------
+# IVF over the PERSISTED ingest-time layout (scan pruning on the probe)
+# --------------------------------------------------------------------------
+
+IVF_LAYOUT_BASE = "/root/repo/data/ivf_layout"
+IVF_LAYOUT_SCHEMA = "vec_id bigint, embedding array<float>, list_id int"
+
+
+def ensure_ivf_layout(spark: SparkSession, sf_dir: str,
+                      base_dir: str | None = None) -> str:
+    """Materialize the embeddings table PARTITIONED BY the IVF
+    assignment (hive `list_id=K/` directories) — the ingest-time layout
+    the IVF design promises: at 100 TB the assignment is computed once
+    when vectors land and the table is written partitioned by list id,
+    so a probe READS only the nprobe directories (parquet/Iceberg
+    partition pruning) instead of re-assigning the full corpus per
+    query.  10^12 vectors / 10^6 lists gives ~10^6 rows per directory —
+    a healthy parquet file set per partition, and the probe touches
+    nprobe of them.
+
+    Idempotent per (sf_dir, embeddings-file mtime): the directory name
+    carries the source stamp; the write lands in a pid-suffixed temp
+    dir and is renamed into place, so a crashed writer never leaves a
+    half-visible layout and concurrent builders race benignly (first
+    rename wins, losers discard).  Zero-norm vectors carry a NULL
+    assignment and land in the hive default partition — never probed,
+    preserved for audit."""
+    import hashlib
+    import shutil
+
+    src = _t(sf_dir, "embeddings")
+    stamp = int(os.path.getmtime(src))
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = base_dir or IVF_LAYOUT_BASE
+    path = os.path.join(base, f"{key}_{stamp}")
+    if os.path.exists(path):
+        return path
+    cents = _ivf_centroids(spark, sf_dir)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    (
+        spark.read.parquet(src)
+        .select("vec_id", "embedding",
+                _ivf_assign_udf(cents)("embedding").alias("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    )
+    try:
+        os.rename(tmp, path)
+    except OSError:                      # lost the race: layout exists
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def q_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over the persisted layout: the SCAN prunes to the
+    IVF_NPROBE probed `list_id=` partitions (PartitionFilters asserted
+    in tests/test_ivf_ann.py, including a corrupted-cold-partition
+    proof that unprobed directories are never even opened).  Results
+    are identical to q_ann_ivf_topk — the difference is WHERE the
+    assignment happens: at ingest (ensure_ivf_layout), not per query.
+
+    The query vector is a driver-side literal from the cached seed
+    fetch (float32 values are exactly representable as the doubles the
+    in-query path casts to, so cos_sim is bit-identical), making the
+    only distributed work: pruned scan -> exact cosine ->
+    TakeOrderedAndProject.  The explicit read schema skips footer
+    sampling at plan time — at 10^6 partitions schema inference would
+    itself be a job."""
+    layout = ensure_ivf_layout(spark, sf_dir)
+    probe_ids = _ivf_probe_ids(spark, sf_dir, IVF_NPROBE)
+    qvec = _ivf_seed_vectors(spark, sf_dir)[0]
+
+    emb = spark.read.schema(IVF_LAYOUT_SCHEMA).parquet(layout)
+    q = spark.range(1).select(
+        F.array(*[F.lit(float(v)) for v in qvec]).alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    scored = (
+        emb.where(F.col("list_id").isin(probe_ids))
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("qv"))), 4)
+             .alias("cos_sim"),
+        )
+    )
+    return _ranked_top10(scored)
+
+
+def q_ann_ivf_pruned_topk_sql() -> str:
+    # relationally the same search as the in-query assignment form —
+    # the layout only changes where the assignment column lives
+    return q_ann_ivf_topk_sql()
 
 
 def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -155,3 +155,90 @@ def test_zero_norm_and_null_rows_assign_null(spark):
     codes = {r["vec_id"]: r["c"] for r in df.select(
         "vec_id", dq._code_udf(planes)("embedding").alias("c")).collect()}
     assert codes[1] is not None and codes[3] is None
+
+
+# ---- persisted layout + scan pruning (q_ann_ivf_pruned_topk) -------------
+
+def test_pruned_topk_equals_in_query_form(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(dq, "IVF_LAYOUT_BASE", str(tmp_path / "layout"))
+    pruned = {(r["vec_id"], r["cos_sim"], r["rank"])
+              for r in dq.q_ann_ivf_pruned_topk(spark, SF).collect()}
+    live = {(r["vec_id"], r["cos_sim"], r["rank"])
+            for r in dq.q_ann_ivf_topk(spark, SF).collect()}
+    assert pruned == live
+
+
+def test_layout_probe_prunes_at_the_scan(spark, tmp_path, monkeypatch):
+    """The probe's partition filter must reach the file scan: the
+    executed plan carries PartitionFilters on list_id, and the scan's
+    numFiles metric counts ONLY the probed directories' files."""
+    monkeypatch.setattr(dq, "IVF_LAYOUT_BASE", str(tmp_path / "layout"))
+    df = dq.q_ann_ivf_pruned_topk(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "list_id" in plan.split("PartitionFilters")[1][:250]
+
+    import glob
+    import os
+
+    layout = dq.ensure_ivf_layout(spark, SF)
+    probes = dq._ivf_probe_ids(spark, SF, dq.IVF_NPROBE)
+    probe_files = sum(
+        len(glob.glob(os.path.join(layout, f"list_id={p}", "*.parquet")))
+        for p in probes)
+    total_files = len(glob.glob(os.path.join(layout, "*", "*.parquet")))
+    assert 0 < probe_files < total_files
+
+    scan = (spark.read.schema(dq.IVF_LAYOUT_SCHEMA).parquet(layout)
+            .where(F.col("list_id").isin(probes)))
+    scan.collect()
+    node = scan._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    assert node.metrics().apply("numFiles").value() == probe_files
+
+
+def test_pruned_probe_never_opens_cold_partitions(spark, tmp_path,
+                                                  monkeypatch):
+    """Behavioral pruning proof: corrupt every UNPROBED partition's
+    files — the pruned probe still answers (those directories are never
+    opened), while a full scan of the same layout fails."""
+    import glob
+    import os
+
+    monkeypatch.setattr(dq, "IVF_LAYOUT_BASE", str(tmp_path / "layout"))
+    layout = dq.ensure_ivf_layout(spark, SF)
+    probes = set(dq._ivf_probe_ids(spark, SF, dq.IVF_NPROBE))
+    corrupted = 0
+    for d in glob.glob(os.path.join(layout, "list_id=*")):
+        lid = d.rsplit("=", 1)[1]
+        if lid.isdigit() and int(lid) in probes:
+            continue
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            with open(f, "wb") as fh:
+                fh.write(b"not parquet")
+            corrupted += 1
+    assert corrupted > 0
+
+    top = dq.q_ann_ivf_pruned_topk(spark, SF).collect()
+    assert len(top) == 10
+
+    with pytest.raises(Exception):
+        spark.read.schema(dq.IVF_LAYOUT_SCHEMA).parquet(layout).count()
+
+
+def test_layout_is_idempotent_and_stamped(spark, tmp_path, monkeypatch):
+    import os
+
+    monkeypatch.setattr(dq, "IVF_LAYOUT_BASE", str(tmp_path / "layout"))
+    p1 = dq.ensure_ivf_layout(spark, SF)
+    m1 = os.path.getmtime(p1)
+    p2 = dq.ensure_ivf_layout(spark, SF)
+    assert p1 == p2 and os.path.getmtime(p2) == m1  # no rewrite
+
+    rows = (spark.read.schema(dq.IVF_LAYOUT_SCHEMA).parquet(p1)
+            .groupBy("list_id").count().collect())
+    got = {r["list_id"]: r["count"] for r in rows}
+    census = {r["list_id"]: r["n_vecs"]
+              for r in dq.q_ann_ivf_census(spark, SF).collect()}
+    # layout partitions == census lists (+ the query vector's own list)
+    for lid, n in census.items():
+        assert got[lid] in (n, n + 1)
