@@ -40,10 +40,66 @@ STATE_SCHEMA = "prefix string"
 HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
 
 
+WM_STATE_SCHEMA = "prefix string, buf string"
+
+
 def _make_dedup_host(idle_timeout_ms: int | None):
     def _dedup_host(key, pdfs, state):
         return _dedup_host_impl(key, pdfs, state, idle_timeout_ms)
     return _dedup_host
+
+
+def _dedup_host_wm(key, pdfs, state):
+    """Watermark-mode per-host function: fold ONLY events strictly below
+    the current watermark, in (warc_ts, url) order, buffering the rest
+    in state (see streaming/watermark.py for the disorder contract).
+    Beyond-watermark stragglers never reach this function — the engine
+    drops and counts them (watermark_drop_census)."""
+    from .watermark import (
+        dump_buffer, load_buffer, schedule_flush, split_ready,
+    )
+
+    (host,) = key
+    new = (None if state.hasTimedOut
+           else pd.concat(list(pdfs), ignore_index=True))
+    if host == "":
+        # unparseable-host rows pass through independently, no state
+        # (mirrors the in-order operator); nothing to reorder — kept
+        # depends on no neighbor
+        if new is not None and len(new):
+            kept = [bool((t or "")[:DEDUP_PREFIX_CHARS])
+                    for t in new["extracted_text"]]
+            out = new.assign(host=host, kept=kept)
+            yield out[["host", "url", "warc_ts", "extracted_text", "kept"]]
+        return
+    if state.exists:
+        prefix, buf_json = state.get
+        prev, buf = (prefix if prefix != "" else None), load_buffer(buf_json)
+    else:
+        prev, buf = None, []
+    if new is not None:
+        for ts, url, text in zip(new["warc_ts"], new["url"],
+                                 new["extracted_text"]):
+            buf.append([int(pd.Timestamp(ts).value) // 1000, url, text])
+    wm_ms = state.getCurrentWatermarkMs()
+    ready, pending = split_ready(buf, wm_ms)
+    out_rows = []
+    for ts_us, url, text in ready:
+        cur = (text or "")[:DEDUP_PREFIX_CHARS]
+        if prev is not None and at_least_as_similar(
+                cur, prev, DEDUP_SIM_THRESHOLD):
+            kept = False
+        else:
+            kept = bool(cur)
+            if cur:
+                prev = cur
+        out_rows.append((host, url, pd.Timestamp(ts_us * 1000), text, kept))
+    state.update((prev if prev is not None else "", dump_buffer(pending)))
+    schedule_flush(state, pending, wm_ms)
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows,
+            columns=["host", "url", "warc_ts", "extracted_text", "kept"])
 
 
 def _dedup_host_impl(key, pdfs, state, idle_timeout_ms):
@@ -145,9 +201,18 @@ def batch_host_dedup(extracted: "DataFrame") -> "DataFrame":
 
 
 def stateful_host_dedup(extracted: "DataFrame",
-                        idle_timeout_ms: int | None = None) -> "DataFrame":
+                        idle_timeout_ms: int | None = None,
+                        watermark: str | None = None) -> "DataFrame":
     """extracted(url, warc_ts, extracted_text, ...) -> per-host stream with
     a ``kept`` flag assigned by cross-batch consecutive dedup.
+
+    Default mode assumes in-order arrival per host (a file-source replay).
+    Pass ``watermark`` (e.g. ``"10 minutes"``) for a real out-of-order
+    source: events are reorder-buffered per host and folded in event-time
+    order once the watermark passes them; stragglers older than the
+    watermark are dropped BY THE ENGINE and counted
+    (watermark.watermark_drop_census).  Mutually exclusive with
+    ``idle_timeout_ms`` (event-time timeouts drive the buffer flush).
 
     Works on a streaming DataFrame (applyInPandasWithState); the unit tests
     drive it through a memory-source availableNow query.
@@ -155,6 +220,11 @@ def stateful_host_dedup(extracted: "DataFrame",
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if watermark is not None and idle_timeout_ms is not None:
+        raise ValueError(
+            "watermark mode uses event-time timeouts for buffer flush; "
+            "idle_timeout_ms (processing-time) cannot be combined with it")
 
     spark = SparkSession.getActiveSession()
     if spark is not None:
@@ -164,6 +234,19 @@ def stateful_host_dedup(extracted: "DataFrame",
 
     with_host = extracted.withColumn(
         "host", F.regexp_extract("url", HOST_RE, 1))
+    if watermark is not None:
+        return (
+            with_host.withWatermark("warc_ts", watermark)
+            .select("host", "url", "warc_ts", "extracted_text")
+            .groupBy("host")
+            .applyInPandasWithState(
+                _dedup_host_wm,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=WM_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return (
         with_host.select("host", "url", "warc_ts", "extracted_text")
         .groupBy("host")

@@ -66,6 +66,83 @@ def _sessions_user(key, pdfs, state):
     yield pd.DataFrame(closed, columns=_COLS)
 
 
+WM_STATE_SCHEMA = STATE_SCHEMA + ", buf string"
+
+
+def _sessions_user_wm(key, pdfs, state):
+    """Watermark-mode per-user fold: reorder-buffer arrivals in state,
+    fold ONLY events strictly below the current watermark in
+    (ts, event_id) order (streaming/watermark.py contract), flush via
+    event-time timeouts.  Stragglers beyond the watermark are engine-
+    dropped and counted in the progress census."""
+    from .watermark import (
+        dump_buffer, load_buffer, schedule_flush, split_ready,
+    )
+
+    (user,) = key
+    if state.exists:
+        sno, n, lo, hi, last_us, buf_json = state.get
+        buf = load_buffer(buf_json)
+        if last_us is not None and last_us < 0:
+            last_us = None                  # sentinel: nothing folded yet
+    else:
+        sno, n, lo, hi, last_us, buf = 0, 0, 0, 0, None, []
+    if not state.hasTimedOut:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for ts, eid in zip(rows["ts"], rows["event_id"]):
+            buf.append([int(pd.Timestamp(ts).value) // 1000, int(eid)])
+    wm_ms = state.getCurrentWatermarkMs()
+    ready, pending = split_ready(buf, wm_ms)
+    closed = []
+    for us, eid in ready:
+        if last_us is None or us - last_us > SESSION_GAP_US:
+            if n:
+                closed.append((user, sno, n, lo, hi))
+            sno += 1
+            n, lo, hi = 0, eid, eid
+        n += 1
+        lo, hi = min(lo, eid), max(hi, eid)
+        last_us = us
+    state.update((int(sno), int(n), int(lo), int(hi),
+                  int(last_us) if last_us is not None else -1,
+                  dump_buffer(pending)))
+    schedule_flush(state, pending, wm_ms)
+    if closed:
+        yield pd.DataFrame(closed, columns=_COLS)
+
+
+def stateful_sessionize_wm(events: "DataFrame",
+                           watermark: str = "10 minutes") -> "DataFrame":
+    """Out-of-order-tolerant twin of ``stateful_sessionize``: same
+    closed-session output, but arrivals may be shuffled arbitrarily
+    within the ``watermark`` delay (reorder buffer + event-time
+    timeouts); older stragglers are engine-dropped and observable via
+    ``watermark.watermark_drop_census``.  Pinned in
+    tests/test_stateful_sessions.py: shuffled delivery == in-order
+    delivery == batch shadow, and the straggler census is exact."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        from ..plans.packaging import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)  # --py-files equivalent
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessions_user_wm,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=WM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stateful_sessionize(events: "DataFrame") -> "DataFrame":
     """events(event_id, ts, user_id, ...) -> closed-session summaries
     ``(user_id, session_no, n_events, first_event, last_event)``.
