@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_nearby": dq.q_jaccard_nearby,
         "q_jaccard_candidates": dq.q_jaccard_candidates,
         "q_dup_clusters": dq.q_dup_clusters,
+        "q_dup_clusters_unified": dq.q_dup_clusters_unified,
         "q_ann_cosine_topk": dq.q_ann_cosine_topk,
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed,
         "q_ann_bucketed_topk": dq.q_ann_bucketed_topk,
@@ -143,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jaccard_nearby": dq.q_jaccard_nearby_sql(),
         "q_jaccard_candidates": dq.q_jaccard_candidates_sql(),
         "q_dup_clusters": dq.q_dup_clusters_sql(),
+        "q_dup_clusters_unified": dq.q_dup_clusters_unified_sql(),
         "q_ann_cosine_topk": dq.q_ann_cosine_topk_sql(),
         "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed_sql(),
         "q_ann_bucketed_topk": dq.q_ann_bucketed_topk_sql(),
