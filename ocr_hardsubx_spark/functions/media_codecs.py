@@ -6,8 +6,9 @@ them instead of stubbed:
 
 * **PNG** — chunk parse + zlib inflate + per-scanline unfiltering
   (filters 0-4 per the PNG spec: None, Sub, Up, Average, Paeth), for
-  8-bit greyscale / grey+alpha / RGB / RGBA and palette (colortype 3,
-  bit depths 1/2/4/8 via PLTE lookup), non-interlaced AND Adam7
+  8- and 16-bit greyscale / grey+alpha / RGB / RGBA (16-bit samples
+  scale by MSB take) and palette (colortype 3, bit depths 1/2/4/8 via
+  PLTE lookup), non-interlaced AND Adam7
   interlaced (7 independently-filtered reduced images scattered onto
   the full grid).  Output is
   a (H, W) uint8 luminance array computed with the reference's exact
@@ -37,7 +38,7 @@ them instead of stubbed:
   decoding any sample data (the only facts frame sampling needs).
 
 Every sniffable format now decodes for real; only unsupported subsets
-(16-bit PNG, exotic JPEG coding modes) fall back to Pillow when
+(exotic JPEG coding modes) fall back to Pillow when
 importable, else to the declared deterministic stub in
 operators/multimodal.py — and the multimodal schemas carry a
 ``decoded_real`` provenance flag so fallback rows are distinguishable.
@@ -137,9 +138,10 @@ def _row_indices(img: np.ndarray, width: int, bitdepth: int) -> np.ndarray:
 
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (H, W) uint8 luminance. Raises UnsupportedMedia for
-    subsets not implemented (16-bit non-palette), ValueError for
+    subsets not implemented (sub-byte non-palette grey), ValueError for
     malformed data.  Palette images (colortype 3, depths 1/2/4/8)
-    decode via PLTE lookup through the same Q14 grey form.  Adam7
+    decode via PLTE lookup through the same Q14 grey form; 16-bit
+    non-palette forms decode via MSB sample scaling.  Adam7
     interlacing is supported for every supported color form: the IDAT
     stream holds 7 independently-filtered reduced images whose pixels
     scatter onto the full grid at (x0 + j*dx, y0 + i*dy)."""
@@ -176,15 +178,19 @@ def decode_png(payload: bytes) -> np.ndarray:
                 f"PNG palette subset not implemented: depth={bitdepth}")
         if plte is None:
             raise ValueError("palette PNG without PLTE")
-        ch = 1  # filters operate on bytes; bpp = 1 byte for depth <= 8
+        ch = 1
         bits_pp = bitdepth
-    elif bitdepth != 8 or colortype not in _CHANNELS:
+        fbpp = 1  # filters operate on bytes; 1 byte for depth <= 8
+    elif bitdepth not in (8, 16) or colortype not in _CHANNELS:
         raise UnsupportedMedia(
             f"PNG subset not implemented: depth={bitdepth} "
             f"color={colortype}")
     else:
         ch = _CHANNELS[colortype]
-        bits_pp = 8 * ch
+        bits_pp = bitdepth * ch
+        # PNG filters predict at a distance of one whole pixel in BYTES:
+        # 16-bit samples double it (spec §9.2 "bpp")
+        fbpp = ch * (bitdepth // 8)
     passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
     dims = []                       # (x0, y0, dx, dy, pw, ph, stride)
     expect = 0
@@ -205,10 +211,18 @@ def decode_png(payload: bytes) -> np.ndarray:
         full_px = np.zeros((height, width, ch), dtype=np.uint8)
     off = 0
     for x0, y0, dx, dy, pw, ph, stride in dims:
-        img = _unfilter(raw, off, ph, stride, ch)
+        img = _unfilter(raw, off, ph, stride, fbpp)
         off += ph * (stride + 1)
         if colortype == 3:
             full_idx[y0::dy, x0::dx] = _row_indices(img, pw, bitdepth)
+        elif bitdepth == 16:
+            # big-endian 16-bit samples scale to 8 bits by taking the
+            # most-significant byte (the spec's sample-depth scaling
+            # v*255/65535 rounds to v>>8 within one LSB; MSB-take is
+            # the convention 8-bit consumers use), then ride the same
+            # Q14 path as every other form
+            full_px[y0::dy, x0::dx] = \
+                img.reshape(ph, pw, ch, 2)[:, :, :, 0]
         else:
             full_px[y0::dy, x0::dx] = img.reshape(ph, pw, ch)
     if colortype == 3:

@@ -87,7 +87,7 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, bool]:
     """Decode to ((H, W) uint8 luminance, decoded_real).  PNG (incl.
     palette), baseline JPEG and GIF decode for REAL via the stdlib codecs
     (functions/media_codecs.py); unsupported subsets (progressive JPEG,
-    interlaced GIF, 16-bit PNG) go through Pillow when importable; the
+    interlaced GIF) go through Pillow when importable; the
     deterministic fake remains the declared fallback of last resort and
     is FLAGGED: decoded_real=False rides the output schema so a corpus
     full of undecodable payloads is visible, not silently fake."""

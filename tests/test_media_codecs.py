@@ -90,14 +90,90 @@ def test_rgba_png_ignores_alpha():
 
 
 def test_png_unsupported_subsets_raise():
-    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
-    png = (PNG_SIG + _chunk(b"IHDR", ihdr16)
-           + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+    # sub-byte non-palette grey (depth 4, colortype 0) stays out of the
+    # decoded subset (16-bit moved INTO it in round 4)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 1, 4, 0, 0, 0, 0)
+    png = (PNG_SIG + _chunk(b"IHDR", ihdr4)
+           + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
            + _chunk(b"IEND", b""))
     with pytest.raises(UnsupportedMedia):
         decode_png(png)
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
+
+
+def _png16(width, height, colortype, scanlines: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, colortype, 0, 0, 0)
+    return (PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(scanlines))
+            + _chunk(b"IEND", b""))
+
+
+def test_grey16_png_msb_scaling():
+    """16-bit grey: big-endian samples scale to 8 bits by MSB take —
+    0x07FF -> 7, 0xFA00 -> 250, 0x0000 -> 0, 0x80FF -> 128 (the low
+    byte never bleeds into the luminance)."""
+    scan = bytes([0, 0x07, 0xFF, 0xFA, 0x00,
+                  0, 0x00, 0x00, 0x80, 0xFF])
+    np.testing.assert_array_equal(decode_png(_png16(2, 2, 0, scan)),
+                                  [[7, 250], [0, 128]])
+
+
+def test_rgb16_png_reference_q14_luminance():
+    """16-bit RGB rides the SAME Q14 grey form as 8-bit after MSB
+    scaling: pure R/G/B/white at full 16-bit amplitude give the
+    hand-computed 76/150/29/255 — identical to the 8-bit fixture."""
+    px = []
+    for rgb in [(0xFFFF, 0, 0), (0, 0xFFFF, 0),
+                (0, 0, 0xFFFF), (0xFFFF, 0xFFFF, 0xFFFF)]:
+        for v in rgb:
+            px += [v >> 8, v & 0xFF]
+    png = _png16(4, 1, 2, bytes([0] + px))
+    np.testing.assert_array_equal(decode_png(png), [[76, 150, 29, 255]])
+
+
+def test_grey16_png_sub_filter_uses_two_byte_distance():
+    """PNG filters predict at a distance of one PIXEL in bytes — 2 for
+    16-bit grey.  Row [0x0A00, 0x1400-delta] with Sub filter: second
+    pixel's high byte delta 0x0A reconstructs against the FIRST pixel's
+    high byte (0x0A + 0x0A = 0x14 -> 20), not the adjacent low byte."""
+    scan = bytes([1, 0x0A, 0x00, 0x0A, 0x00])
+    np.testing.assert_array_equal(decode_png(_png16(2, 1, 0, scan)),
+                                  [[0x0A, 0x14]])
+
+
+def test_rgba16_png_ignores_alpha_and_adam7_roundtrip():
+    """16-bit RGBA drops alpha; and a 16-bit Adam7 image decodes
+    identically to its non-interlaced twin (scatter + MSB scale
+    compose)."""
+    row = bytes([0] + [0xFF, 0xFF] * 3 + [0x00, 0x00]
+                + [0x00, 0x00] * 3 + [0xFF, 0xFF])
+    png = _png16(2, 1, 6, row)
+    np.testing.assert_array_equal(decode_png(png), [[255, 0]])
+
+    rng = np.random.default_rng(16)
+    w = h = 9
+    px = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+    flat = _png16(w, h, 0, b"".join(
+        bytes([0]) + px[y].astype(">u2").tobytes() for y in range(h)))
+    want = decode_png(flat)
+
+    # build the Adam7 twin from the same pixels
+    passes = []
+    for (x0, y0, dx, dy) in [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                             (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                             (0, 1, 1, 2)]:
+        sub = px[y0::dy, x0::dx]
+        if sub.size:
+            passes.append(b"".join(
+                bytes([0]) + sub[i].astype(">u2").tobytes()
+                for i in range(sub.shape[0])))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1)
+    inter = (PNG_SIG + _chunk(b"IHDR", ihdr)
+             + _chunk(b"IDAT", zlib.compress(b"".join(passes)))
+             + _chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(inter), want)
+    np.testing.assert_array_equal(want, (px >> 8).astype(np.uint8))
 
 
 def _wav(samples: np.ndarray, n_ch: int = 1, width: int = 2) -> bytes:
