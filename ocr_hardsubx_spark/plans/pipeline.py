@@ -26,6 +26,7 @@ becomes the table's own snapshot metadata.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import time
 import uuid
@@ -531,6 +532,115 @@ def vacuum_superseded(spark: SparkSession, output_path: str) -> dict:
             "orphans_removed": len(orphans)}
 
 
+COMPACTION_LEASE_TTL_MS = 15 * 60 * 1000
+
+
+class CompactionLeaseHeld(RuntimeError):
+    """Another compactor holds the lease; the caller must back off."""
+
+
+def _lease_path(output_path: str) -> str:
+    return os.path.join(output_path, "_manifests", "_compaction.lease")
+
+
+def _read_lease(spark: SparkSession, output_path: str) -> dict | None:
+    p = _lease_path(output_path)
+    try:
+        if _is_uri(output_path):
+            fs, path_cls = _hdfs(spark, p)
+            if not fs.exists(path_cls(p)):
+                return None
+            stream = fs.open(path_cls(p))
+            try:
+                raw = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+        else:
+            if not os.path.exists(p):
+                return None
+            with open(p, "rb") as f:
+                raw = f.read()
+        return json.loads(raw.decode("utf-8"))
+    except Exception:
+        # unreadable/corrupt lease: treat as held-by-unknown — breaking
+        # it on a parse error would defeat the mutual exclusion
+        return {"owner": "<unreadable>", "acquired_ms": int(time.time()
+                * 1000)}
+
+
+def _acquire_compaction_lease(spark: SparkSession, output_path: str,
+                              ttl_ms: int = COMPACTION_LEASE_TTL_MS
+                              ) -> str:
+    """Single-compactor mutual exclusion via an atomically-created lease
+    file (round-3 verdict item 10: two concurrent compactors must never
+    both flip ``replaces``).  ``open(..., 'x')`` locally /
+    ``FileSystem.createNewFile`` on HDFS are atomic creates; a lease
+    older than its TTL is presumed crashed and broken (delete +
+    ONE re-create attempt — if another breaker wins the re-create race,
+    this caller backs off with CompactionLeaseHeld).  Returns the owner
+    token to pass to ``_release_compaction_lease``."""
+    p = _lease_path(output_path)
+    owner = uuid.uuid4().hex
+    payload = json.dumps({"owner": owner, "ttl_ms": ttl_ms,
+                          "acquired_ms": int(time.time() * 1000)}
+                         ).encode("utf-8")
+
+    def try_create() -> bool:
+        if _is_uri(output_path):
+            fs, path_cls = _hdfs(spark, p)
+            fs.mkdirs(path_cls(os.path.dirname(p)))
+            if not fs.createNewFile(path_cls(p)):
+                return False
+            stream = fs.create(path_cls(p), True)
+            try:
+                stream.write(payload)
+            finally:
+                stream.close()
+            return True
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            with open(p, "xb") as f:
+                f.write(payload)
+            return True
+        except FileExistsError:
+            return False
+
+    for attempt in range(2):
+        if try_create():
+            return owner
+        held = _read_lease(spark, output_path)
+        if held is None:                      # released between checks
+            continue
+        age = int(time.time() * 1000) - int(held.get("acquired_ms", 0))
+        if attempt == 0 and age > int(held.get("ttl_ms", ttl_ms)):
+            # stale: presumed-crashed owner — break and retry ONCE
+            _release_compaction_lease(spark, output_path, None)
+            continue
+        raise CompactionLeaseHeld(
+            f"compaction lease held by {held.get('owner')} "
+            f"(age {age} ms, ttl {held.get('ttl_ms', ttl_ms)} ms)")
+    raise CompactionLeaseHeld("lost the lease re-create race")
+
+
+def _release_compaction_lease(spark: SparkSession, output_path: str,
+                              owner: str | None) -> None:
+    """Delete the lease; with ``owner`` set, only if still ours (a
+    broken-and-reacquired lease belongs to someone else)."""
+    p = _lease_path(output_path)
+    if owner is not None:
+        held = _read_lease(spark, output_path)
+        if held is not None and held.get("owner") != owner:
+            return
+    try:
+        if _is_uri(output_path):
+            fs, path_cls = _hdfs(spark, p)
+            fs.delete(path_cls(p), False)
+        elif os.path.exists(p):
+            os.remove(p)
+    except OSError:
+        pass
+
+
 def compact_extracted(spark: SparkSession, output_path: str,
                       target_file_mb: int = 256) -> dict:
     """Compact all live runs into ONE run with size-targeted files.
@@ -557,12 +667,32 @@ def compact_extracted(spark: SparkSession, output_path: str,
        coverage survives manifest GC), sums the replaced runs'
        authoritative ``run_bytes_out`` totals, records the ACTUAL
        written file count, and names the replaced run ids in
-       ``replaces`` — committing this ONE file atomically flips
-       visibility;
+       ``replaces`` — committing this ONE file flips visibility in a
+       single rename (atomic on local/HDFS; on S3A the Hadoop rename is
+       copy+delete, so a crash mid-rename can expose a partial object —
+       there the protocol needs a manifest-validating reader or an S3
+       conditional PUT, the standard object-store commit caveat noted
+       in ``_commit_manifest``);
     4. GC the replaced runs (idempotent; a crash here is what step 0
        repairs on the next invocation).
+
+    Mutual exclusion: a TTL lease (atomic create; see
+    ``_acquire_compaction_lease``) guarantees a single compactor — a
+    concurrent invocation raises ``CompactionLeaseHeld`` without
+    touching data, and a crashed compactor's stale lease is broken
+    after its TTL.
     """
     t0 = time.time()
+    lease = _acquire_compaction_lease(spark, output_path)
+    try:
+        return _compact_extracted_locked(spark, output_path,
+                                         target_file_mb, t0)
+    finally:
+        _release_compaction_lease(spark, output_path, lease)
+
+
+def _compact_extracted_locked(spark: SparkSession, output_path: str,
+                              target_file_mb: int, t0: float) -> dict:
     vac = vacuum_superseded(spark, output_path)
     runs = live_runs(spark, output_path)
     if len(runs) <= 1:

@@ -438,3 +438,46 @@ def test_vacuum_reclaims_orphan_compact_dir(spark, corpus, tmp_path):
     assert vac["orphans_removed"] == 1
     assert not os.path.exists(orphan)
     assert os.path.exists(midjob)  # plain uncommitted run: NOT eligible
+
+
+def test_compaction_lease_blocks_second_compactor(spark, corpus, tmp_path):
+    """Round-3 verdict item 10: while a lease is held, a second
+    compactor aborts cleanly (no data touched, no `replaces` flip); a
+    STALE lease (crashed owner past TTL) is broken and compaction
+    proceeds; a successful compaction releases its lease."""
+    import json
+    import time as _time
+
+    from ocr_hardsubx_spark.plans.pipeline import (
+        CompactionLeaseHeld,
+        _acquire_compaction_lease,
+        _lease_path,
+        _release_compaction_lease,
+        compact_extracted,
+        live_runs,
+    )
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, corpus, out, max_files=2)
+    run_extraction_job(spark, corpus, out)
+    assert len(live_runs(spark, out)) == 2
+
+    # first compactor holds the lease
+    token = _acquire_compaction_lease(spark, out)
+    with pytest.raises(CompactionLeaseHeld):
+        compact_extracted(spark, out)
+    assert len(live_runs(spark, out)) == 2          # nothing happened
+    # releasing with the WRONG owner is a no-op
+    _release_compaction_lease(spark, out, "not-the-owner")
+    assert os.path.exists(_lease_path(out))
+    _release_compaction_lease(spark, out, token)
+    assert not os.path.exists(_lease_path(out))
+
+    # a stale lease (crashed compactor) is broken after its TTL
+    with open(_lease_path(out), "w") as f:
+        json.dump({"owner": "dead", "ttl_ms": 1,
+                   "acquired_ms": int(_time.time() * 1000) - 10_000}, f)
+    res = compact_extracted(spark, out)
+    assert res["compacted"] and res["replaced"] == 2
+    # the successful run released its own lease
+    assert not os.path.exists(_lease_path(out))
