@@ -14,7 +14,7 @@ from bisect import bisect_right
 
 import numpy as np
 
-from ..config import GROUP_JOINER, MIN_AREA_ABS
+from ..config import GROUP_JOINER
 from ..functions.normalize import normalize_text
 from ..functions.scoring import StumpModel
 from .cascade import nms_with_forest, stage2_with_recovery
@@ -50,10 +50,8 @@ def finish_document(
         return stage2_with_recovery(keptc, childrenc, Xc, nm2, regions)
 
     survivors = _channel_survivors(X, mask1, p1)
-    accepted_any = np.asarray(mask1, dtype=bool).copy()
     seen_ids = {r.region_id for r in survivors}
     for Xc, maskc, pc in extra_channels:
-        accepted_any |= np.asarray(maskc, dtype=bool)
         for r in _channel_survivors(Xc, maskc, pc):
             if r.region_id not in seen_ids:
                 seen_ids.add(r.region_id)
@@ -63,8 +61,14 @@ def finish_document(
 
     groups = group_regions(survivors)
 
-    # G6 feedback: stage-1-rejected, area-plausible regions disjoint from
-    # every survivor get a second chance via the pair predicates
+    # G6 feedback: EVERY non-empty region disjoint from the surviving
+    # set gets a second chance via the pair predicates — eval_dummy
+    # semantics (erfilter.c:1316 re-runs detection over the padded box
+    # with loadDummyClassifier; area > 0 is its only classifier gate),
+    # so regions the main cascade never surfaced (below MIN_AREA_ABS,
+    # stage-1 rejects, non-overlapping NMS losers) are all recoverable.
+    # feedback_absorb applies the feedback filter's own window-relative
+    # area gates (0.005-0.3 of the padded span) per reference dials.
     starts = sorted((r.start, r.end) for r in survivors)
     s_lo = [s for s, _ in starts]
 
@@ -75,9 +79,8 @@ def finish_document(
         return not (k > 0 and starts[k - 1][1] > r.start)
 
     candidates = [
-        r for i, r in enumerate(regions)
-        if not accepted_any[i] and r.area >= MIN_AREA_ABS
-        and r.group_id == -1 and _disjoint(r)
+        r for r in regions
+        if r.area > 0 and r.group_id == -1 and _disjoint(r)
     ]
     groups = feedback_absorb(groups, candidates)
 

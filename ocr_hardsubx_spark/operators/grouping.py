@@ -194,17 +194,38 @@ def group_regions(kept: list[Region]) -> list[list[Region]]:
 FEEDBACK_PAD = 0.25  # padded-window fraction around each group's span
 
 
+#: Reference feedback ERFilter dials (erfilter.c:1316 —
+#: createERFilterNM1(loadDummyClassifier(), 1, 0.005f, 0.3f, ...)): the
+#: re-detection pass has its OWN area gates, relative to the padded
+#: window it re-extracts, with the classifier replaced by eval_dummy
+#: (erfilter.c:192-198 — any region with area > 0 scores 1.0).
+FEEDBACK_MIN_AREA_FRAC = 0.005
+FEEDBACK_MAX_AREA_FRAC = 0.3
+
+
 def feedback_absorb(groups: list[list[Region]],
                     candidates: list[Region]) -> list[list[Region]]:
     """Second-chance feedback loop (G6, reference erfilter.c:1313-1463):
-    re-scan the padded window around each accepted block with the
-    classifier gate disabled (eval_dummy, erfilter.c:192-198 — area gates
-    only, which ``candidates`` already passed) and absorb regions that
-    satisfy the pair predicates against the nearest group member.
+    re-detect inside the padded window around each accepted block with
+    the classifier gate DISABLED (eval_dummy — erfilter.c:1316 runs a
+    fresh ERFilter with loadDummyClassifier over the padded bbox) and
+    absorb regions that satisfy the pair predicates against the nearest
+    group member.
 
-    ``candidates``: stage-1-rejected regions that are not ancestors or
-    descendants of any surviving region (the caller guarantees
-    disjointness so absorbed text never duplicates member text).
+    ``candidates``: every parsed region disjoint from the surviving set
+    (the caller guarantees disjointness so absorbed text never
+    duplicates member text) with area > 0 — INCLUDING regions the main
+    cascade never surfaced (below MIN_AREA_ABS, or local-maxima losers
+    whose spans don't overlap a survivor).  Our region tree is
+    deterministic from the HTML, so "re-run extraction over the padded
+    subimage" reduces to re-testing the window's subtree with the dummy
+    gate — the tree walk cannot produce different nodes the way a
+    re-thresholded component tree can (declared fidelity divergence).
+
+    Per window the reference filter's own gates apply
+    (erfilter.c:1316): area within [0.005, 0.3] of the padded span, and
+    the region fully inside the window (the reference skips regions
+    clipped by the subimage border, erfilter.c:1352-1353).
     One pass, document-local, deterministic.
     """
     if not groups or not candidates:
@@ -217,14 +238,18 @@ def feedback_absorb(groups: list[list[Region]],
     for g in groups:
         lo, hi = g[0].start, g[-1].end
         pad = int(FEEDBACK_PAD * max(1, hi - lo))
+        wlo, whi = lo - pad, hi + pad
+        wspan = whi - wlo
         absorbed = False
-        # pinned window rule: a candidate qualifies iff its START offset
-        # lies inside the padded span (the pair gates bound the distance)
-        k0 = bisect_left(cand_starts, lo - pad)
+        k0 = bisect_left(cand_starts, wlo)
         for r in candidates[k0:]:
-            if r.start >= hi + pad:
+            if r.start >= whi:
                 break
             if r.group_id != -1:
+                continue
+            # window-relative area gates + border clip (see docstring)
+            if not (FEEDBACK_MIN_AREA_FRAC * wspan <= r.area
+                    <= FEEDBACK_MAX_AREA_FRAC * wspan and r.end <= whi):
                 continue
             # nearest member on the matching side, reference pair re-test
             before = [m for m in g if m.end <= r.start]

@@ -181,11 +181,43 @@ def test_feedback_absorbs_pair_compatible_neighbor():
         return r
 
     m1, m2 = mk(0, 0, 100, gid=0), mk(1, 150, 100, gid=0)
-    cand_ok = mk(2, 260, 90)                 # near, similar style
+    # padded window = [-62, 312] (span 250, pad 62): candidates must lie
+    # FULLY inside it (the reference skips subimage-border-clipped
+    # regions, erfilter.c:1352-1353) and within its relative area gates
+    cand_ok = mk(2, 260, 50)                 # near, similar style, inside
     cand_far = mk(3, 5000, 90)               # outside the padded window
-    cand_linky = mk(4, 262, 90, link=80)     # style distance too large
-    groups = feedback_absorb([[m1, m2]], [cand_ok, cand_far, cand_linky])
+    cand_clipped = mk(5, 260, 90)            # end 350 > window end 312
+    cand_linky = mk(4, 262, 50, link=40)     # style distance too large
+    groups = feedback_absorb(
+        [[m1, m2]], [cand_ok, cand_far, cand_clipped, cand_linky])
     members = {r.region_id for r in groups[0]}
     assert members == {0, 1, 2}
     assert cand_ok.group_id == 0
     assert cand_far.group_id == -1 and cand_linky.group_id == -1
+
+
+def test_feedback_recovers_sub_threshold_region_end_to_end():
+    """G6 full re-detection analog (round-3 verdict item 7): a region
+    BELOW MIN_AREA_ABS — which the main cascade never surfaces as a
+    candidate — inside a block's padded window is absorbed via
+    eval_dummy semantics (erfilter.c:1316: the feedback pass re-runs
+    detection with loadDummyClassifier, whose only gate is area > 0,
+    under the feedback filter's own 0.005-0.3 window-relative area
+    gates).  Pinned against refimpl end to end."""
+    from ocr_hardsubx_spark.config import MIN_AREA_ABS
+    from ocr_hardsubx_spark.refimpl import extract_document
+
+    para = ("Long form article content paragraph with plenty of running "
+            "text to anchor the document so the cascade keeps real "
+            "blocks alive. ")
+    items = "".join(f"<p>item line number {i} here</p>" for i in range(4))
+    tiny = "go"
+    assert len(tiny) < MIN_AREA_ABS
+    html = ("<html><body><article>" + "<p>" + para * 6 + "</p>"
+            + items + f"<p>{tiny}</p>"
+            + "<p>" + para * 6 + "</p></article></body></html>")
+    out = extract_document(html.encode())["extracted_text"]
+    assert out.endswith("\ngo") or " go" in out or "\ngo\n" in out
+    # and the anchoring blocks are still there (no collateral damage)
+    assert "item line number 0 here" in out
+    assert "Long form article content paragraph" in out
