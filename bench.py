@@ -158,6 +158,33 @@ def run_queries(spark) -> dict[str, float]:
     return times
 
 
+def run_parse_throughput() -> float:
+    """Single-thread tokenizer throughput in MB/s over a deterministic
+    ~16 MB page mix (realistic paragraphs + attribute-heavy markup +
+    deep nesting) — the per-core floor of the extraction stage's parse
+    step and the guard number for tokenizer regressions (the pre-fix
+    backtracking regex would score ~0 here on the attr-heavy slice).
+    Documented in BENCH/BASELINE.md; stress semantics are pinned in
+    tests/test_parse_stress.py."""
+    from ocr_hardsubx_spark.operators.parse import parse_document
+
+    para = ('<p class="body-text" data-idx="7">Running text paragraph '
+            "with typical crawl density and <a href=\"/x?a=1&b=2\">two"
+            "</a> inline <b>spans</b> for structure. </p>")
+    page = ("<html><head><title>t</title></head><body>"
+            '<nav><ul><li><a href="/">Home</a></li></ul></nav>'
+            + para * 120 + "<div>" * 40 + para + "</div>" * 40
+            + "</body></html>")
+    docs = [page] * max(1, (16 << 20) // len(page))
+    total = sum(len(d) for d in docs)
+    parse_document(docs[0])                      # warm
+    t0 = time.time()
+    for d in docs:
+        parse_document(d)
+    wall = time.time() - t0
+    return round(total / wall / (1 << 20), 1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
@@ -210,6 +237,7 @@ def main() -> None:
         "bench_docs": n,
         "cores": CPUS,
         "byte_identity_mismatches": mismatches,
+        "parse_mb_per_sec": run_parse_throughput(),
         "queries": qtimes,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
     }))

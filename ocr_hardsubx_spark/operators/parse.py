@@ -259,11 +259,20 @@ class _BuilderCore:
 # ---------------------------------------------------------------------------
 
 # one linear-scan tag matcher; quoted attribute values may contain '>'
+# The attr loops are POSSESSIVE (*+): with a backtracking `*`, the
+# quoted-string alternatives and `[^>]` overlap on quote characters, so
+# an UNTERMINATED tag containing k quoted segments explodes into 2^k
+# re-splits before failing — a ~150-byte adversarial page hung the
+# tokenizer for minutes (round-4 stress-fixture finding).  Possessive
+# matching commits to the greedy parse (quoted segments may contain
+# '>', a bare quote falls through to [^>]) and fails in linear time;
+# well-formed tags match identically, and the regex-vs-stdlib parity
+# suites pin the semantics.
 _TAG_RE = re.compile(
     r"<(?:"
-    r"(?P<end>/\s*(?P<endname>[a-zA-Z][a-zA-Z0-9:._-]*)(?:\"[^\"]*\"|'[^']*'|[^>])*>)"
+    r"(?P<end>/\s*(?P<endname>[a-zA-Z][a-zA-Z0-9:._-]*)(?:\"[^\"]*\"|'[^']*'|[^>])*+>)"
     r"|(?P<start>(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*)"
-    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*)>)"
+    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*+)>)"
     r"|(?P<comment>!--.*?(?:--!?>|\Z))"
     r"|(?P<decl>![^>]*(?:>|\Z))"
     r"|(?P<pi>\?[^>]*(?:>|\Z))"
