@@ -12,7 +12,9 @@ Implemented with ``applyInPandasWithState`` (the Structured Streaming
 escape hatch for custom stateful logic): state = the last kept document's
 normalized prefix + timestamp per host, carried across micro-batches.
 State is bounded (one row per host); pass ``idle_timeout_ms`` to expire
-idle hosts' state (production GC knob).  NB: with a processing-time
+idle hosts' state (production GC knob), or ``watermark=`` for
+out-of-order sources (reorder buffer + event-time-timeout flush +
+engine-side late-drop census — see streaming/watermark.py).  NB: with a processing-time
 timeout pending, an availableNow query stays alive until the timeout
 fires — so the default is NoTimeout, and timeout-based GC is opt-in for
 long-running deployments.

@@ -12,9 +12,11 @@ SESSION_GAP); the still-open session stays in state.
 Contract, pinned in tests/test_stateful_sessions.py against the batch
 shadow: across ANY micro-batch slicing, the emitted closed sessions
 equal ``q_sessionize``'s result minus each user's LAST (still-open)
-session.  In-order arrival per user is assumed (the file source
-replays event-time order); out-of-order/late data is the batch
-shadow's — or a watermarked window's — job, as with stateful_dedup.
+session.  This default mode assumes in-order arrival per user (a file
+source replaying event-time order); for a real out-of-order stream use
+``stateful_sessionize_wm`` — the watermark mode that reorder-buffers
+within the watermark and engine-drops (with an exact census) beyond it
+(tests/test_streaming_watermark.py).
 """
 
 from __future__ import annotations
