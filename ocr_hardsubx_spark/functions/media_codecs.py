@@ -26,8 +26,10 @@ them instead of stubbed:
   AC refinement with interleaved correction bits per T.81 G.1.2.3),
   IDCT at the end.  Only the luma component is inverse-transformed (the
   output is luminance); chroma blocks are entropy-decoded to keep the
-  bitstream in sync.  Arithmetic coding, lossless/hierarchical SOFs,
-  and 12-bit raise UnsupportedMedia.
+  bitstream in sync.  LOSSLESS (SOF3) decodes via the Annex-H DPCM
+  predictors (2-16 bit, MSB-aligned; 3-component RGB through the Q14
+  grey form).  Arithmetic coding, hierarchical SOFs, and 12-bit DCT
+  precision raise UnsupportedMedia.
 
 * **GIF (87a/89a)** — LZW decode (variable-width codes, CLEAR/END,
   the KwKwK rule), global/local palettes, first frame (interlaced rows
@@ -38,7 +40,7 @@ them instead of stubbed:
   decoding any sample data (the only facts frame sampling needs).
 
 Every sniffable format now decodes for real; only unsupported subsets
-(exotic JPEG coding modes) fall back to Pillow when
+(arithmetic/hierarchical/12-bit-DCT JPEG) fall back to Pillow when
 importable, else to the declared deterministic stub in
 operators/multimodal.py — and the multimodal schemas carry a
 ``decoded_real`` provenance flag so fallback rows are distinguishable.
@@ -391,9 +393,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     IDCT -> level shift); chroma blocks are entropy-decoded only to keep
     the bitstream in sync, never inverse-transformed (we output luma).
     Progressive scans accumulate coefficients (spectral selection +
-    successive approximation) and the IDCT runs once at EOI.  Arithmetic
-    coding, lossless/hierarchical SOFs, and 12-bit precision raise
-    UnsupportedMedia."""
+    successive approximation) and the IDCT runs once at EOI.  Lossless
+    (SOF3) decodes via the Annex-H DPCM predictors (2-16 bit precision,
+    MSB-aligned to 8).  Arithmetic coding, hierarchical SOFs, and
+    12-bit DCT precision raise UnsupportedMedia."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qt: dict[int, list[int]] = {}
@@ -439,9 +442,12 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
                     counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # baseline/prog/lossless
             precision = seg[0]
-            if precision != 8:
+            if marker == 0xC3:
+                if not (2 <= precision <= 16):
+                    raise UnsupportedMedia(f"JPEG precision {precision}")
+            elif precision != 8:
                 raise UnsupportedMedia(f"JPEG precision {precision}")
             height, width = struct.unpack(">HH", seg[1:5])
             _check_dims(width, height)
@@ -452,7 +458,12 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = {"w": width, "h": height, "comps": comps,
-                     "prog": marker == 0xC2}
+                     "prog": marker == 0xC2,
+                     "lossless": marker == 0xC3, "precision": precision}
+            if frame["lossless"]:
+                if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                    raise UnsupportedMedia(
+                        "lossless JPEG with subsampling")
             # gate on SOF fields NOW, for BOTH coding modes: with a
             # non-max-sampled first component the luma plane cannot
             # cover the image — the baseline path would silently return
@@ -466,10 +477,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 raise UnsupportedMedia("JPEG with subsampled luma")
             if frame["prog"]:
                 coef_state = _prog_init_state(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedMedia(
-                f"JPEG SOF{marker - 0xC0} not baseline/progressive")
+                f"JPEG SOF{marker - 0xC0} not baseline/progressive/"
+                "lossless")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -481,6 +493,15 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 cs, tables = seg[1 + 2 * c:3 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append({**comp, "dc": tables >> 4, "ac": tables & 0xF})
+            if frame.get("lossless"):
+                pred_sel = seg[1 + 2 * ns]            # Ss = predictor
+                pt = seg[3 + 2 * ns] & 0xF            # Al = point transform
+                if restart_interval:
+                    raise UnsupportedMedia(
+                        "lossless JPEG with restart intervals")
+                return _decode_lossless_scan(
+                    payload, pos + 2 + seglen, frame, scan, huff_dc,
+                    pred_sel, pt)
             if not frame["prog"]:
                 return _decode_scan(payload, pos + 2 + seglen, frame, scan,
                                     qt, huff_dc, huff_ac, restart_interval)
@@ -496,6 +517,78 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     if frame is not None and frame["prog"] and frame.get("saw_scan"):
         return _prog_finish(frame, coef_state, qt)
     raise ValueError("JPEG: no scan data found")
+
+
+# -- lossless (SOF3, T.81 Annex H): DPCM predictors, no DCT ---------------
+
+def _decode_lossless_scan(data, pos, frame, scan, huff_dc,
+                          pred_sel, pt) -> "np.ndarray":
+    """Lossless JPEG scan -> (H, W) uint8 luminance.
+
+    Per T.81 H.1-H.2: each sample is a huffman-coded SSSS category + raw
+    magnitude bits extended to a signed difference (the same code/extend
+    machinery as baseline DC), added mod 2^16 to the prediction from the
+    Ss-selected predictor (1..7 over Ra=left, Rb=above, Rc=up-left).
+    First sample (and the first line's / first column's fallbacks per
+    H.1.2.2): default prediction 2^(P-Pt-1); the top row predicts from
+    Ra, the left column from Rb.  SSSS=16 encodes diff=32768 with no
+    magnitude bits.  Components interleave one sample each per MCU
+    (sampling factors are gated to 1x1 at SOF).
+
+    Output scaling: the reconstructed precision is P-Pt bits; samples
+    MSB-align to 8 (same convention as 16-bit PNG).  One component
+    returns directly; three (lossless RGB is stored un-transformed)
+    ride the shared Q14 grey form."""
+    w, h = frame["w"], frame["h"]
+    prec = frame["precision"] - pt
+    default = 1 << (prec - 1) if prec > 0 else 0
+    reader = _BitReader(data, pos)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in scan]
+    tables = [huff_dc[c["dc"]] for c in scan]
+    for y in range(h):
+        for x in range(w):
+            for plane, table in zip(planes, tables):
+                s = reader.huff(table)
+                if s == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(reader.bits(s), s)
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = plane[0, x - 1]            # Ra fallback
+                elif x == 0:
+                    pred = plane[y - 1, 0]            # Rb fallback
+                else:
+                    ra = plane[y, x - 1]
+                    rb = plane[y - 1, x]
+                    rc = plane[y - 1, x - 1]
+                    if pred_sel == 1:
+                        pred = ra
+                    elif pred_sel == 2:
+                        pred = rb
+                    elif pred_sel == 3:
+                        pred = rc
+                    elif pred_sel == 4:
+                        pred = ra + rb - rc
+                    elif pred_sel == 5:
+                        pred = ra + ((rb - rc) >> 1)
+                    elif pred_sel == 6:
+                        pred = rb + ((ra - rc) >> 1)
+                    elif pred_sel == 7:
+                        pred = (ra + rb) >> 1
+                    else:
+                        raise UnsupportedMedia(
+                            f"lossless JPEG predictor {pred_sel}")
+                plane[y, x] = (int(pred) + diff) & 0xFFFF
+    def to8(p):
+        if prec >= 8:
+            return (p >> (prec - 8)).astype(np.uint8)
+        return (p << (8 - prec)).astype(np.uint8)
+    if len(planes) == 3:
+        r, g, b = (to8(p).astype(np.int32) for p in planes)
+        return _q14_gray(r, g, b)
+    return to8(planes[0])
 
 
 # -- progressive (SOF2): scans accumulate coefficients; IDCT at the end --

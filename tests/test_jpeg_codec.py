@@ -547,3 +547,128 @@ def test_subsampled_luma_rejected_for_baseline_too():
     jpg = _jpeg(16, 16, [(1, 1, 1), (2, 2, 2)], wr)
     with pytest.raises(UnsupportedMedia):
         decode_jpeg(jpg)
+
+
+# ---- lossless (SOF3, Annex H) --------------------------------------------
+# DC table for lossless: SSSS symbols 0..16 all at code length 5
+
+L_DC_COUNTS = [0, 0, 0, 0, 17] + [0] * 11
+L_DC_SYMBOLS = bytes(range(17))
+
+
+def _emit_diff(w, diff):
+    if diff == 32768:
+        length, code = _code_of(L_DC_COUNTS, L_DC_SYMBOLS, 16)
+        w.put(code, length)        # SSSS=16: no magnitude bits
+        return
+    s = _category(diff)
+    length, code = _code_of(L_DC_COUNTS, L_DC_SYMBOLS, s)
+    w.put(code, length)
+    _emit_value(w, diff, s)
+
+
+def _lossless_jpeg(width, height, precision, ncomp, pred_sel, pt, writer):
+    dht = bytes([0x00]) + bytes(L_DC_COUNTS) + L_DC_SYMBOLS
+    sof = (bytes([precision]) + struct.pack(">HH", height, width)
+           + bytes([ncomp]))
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([pred_sel, 0, pt])
+    w = _BitWriter()
+    writer(w)
+    return (b"\xff\xd8" + _seg(0xC4, dht) + _seg(0xC3, sof)
+            + _seg(0xDA, sos) + w.flush() + b"\xff\xd9")
+
+
+def _predict(plane, y, x, sel, default):
+    """Independent Annex-H prediction (H.1.2.2) for the test encoder."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return plane[0][x - 1]
+    if x == 0:
+        return plane[y - 1][0]
+    ra, rb, rc = plane[y][x - 1], plane[y - 1][x], plane[y - 1][x - 1]
+    return {1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+            5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+            7: (ra + rb) >> 1}[sel]
+
+
+def _encode_lossless(samples, precision, pred_sel, pt=0):
+    """samples: list of (H, W) int grids, one per component."""
+    h, wd = len(samples[0]), len(samples[0][0])
+    default = 1 << (precision - pt - 1)
+
+    def writer(w):
+        for y in range(h):
+            for x in range(wd):
+                for plane in samples:
+                    pred = _predict(plane, y, x, pred_sel, default)
+                    # mod-2^16 arithmetic (H.1.2.1): reduce to the
+                    # signed range; exactly 32768 is the SSSS=16 case
+                    diff = (plane[y][x] - pred) & 0xFFFF
+                    if diff > 32768:
+                        diff -= 65536
+                    _emit_diff(w, diff)
+
+    return _lossless_jpeg(wd, h, precision, len(samples), pred_sel, pt,
+                          writer)
+
+
+def test_lossless_grey_predictor1_hand_values():
+    """2x2 DPCM chain, hand-derived: first sample against the default
+    prediction 2^(P-1)=128, top row against Ra, left column against Rb,
+    interior against predictor 1 (Ra)."""
+    px = [[100, 102], [101, 99]]
+    out = decode_jpeg(_encode_lossless([px], 8, 1))
+    np.testing.assert_array_equal(out, px)
+
+
+@pytest.mark.parametrize("sel", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_roundtrip_every_predictor(sel):
+    rng = np.random.default_rng(sel)
+    px = rng.integers(0, 256, size=(7, 5)).tolist()
+    out = decode_jpeg(_encode_lossless([px], 8, sel))
+    np.testing.assert_array_equal(out, px)
+
+
+def test_lossless_16bit_msb_scaling():
+    px = [[0x1234, 0x5678, 0x0000, 0xFFFF]]
+    out = decode_jpeg(_encode_lossless([px], 16, 1))
+    np.testing.assert_array_equal(out, [[0x12, 0x56, 0x00, 0xFF]])
+
+
+def test_lossless_rgb_q14_luminance_parity():
+    """3-component lossless RGB rides the same Q14 grey form: the pure
+    R/G/B/white fixture gives the hand-computed 76/150/29/255 exactly as
+    the PNG suites do."""
+    r = [[255, 0, 0, 255]]
+    g = [[0, 255, 0, 255]]
+    b = [[0, 0, 255, 255]]
+    out = decode_jpeg(_encode_lossless([r, g, b], 8, 1))
+    np.testing.assert_array_equal(out, [[76, 150, 29, 255]])
+
+
+def test_lossless_point_transform_scales_back():
+    """Pt=1: samples are stored at P-Pt=7 bits; output MSB-aligns to 8
+    (64 at 7 bits -> 128)."""
+    px = [[64, 32], [16, 127]]
+    out = decode_jpeg(_encode_lossless([px], 8, 1, pt=1))
+    np.testing.assert_array_equal(out, [[128, 64], [32, 254]])
+
+
+def test_lossless_unsupported_shapes_raise():
+    # restart intervals: declared out of subset
+    body = _encode_lossless([[[1, 2]]], 8, 1)
+    with_dri = body[:2] + _seg(0xDD, struct.pack(">H", 1)) + body[2:]
+    with pytest.raises(UnsupportedMedia):
+        decode_jpeg(with_dri)
+    # subsampled lossless: declared out of subset
+    bad = bytearray(_encode_lossless([[[1, 2]]], 8, 1))
+    i = bad.find(b"\xff\xc3")
+    bad[i + 2 + 2 + 6 + 1] = 0x22      # comp 1 sampling 2x2
+    with pytest.raises(UnsupportedMedia):
+        decode_jpeg(bytes(bad))
