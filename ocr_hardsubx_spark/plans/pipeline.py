@@ -105,8 +105,47 @@ def _manifest_files(spark: SparkSession, output_path: str) -> list[str]:
         statuses = fs.globStatus(path_cls(mdir + "/*.parquet"))
         if statuses is None:
             return []
-        return sorted(s.getPath().toString() for s in statuses)
-    return sorted(glob.glob(os.path.join(mdir, "*.parquet")))
+        files = sorted(s.getPath().toString() for s in statuses)
+    else:
+        files = sorted(glob.glob(os.path.join(mdir, "*.parquet")))
+    return [f for f in files if _manifest_valid(spark, output_path, f)]
+
+
+def _manifest_valid(spark: SparkSession, output_path: str,
+                    path: str) -> bool:
+    """Footer-validate a manifest before treating it as committed.
+
+    On rename-atomic stores (local/HDFS) a manifest is whole by
+    construction; on S3A the rename is copy+delete, so a crash
+    mid-rename can expose a PARTIAL object.  The commit contract is "a
+    run is visible iff its manifest exists (and parses)": a torn
+    manifest therefore reads as NOT committed — the run's inputs stay
+    pending and re-process — instead of crashing every reader.
+    Manifests are KB-sized driver-side metadata, so the parse check is
+    one footer read per file."""
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    try:
+        if _is_uri(output_path):
+            fs, path_cls = _hdfs(spark, path)
+            stream = fs.open(path_cls(path))
+            try:
+                raw = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+            pq.read_metadata(_io.BytesIO(raw))
+        else:
+            pq.read_metadata(path)
+        return True
+    except Exception:
+        import logging
+
+        logging.getLogger("ocr_hardsubx_spark.manifests").warning(
+            "skipping torn/unreadable manifest %s (treated as "
+            "uncommitted; its run stays pending)", path)
+        return False
 
 
 def _commit_manifest(spark: SparkSession, output_path: str,

@@ -481,3 +481,37 @@ def test_compaction_lease_blocks_second_compactor(spark, corpus, tmp_path):
     assert res["compacted"] and res["replaced"] == 2
     # the successful run released its own lease
     assert not os.path.exists(_lease_path(out))
+
+
+def test_torn_manifest_reads_as_uncommitted(spark, corpus, tmp_path):
+    """Object-store commit caveat (round-4): a manifest torn mid-rename
+    (S3A copy+delete) must read as NOT committed — its run's inputs
+    return to pending and readers keep working — instead of crashing
+    every manifest scan."""
+    from ocr_hardsubx_spark.plans.pipeline import committed_manifests
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, corpus, out, max_files=2)
+    run_extraction_job(spark, corpus, out)
+    mdir = os.path.join(out, "_manifests")
+    manifests = sorted(os.listdir(mdir))
+    assert len(manifests) == 2
+    committed_before = {
+        r["run_id"] for r in
+        committed_manifests(spark, out).select("run_id").distinct()
+        .collect()}
+
+    # tear the second manifest: truncate to half (invalid footer)
+    victim = os.path.join(mdir, manifests[1])
+    data = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(data[: len(data) // 2])
+
+    m = committed_manifests(spark, out)
+    committed_after = {r["run_id"]
+                      for r in m.select("run_id").distinct().collect()}
+    assert len(committed_after) == 1
+    assert committed_after < committed_before
+    # the torn run's input files are pending again (will re-process)
+    pending = pending_input_files(spark, corpus, out)
+    assert len(pending) > 0
