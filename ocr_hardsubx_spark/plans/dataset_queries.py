@@ -806,12 +806,13 @@ def q_ann_bucketed_topk_sql() -> str:
 # decimals resolve to the lower centroid id on both sides.
 #
 # At 100 TB: the assignment column is computed once at ingest and the
-# table is written bucketed/partitioned BY list id, so a probe prunes at
-# the scan (Iceberg/parquet partition pruning) instead of filtering
-# post-scan; the codebook comes from an offline k-means over a sample
-# and IVF_K grows to ~sqrt(n) (10^6 lists at 10^12 vectors) with
-# IVF_NPROBE the recall dial.  The shape here is that plan at sandbox
-# dials.
+# table is written partitioned BY list id, so a probe prunes at the
+# scan (Iceberg/parquet partition pruning) instead of filtering
+# post-scan — IMPLEMENTED: ensure_ivf_layout materializes that layout
+# and q_ann_ivf_pruned_topk probes it (PartitionFilters + never-opens-
+# cold-partitions proofs in test_ivf_ann); the codebook comes from an
+# offline k-means over a sample and IVF_K grows to ~sqrt(n) (10^6 lists
+# at 10^12 vectors) with IVF_NPROBE the recall dial.
 
 IVF_K = 16
 IVF_NPROBE = 2
