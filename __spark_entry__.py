@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_df": dq.q_vocab_df,
         "q_lang_id": dq.q_lang_id,
         "q_pii_scrub": dq.q_pii_scrub,
+        "q_lm_perplexity": dq.q_lm_perplexity,
+        "q_stratified_sample": dq.q_stratified_sample,
+        "q_mixture_plan": dq.q_mixture_plan,
         "q_embed_quantize": dq.q_embed_quantize,
         "q_event_window_rate": dq.q_event_window_rate,
         "q_line_dedup": dq.q_line_dedup,
@@ -167,6 +170,9 @@ def oracle_sql() -> dict[str, str]:
         "q_vocab_df": dq.q_vocab_df_sql(),
         "q_lang_id": dq.q_lang_id_sql(),
         "q_pii_scrub": dq.q_pii_scrub_sql(),
+        "q_lm_perplexity": dq.q_lm_perplexity_sql(),
+        "q_stratified_sample": dq.q_stratified_sample_sql(),
+        "q_mixture_plan": dq.q_mixture_plan_sql(),
         "q_embed_quantize": dq.q_embed_quantize_sql(),
         "q_event_window_rate": dq.q_event_window_rate_sql(),
         "q_line_dedup": dq.q_line_dedup_sql(),

@@ -2500,3 +2500,213 @@ def q_dup_clusters_unified_sql() -> str:
     )
     SELECT doc AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY doc
     """
+
+
+# --------------------------------------------------------------------------
+# bigram language-model perplexity (corpus-trained quality signal)
+# --------------------------------------------------------------------------
+
+LM_SMOOTH_K = 1  # add-k smoothing constant
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM scoring: train add-1-smoothed bigram
+    probabilities over the WHOLE corpus in one pass, then score every
+    document by its average negative log-probability (low = fluent /
+    repetitive, high = surprising — the KenLM-perplexity-style quality
+    dial production pipelines cut on).
+
+    Scale shape: three aggregations with map-side partials (bigram
+    counts, unigram context counts, vocabulary size) and two shuffle
+    joins of the corpus's bigrams against those count tables — the LM
+    is DATA, not a broadcast constant, so vocabulary size is unbounded
+    (at 100 TB the bigram table is itself TB-scale and the join keys
+    are the shuffle partitioner).  The vocab size rides a 1-row
+    broadcast.  All-JVM expressions; short docs (< 2 tokens) have no
+    bigrams and are excluded by construction (same contract as the
+    oracle).  Cross-engine float discipline: ln() is libm double on
+    both engines; the per-doc AVG is rounded to 4 decimals."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # guard the index sequence exactly like q_decontaminate: size<2 must
+    # yield NO bigrams, not sequence(1, 0) == [1, 0]
+    idx = F.when(F.size("t") > 1, F.sequence(F.lit(1), F.size("t") - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("t", i).alias("w1"),
+                F.element_at("t", i + 1).alias("w2")),
+        )).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .where(F.col("w") != "")
+             .agg(F.countDistinct("w").alias("v")))
+    neglog = -F.log(
+        (F.col("n2") + LM_SMOOTH_K)
+        / (F.col("n1") + F.col("v") * LM_SMOOTH_K))
+    return (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(neglog), 4).alias("avg_neg_logp"),
+             F.count("*").alias("n_bigrams"))
+    )
+
+
+def q_lm_perplexity_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1,
+           greatest(len(t) - 1, 0) + 1)) AS i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+    vocab AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    )
+    SELECT bi.doc_id,
+           round(avg(-ln((n2 + {LM_SMOOTH_K})
+                 / (n1 + v * {LM_SMOOTH_K}))), 4) AS avg_neg_logp,
+           count(*) AS n_bigrams
+    FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+    GROUP BY bi.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified sampling + mixture planning (dataset curation)
+# --------------------------------------------------------------------------
+
+#: per-language keep rates (per-mille): the strata dial a 100 TB curation
+#: run sets per source/language.  Deterministic hash sampling means ANY
+#: worker, rerun, or audit recomputes the same keep decision from the
+#: row alone — no sampling state to store or synchronize.
+SAMPLE_RATES_PERMILLE = {"en": 1000, "de": 500, "fr": 500, "es": 250,
+                         "zh": 250}
+SAMPLE_DEFAULT_PERMILLE = 100
+
+
+def _sample_bucket():
+    """1000-bucket deterministic hash of doc_id — md5-based so DuckDB
+    computes the identical bucket (xxhash64 would be Spark-only)."""
+    return (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 8), 16, 10)
+            .cast("long") % 1000).alias("bucket")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample: keep a row iff its
+    1000-bucket content hash falls below the language's keep rate.
+
+    The 100 TB curation primitive: sampling must be reproducible (the
+    same doc keeps/drops on every rerun and on every worker — no RNG
+    state), strata-aware (high-resource languages downsampled harder),
+    and pure projection (no shuffle; the filter pushes to the scan)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == lg, F.lit(pm))
+          for lg, pm in SAMPLE_RATES_PERMILLE.items()],
+        F.lit(SAMPLE_DEFAULT_PERMILLE))
+    return (
+        docs.select("doc_id", "lang", _sample_bucket(),
+                    rate.alias("rate_permille"))
+        .where(F.col("bucket") < F.col("rate_permille"))
+    )
+
+
+def q_stratified_sample_sql() -> str:
+    cases = " ".join(f"WHEN lang = '{lg}' THEN {pm}"
+                     for lg, pm in SAMPLE_RATES_PERMILLE.items())
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                  1, 8)) AS UBIGINT) % 1000 AS bucket,
+             CASE {cases} ELSE {SAMPLE_DEFAULT_PERMILLE} END
+               AS rate_permille
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket, rate_permille
+    FROM base WHERE bucket < rate_permille
+    """
+
+
+#: target mixture weights per source (relative); the planner allocates a
+#: token budget across sources proportionally and caps at availability.
+MIXTURE_WEIGHTS = {"web": 6, "news": 2, "wiki": 1, "forum": 1}
+MIXTURE_TOKEN_BUDGET = 50_000
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing planner: given relative target weights per source and
+    a total token budget, compute each source's available tokens, its
+    proportional allocation, and the deterministic sampling rate
+    (per-mille) a downstream stratified sample would apply.
+
+    ONE aggregation over the corpus (per-source doc/token counts with
+    map-side partials) + a pure projection — the planning query a 100 TB
+    mixing run executes before writing shards.  Unknown sources get
+    weight 0 (excluded)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("avail_tokens"))
+    weight = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(wt))
+          for s, wt in MIXTURE_WEIGHTS.items()],
+        F.lit(0))
+    wsum = sum(MIXTURE_WEIGHTS.values())
+    alloc = F.least(
+        F.col("avail_tokens"),
+        F.floor(F.lit(MIXTURE_TOKEN_BUDGET) * weight / F.lit(wsum))
+        .cast("long"))
+    return per.select(
+        "source", "n_docs", "avail_tokens",
+        weight.alias("weight"),
+        alloc.alias("alloc_tokens"),
+        F.least(F.lit(1000),
+                F.floor(alloc * 1000 / F.col("avail_tokens"))
+                 .cast("long"))
+         .alias("rate_permille"),
+    )
+
+
+def q_mixture_plan_sql() -> str:
+    cases = " ".join(f"WHEN source = '{s}' THEN {wt}"
+                     for s, wt in MIXTURE_WEIGHTS.items())
+    wsum = sum(MIXTURE_WEIGHTS.values())
+    return f"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, CASE {cases} ELSE 0 END AS weight FROM per
+    ),
+    a AS (
+      SELECT *,
+             least(avail_tokens,
+                   CAST(floor({MIXTURE_TOKEN_BUDGET} * weight / {wsum})
+                        AS BIGINT)) AS alloc_tokens
+      FROM w
+    )
+    SELECT source, n_docs, avail_tokens, weight, alloc_tokens,
+           least(1000, CAST(floor(alloc_tokens * 1000.0 / avail_tokens)
+                            AS BIGINT)) AS rate_permille
+    FROM a
+    """

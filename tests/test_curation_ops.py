@@ -1,0 +1,77 @@
+"""Round-4 curation operators: bigram-LM perplexity, deterministic
+stratified sampling, mixture planning — semantics pinned on hand-built
+fixtures (the oracle gate covers the full corpus)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from ocr_hardsubx_spark.plans import dataset_queries as dq
+
+
+def _docs_dir(spark, tmp_path, rows,
+              schema="doc_id long, text string, lang string, "
+                     "source string"):
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "sf")
+    df.coalesce(1).write.mode("overwrite") \
+        .parquet(out + "/documents.parquet")
+    return out
+
+
+def test_lm_scores_repetition_below_salad(spark, tmp_path):
+    """A document built from the corpus's dominant bigram pattern is
+    less surprising (lower avg neg log-prob) than a one-off word
+    salad; single-token docs have no bigrams and are excluded."""
+    common = "the cat sat on the mat"
+    rows = (
+        [(i, common, "en", "web") for i in range(8)]
+        + [(100, "zyx wvu tsr qpo nml kji", "en", "web")]  # salad
+        + [(101, "solo", "en", "web")]                     # no bigrams
+    )
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in dq.q_lm_perplexity(spark, out).collect()}
+    assert 101 not in got
+    assert got[0]["avg_neg_logp"] < got[100]["avg_neg_logp"]
+    assert got[0]["n_bigrams"] == 5
+    # the 8 repeated docs all score identically (same bigrams)
+    assert len({got[i]["avg_neg_logp"] for i in range(8)}) == 1
+
+
+def test_stratified_sample_is_deterministic_and_rate_bound(spark,
+                                                           tmp_path):
+    rows = [(i, f"text {i}", "en" if i % 2 else "es", "web")
+            for i in range(400)]
+    out = _docs_dir(spark, tmp_path, rows)
+    a = {r["doc_id"] for r in dq.q_stratified_sample(spark, out).collect()}
+    b = {r["doc_id"] for r in dq.q_stratified_sample(spark, out).collect()}
+    assert a == b                     # reruns agree exactly (no RNG)
+    # the keep decision is recomputable from the row alone
+    for r in dq.q_stratified_sample(spark, out).collect():
+        h = int(hashlib.md5(str(r["doc_id"]).encode())
+                .hexdigest()[:8], 16) % 1000
+        assert h == r["bucket"] < r["rate_permille"]
+    # en keeps everything (rate 1000); es keeps roughly a quarter
+    en = [i for i in a if i % 2]
+    es = [i for i in a if not i % 2]
+    assert len(en) == 200
+    assert 20 <= len(es) <= 90        # 200 docs at 250/1000 +- hash noise
+
+
+def test_mixture_plan_hand_computed(spark, tmp_path):
+    """web:news weights 6:2 over a 50k budget -> 30k:10k allocations,
+    capped at availability; unknown source gets weight 0."""
+    mk = lambda n: " ".join("w" for _ in range(n))  # noqa: E731
+    rows = (
+        [(1, mk(40000), "en", "web")]        # avail 40k < alloc 30k? no:
+        + [(2, mk(5000), "en", "news")]      # news avail 5k < alloc 10k
+        + [(3, mk(1000), "en", "mystery")]   # unknown source
+    )
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["source"]: r for r in dq.q_mixture_plan(spark, out).collect()}
+    assert got["web"]["alloc_tokens"] == 30000       # 50k * 6/10
+    assert got["web"]["rate_permille"] == 750        # 30k of 40k
+    assert got["news"]["alloc_tokens"] == 5000       # capped at avail
+    assert got["news"]["rate_permille"] == 1000
+    assert got["mystery"]["weight"] == 0
+    assert got["mystery"]["alloc_tokens"] == 0
