@@ -28,8 +28,9 @@ them instead of stubbed:
   output is luminance); chroma blocks are entropy-decoded to keep the
   bitstream in sync.  LOSSLESS (SOF3) decodes via the Annex-H DPCM
   predictors (2-16 bit, MSB-aligned; 3-component RGB through the Q14
-  grey form).  Arithmetic coding, hierarchical SOFs, and 12-bit DCT
-  precision raise UnsupportedMedia.
+  grey form), and 12-bit DCT precision decodes with the 2^11 level
+  shift + MSB alignment.  Arithmetic coding and hierarchical SOFs
+  raise UnsupportedMedia.
 
 * **GIF (87a/89a)** — LZW decode (variable-width codes, CLEAR/END,
   the KwKwK rule), global/local palettes, first frame (interlaced rows
@@ -40,7 +41,7 @@ them instead of stubbed:
   decoding any sample data (the only facts frame sampling needs).
 
 Every sniffable format now decodes for real; only unsupported subsets
-(arithmetic/hierarchical/12-bit-DCT JPEG) fall back to Pillow when
+(arithmetic and hierarchical JPEG) fall back to Pillow when
 importable, else to the declared deterministic stub in
 operators/multimodal.py — and the multimodal schemas carry a
 ``decoded_real`` provenance flag so fallback rows are distinguishable.
@@ -395,8 +396,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     Progressive scans accumulate coefficients (spectral selection +
     successive approximation) and the IDCT runs once at EOI.  Lossless
     (SOF3) decodes via the Annex-H DPCM predictors (2-16 bit precision,
-    MSB-aligned to 8).  Arithmetic coding, hierarchical SOFs, and
-    12-bit DCT precision raise UnsupportedMedia."""
+    MSB-aligned to 8); 12-bit DCT modes level-shift at 2^11 and
+    MSB-align.  Arithmetic coding and hierarchical SOFs raise
+    UnsupportedMedia."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qt: dict[int, list[int]] = {}
@@ -447,7 +449,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             if marker == 0xC3:
                 if not (2 <= precision <= 16):
                     raise UnsupportedMedia(f"JPEG precision {precision}")
-            elif precision != 8:
+            elif precision not in (8, 12):   # extended sequential/prog
                 raise UnsupportedMedia(f"JPEG precision {precision}")
             height, width = struct.unpack(">HH", seg[1:5])
             _check_dims(width, height)
@@ -782,6 +784,9 @@ def _prog_finish(frame, state, qt):
     coefs = state[luma["id"]]
     q = np.asarray(qt[luma["tq"]], dtype=np.float64)
     bh, bw = coefs.shape[0], coefs.shape[1]
+    prec = frame.get("precision", 8)
+    level = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
     C = _idct_matrix()
     plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
     for by in range(bh):
@@ -789,11 +794,12 @@ def _prog_finish(frame, state, qt):
             block = np.zeros((8, 8))
             block.flat[_ZIGZAG] = coefs[by, bx] * q
             plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                C.T @ block @ C + 128.0
+                C.T @ block @ C + level
     # luma is max-sampled (gated at SOF2 parse), so the plane covers the
     # full image; crop to pixel dims
-    return np.clip(np.round(plane[:frame["h"], :frame["w"]]),
-                   0, 255).astype(np.uint8)
+    out = np.clip(np.round(plane[:frame["h"], :frame["w"]]), 0, maxval)
+    return (out.astype(np.int32) >> (prec - 8)).astype(np.uint8) \
+        if prec > 8 else out.astype(np.uint8)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
@@ -814,6 +820,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
     # luma = component with the largest sampling (first component by
     # convention); output plane in 8x8 block units
     luma = scan[0]
+    prec = frame.get("precision", 8)
+    level = float(1 << (prec - 1))     # T.81 A.3.1 level shift 2^(P-1)
+    maxval = (1 << prec) - 1
     plane = np.zeros((mcuy * luma["v"] * 8, mcux * luma["h"] * 8),
                      dtype=np.float64)
     C = _idct_matrix()
@@ -861,11 +870,15 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                         if comp is luma:
                             block = np.zeros((8, 8))
                             block.flat[_ZIGZAG] = coefs
-                            px = C.T @ block @ C + 128.0
+                            px = C.T @ block @ C + level
                             y0 = (my * luma["v"] + by) * 8
                             x0 = (mx * luma["h"] + bx) * 8
                             plane[y0:y0 + 8, x0:x0 + 8] = px
-    return np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+    out = np.clip(np.round(plane[:h, :w]), 0, maxval)
+    # 12-bit samples MSB-align to 8 (same convention as 16-bit PNG /
+    # lossless)
+    return (out.astype(np.int32) >> (prec - 8)).astype(np.uint8) \
+        if prec > 8 else out.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

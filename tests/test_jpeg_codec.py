@@ -672,3 +672,53 @@ def test_lossless_unsupported_shapes_raise():
     bad[i + 2 + 2 + 6 + 1] = 0x22      # comp 1 sampling 2x2
     with pytest.raises(UnsupportedMedia):
         decode_jpeg(bytes(bad))
+
+
+# ---- 12-bit extended sequential ------------------------------------------
+
+def _jpeg12(width, height, blocks_writer, qdc=8, qrest=2):
+    """Single-component 12-bit SOF1 with the same tiny tables."""
+    qtable = bytes([0]) + bytes([qdc] + [qrest] * 63)
+    dht = (bytes([0x00]) + bytes(DC_COUNTS) + DC_SYMBOLS
+           + bytes([0x10]) + bytes(AC_COUNTS) + AC_SYMBOLS)
+    sof = bytes([12]) + struct.pack(">HH", height, width) + bytes([1])
+    sof += bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    w = _BitWriter()
+    blocks_writer(w)
+    return (b"\xff\xd8" + _seg(0xDB, qtable) + _seg(0xC4, dht)
+            + _seg(0xC1, sof) + _seg(0xDA, sos) + w.flush() + b"\xff\xd9")
+
+
+def test_12bit_dc_only_block_level_shift_and_alignment():
+    """12-bit DC-only block: flat at DC + 2^11, MSB-aligned to 8 bits.
+    dc_diff=1000 at qdc=8 -> IDCT-flat 1000 -> +2048 = 3048 -> >>4 =
+    190."""
+    png = _jpeg12(8, 8, lambda w: _emit_block(w, 1000))
+    out = decode_jpeg(png)
+    np.testing.assert_array_equal(out, np.full((8, 8), 190, np.uint8))
+
+
+def test_12bit_clips_at_12bit_range_not_8():
+    """A large negative DC clips at 0 and a large positive at 4095
+    (255 after alignment) — the clip must happen at 12-bit range, not
+    truncate through an 8-bit clamp first."""
+    # qdc=16: DC -1500 dequants to -24000 -> IDCT-flat -3000 -> +2048 =
+    # -952 -> clip 0 (a wrongly-8-bit clamp would wrap, not zero)
+    lo = decode_jpeg(_jpeg12(8, 8, lambda w: _emit_block(w, -1500),
+                             qdc=16))
+    np.testing.assert_array_equal(lo, np.zeros((8, 8), np.uint8))
+    # qdc=8: flat 1500 -> +2048 = 3548 (inside 12-bit range) -> >>4 =
+    # 221 — NOT 255, proving the clip ceiling is 4095 not 255<<4
+    hi = decode_jpeg(_jpeg12(8, 8, lambda w: _emit_block(w, 1500)))
+    np.testing.assert_array_equal(hi, np.full((8, 8), 221, np.uint8))
+    top = decode_jpeg(_jpeg12(8, 8, lambda w: _emit_block(w, 1500),
+                              qdc=16))
+    # 1500*16/8 = 3000 -> +2048 = 5048 -> clip 4095 -> >>4 = 255
+    np.testing.assert_array_equal(top, np.full((8, 8), 255, np.uint8))
+
+
+def test_8bit_paths_unchanged_by_precision_plumbing():
+    png = _jpeg(8, 8, [(1, 1, 1)], lambda w: _emit_block(w, 100))
+    out = decode_jpeg(png)
+    np.testing.assert_array_equal(out, np.full((8, 8), 228, np.uint8))
