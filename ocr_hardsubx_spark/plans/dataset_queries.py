@@ -2710,3 +2710,61 @@ def q_mixture_plan_sql() -> str:
                             AS BIGINT)) AS rate_permille
     FROM a
     """
+
+
+# --------------------------------------------------------------------------
+# sequence packing plan (documents -> fixed-size token windows)
+# --------------------------------------------------------------------------
+
+PACK_WINDOW_TOKENS = 2048
+
+
+def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style document packing census: concatenate documents
+    in deterministic (doc_id) order within each language stream and
+    assign each to its PACK_WINDOW_TOKENS-sized bin — the plan a shard
+    writer follows to emit fixed-length token windows (documents are
+    not split; a bin that a document overflows simply runs long, the
+    standard greedy-concat convention).
+
+    Shape: ONE window function — running token sum per (lang) stream in
+    doc_id order; bin = floor(tokens_before / window).  Partitioning by
+    the stream key keeps the prefix sum parallel (one partition per
+    stream, the unit a shard writer owns); a single GLOBAL stream at
+    10^12 docs would instead use the classic two-phase prefix sum
+    (per-partition totals -> broadcast offsets), which this per-stream
+    form composes with."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    before = F.coalesce(
+        F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    return docs.select(
+        "doc_id", "lang", toks.alias("n_tokens"),
+        before.alias("tokens_before"),
+        F.floor(before / PACK_WINDOW_TOKENS).cast("long").alias("bin"),
+        (before % PACK_WINDOW_TOKENS).alias("offset_in_bin"),
+    )
+
+
+def q_pack_plan_sql() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tokens_before,
+           CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) / {PACK_WINDOW_TOKENS})
+                AS BIGINT) AS bin,
+           COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             % {PACK_WINDOW_TOKENS} AS offset_in_bin
+    FROM t
+    """

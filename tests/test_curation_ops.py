@@ -75,3 +75,24 @@ def test_mixture_plan_hand_computed(spark, tmp_path):
     assert got["news"]["rate_permille"] == 1000
     assert got["mystery"]["weight"] == 0
     assert got["mystery"]["alloc_tokens"] == 0
+
+
+def test_pack_plan_bins_and_overflow_semantics(spark, tmp_path):
+    """Docs pack greedily in doc_id order per stream: bin = floor of
+    the running total BEFORE the doc, so a doc straddling a boundary
+    stays in (and overflows) its bin — documents are never split."""
+    mk = lambda n: " ".join("w" for _ in range(n))  # noqa: E731
+    W = dq.PACK_WINDOW_TOKENS
+    rows = [
+        (1, mk(1000), "en", "web"),
+        (2, mk(1500), "en", "web"),     # starts at 1000 -> bin 0, runs long
+        (3, mk(100), "en", "web"),      # starts at 2500 -> bin 1
+        (10, mk(10), "de", "web"),      # independent stream
+    ]
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in dq.q_pack_plan(spark, out).collect()}
+    assert (got[1]["bin"], got[1]["offset_in_bin"]) == (0, 0)
+    assert (got[2]["bin"], got[2]["offset_in_bin"]) == (0, 1000)
+    assert got[3]["bin"] == 1 and got[3]["tokens_before"] == 2500
+    assert got[3]["offset_in_bin"] == 2500 - W
+    assert got[10]["bin"] == 0 and got[10]["tokens_before"] == 0
