@@ -2768,3 +2768,89 @@ def q_pack_plan_sql() -> str:
              % {PACK_WINDOW_TOKENS} AS offset_in_bin
     FROM t
     """
+
+
+def q_pack_plan_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE GLOBAL packing stream — the two-phase distributed prefix sum
+    the per-stream form's docstring names, implemented for real:
+
+    1. range-partition by doc_id and sort within partitions (the global
+       order, held in parallel);
+    2. phase 1: per-partition token totals via spark_partition_id() —
+       a tiny N_partitions-row aggregation collected to the driver;
+    3. phase 2: broadcast the exclusive per-partition prefix offsets
+       and compute each row's running total as partition_offset +
+       within-partition cumsum (Arrow-batched, no cross-partition
+       dependency).
+
+    This is how a 10^12-doc stream gets a global running sum WITHOUT
+    the single-partition window a naive ``Window.orderBy`` would
+    collapse to: every stage is partition-parallel, the only global
+    state is one number per partition.  Output schema matches
+    q_pack_plan (lang column carries the literal 'all' stream key);
+    the oracle is the plain global window — the two-phase form must be
+    indistinguishable from it."""
+    import pandas as pd
+
+    docs = _tbl(spark, sf_dir, "documents")
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    base = (
+        docs.select("doc_id", F.size(F.split("text", " "))
+                    .cast("long").alias("n_tokens"))
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    sums = (base.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.sum("n_tokens").alias("total"),
+                 F.min("doc_id").alias("min_doc"))
+            .collect())
+    offset = {}
+    run = 0
+    for r in sorted(sums, key=lambda r: r["min_doc"]):
+        offset[r["pid"]] = run
+        run += r["total"]
+    off_b = spark.sparkContext.broadcast(offset)
+    win = PACK_WINDOW_TOKENS
+
+    def add_prefix(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        start = off_b.value.get(pid, 0)
+        for pdf in it:
+            before = start + pdf["n_tokens"].cumsum() - pdf["n_tokens"]
+            start += int(pdf["n_tokens"].sum())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "lang": "all",
+                "n_tokens": pdf["n_tokens"],
+                "tokens_before": before,
+                "bin": before // win,
+                "offset_in_bin": before % win,
+            })
+
+    return base.mapInPandas(
+        add_prefix,
+        schema=("doc_id long, lang string, n_tokens long, "
+                "tokens_before long, bin long, offset_in_bin long"))
+
+
+def q_pack_plan_global_sql() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, 'all' AS lang, n_tokens,
+           COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tokens_before,
+           CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / {PACK_WINDOW_TOKENS}) AS BIGINT) AS bin,
+           COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             % {PACK_WINDOW_TOKENS} AS offset_in_bin
+    FROM t
+    """

@@ -96,3 +96,24 @@ def test_pack_plan_bins_and_overflow_semantics(spark, tmp_path):
     assert got[3]["bin"] == 1 and got[3]["tokens_before"] == 2500
     assert got[3]["offset_in_bin"] == 2500 - W
     assert got[10]["bin"] == 0 and got[10]["tokens_before"] == 0
+
+
+def test_pack_plan_global_two_phase_no_window_node(spark, tmp_path):
+    """The global stream must NOT collapse to a single-partition window
+    (the naive Window.orderBy shape): the executed plan has no Window
+    node, the data stays multi-partition, and the cross-partition
+    prefix continues exactly (a bin straddles the partition boundary)."""
+    mk = lambda n: " ".join("w" for _ in range(n))  # noqa: E731
+    rows = [(i, mk(500), "en", "web") for i in range(64)]
+    out = _docs_dir(spark, tmp_path, rows)
+    df = dq.q_pack_plan_global(spark, out)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert df.rdd.getNumPartitions() > 1
+    got = {r["doc_id"]: r for r in df.collect()}
+    # exact global prefix regardless of partitioning: doc i starts at
+    # 500*i tokens -> bin floor(500*i/2048)
+    for i in range(64):
+        assert got[i]["tokens_before"] == 500 * i
+        assert got[i]["bin"] == (500 * i) // dq.PACK_WINDOW_TOKENS
+    assert len({r["bin"] for r in got.values()}) > 10  # many bins spanned
