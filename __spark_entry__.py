@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customer": q.q18_large_volume_customer,
         "q_customers_without_orders": q.q_customers_without_orders,
         "q_order_priority_rollup": q.q_order_priority_rollup,
+        "q4_order_priority": q.q4_order_priority,
+        "q7_volume_shipping": q.q7_volume_shipping,
+        "q14_promo_revenue": q.q14_promo_revenue,
         "q_stump_scoring": q.q_stump_scoring,
         "q_stump_scoring_ref": q.q_stump_scoring_ref,
         "q_window_dedup": q.q_window_dedup,
@@ -131,6 +134,9 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_customer": q.q18_large_volume_customer_sql(),
         "q_customers_without_orders": q.q_customers_without_orders_sql(),
         "q_order_priority_rollup": q.q_order_priority_rollup_sql(),
+        "q4_order_priority": q.q4_order_priority_sql(),
+        "q7_volume_shipping": q.q7_volume_shipping_sql(),
+        "q14_promo_revenue": q.q14_promo_revenue_sql(),
         "q_stump_scoring": q.q_stump_scoring_sql(),
         "q_stump_scoring_ref": q.q_stump_scoring_ref_sql(),
         "q_window_dedup": q.q_window_dedup_sql(),

@@ -810,3 +810,128 @@ def q_order_priority_rollup_sql() -> str:
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS -> LEFT SEMI join): count orders per
+    priority in one quarter having at least one line shipped AFTER the
+    order date (the synthetic schema has no commit/receipt dates; the
+    correlated late-line predicate keeps Q4's semi-join with a
+    cross-table condition).  The semi-join ships only the key + one
+    date per lineitem and stops probing an order at its first match —
+    the EXISTS shape at 100 TB."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    lo, hi = "1997-01-01", "1997-04-01"
+    return (
+        orders.where((F.col("o_orderdate") >= lo)
+                     & (F.col("o_orderdate") < hi))
+        .join(li, (F.col("l_orderkey") == F.col("o_orderkey"))
+              & (F.col("l_shipdate") > F.col("o_orderdate")),
+              "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q4_order_priority_sql() -> str:
+    return """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by ship
+    year — a 6-way join where the two nation dims join TWICE (supplier
+    side and customer side) with an OR'd pair predicate, then a
+    (nation, nation, year) aggregation.  Both nation joins broadcast;
+    the date filter pushes to the lineitem scan."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"),
+                       F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(vol), 2).alias("revenue"))
+    )
+
+
+def q7_volume_shipping_sql() -> str:
+    return """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio (promo revenue
+    share for one month) — two sums over the same joined rows in ONE
+    aggregation, part dim broadcast, month filter pushed to the
+    lineitem scan.  Scalar output."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), vol) \
+             .otherwise(F.lit(0.0))
+    return (
+        li.where((F.col("l_shipdate") >= "1997-09-01")
+                 & (F.col("l_shipdate") < "1997-10-01"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(100 * F.sum(promo) / F.sum(vol), 4)
+             .alias("promo_pct"))
+    )
+
+
+def q14_promo_revenue_sql() -> str:
+    return """
+    SELECT round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """

@@ -120,3 +120,17 @@ def test_q5_plan_broadcasts_the_dims(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q4_plan_is_a_left_semi_join(spark):
+    """Q4's EXISTS must stay a semi-join (first-match probe, keys-only
+    shuffle), never a join+distinct rewrite."""
+    df = QUERIES["q4_order_priority"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+
+
+def test_q7_plan_broadcasts_both_nation_sides(spark):
+    df = QUERIES["q7_volume_shipping"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
