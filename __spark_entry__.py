@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_plan": dq.q_mixture_plan,
         "q_pack_plan": dq.q_pack_plan,
         "q_pack_plan_global": dq.q_pack_plan_global,
+        "q_hll_distinct": dq.q_hll_distinct,
         "q_embed_quantize": dq.q_embed_quantize,
         "q_event_window_rate": dq.q_event_window_rate,
         "q_line_dedup": dq.q_line_dedup,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mixture_plan": dq.q_mixture_plan_sql(),
         "q_pack_plan": dq.q_pack_plan_sql(),
         "q_pack_plan_global": dq.q_pack_plan_global_sql(),
+        "q_hll_distinct": dq.q_hll_distinct_sql(),
         "q_embed_quantize": dq.q_embed_quantize_sql(),
         "q_event_window_rate": dq.q_event_window_rate_sql(),
         "q_line_dedup": dq.q_line_dedup_sql(),

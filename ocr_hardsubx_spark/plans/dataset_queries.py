@@ -2854,3 +2854,100 @@ def q_pack_plan_global_sql() -> str:
              % {PACK_WINDOW_TOKENS} AS offset_in_bin
     FROM t
     """
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct sketch (deterministic, oracle-replicable)
+# --------------------------------------------------------------------------
+
+HLL_P = 8                     # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_HASH_HEX = 13             # 52-bit hash: fits a signed BIGINT exactly
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality via an explicitly-constructed
+    HyperLogLog sketch (Flajolet et al.): md5-derived 52-bit hash, low
+    HLL_P bits pick a register, rho = leading-zero count of the
+    remaining 44 bits + 1, registers keep max(rho), harmonic-mean
+    estimate with the small-range linear-counting correction.
+
+    Built BY HAND (not approx_count_distinct) so the sketch is
+    deterministic and the DuckDB oracle replicates it bit-for-bit —
+    exact cross-engine parity of an approximate algorithm.  The
+    harmonic sum is dyadic (every term 2^-rho with rho <= 45), so
+    double addition is EXACT in any order; the only libm op is the
+    final ln(), rounded at 2 decimals.
+
+    Scale shape: the shuffle carries (register, rho) pairs reduced by
+    max() with map-side partials — 256 rows of state regardless of
+    corpus size; this is the mergeable-sketch pattern (union = register
+    max) that at 100 TB replaces exact distinct counts whose keys
+    cannot fit anywhere.  tests pin the estimate within the sketch's
+    error envelope of the exact count."""
+    docs = _tbl(spark, sf_dir, "documents")
+    # NO distinct(): duplicate tokens land on the same register with the
+    # same rho and max() absorbs them — dedup first would be exactly the
+    # full-key shuffle the sketch exists to avoid
+    tok = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+           .where(F.col("w") != ""))
+    h = F.conv(F.substring(F.md5("w"), 1, HLL_HASH_HEX), 16, 10) \
+         .cast("long")
+    rest = F.shiftright(h, HLL_P)
+    rho = F.when(rest > 0,
+                 F.lit(4 * HLL_HASH_HEX - HLL_P + 1)
+                 - F.length(F.bin(rest))) \
+           .otherwise(F.lit(4 * HLL_HASH_HEX - HLL_P + 1))
+    regs = (tok.select(F.pmod(h, F.lit(HLL_M)).alias("register"),
+                       rho.alias("rho"))
+            .groupBy("register").agg(F.max("rho").alias("max_rho")))
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    agg = regs.agg(
+        F.count("*").alias("n_hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("harm"))
+    zeros = F.lit(HLL_M) - F.col("n_hit")
+    raw = (F.lit(alpha * HLL_M * HLL_M)
+           / (F.col("harm") + zeros.cast("double")))
+    est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0),
+                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M))
+                                             / zeros)) \
+           .otherwise(raw)
+    return agg.select(F.col("n_hit").cast("long").alias("n_registers_hit"),
+                      F.round(est, 2).alias("estimate"))
+
+
+def q_hll_distinct_sql() -> str:
+    bits = 4 * HLL_HASH_HEX - HLL_P  # 44 value bits after the register
+    return f"""
+    WITH tok AS (
+      SELECT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    hashed AS (
+      SELECT CAST(CAST(concat('0x', substring(md5(w), 1, {HLL_HASH_HEX}))
+                  AS UBIGINT) AS BIGINT) AS h
+      FROM tok
+    ),
+    regs AS (
+      SELECT h % {HLL_M} AS register,
+             max(CASE WHEN (h // {HLL_M}) > 0
+                 THEN {bits + 1} - length(bin(h // {HLL_M}))
+                 ELSE {bits + 1} END) AS max_rho
+      FROM hashed GROUP BY 1
+    ),
+    agg AS (
+      SELECT count(*) AS n_hit,
+             sum(pow(2.0, -max_rho)) AS harm
+      FROM regs
+    )
+    SELECT CAST(n_hit AS BIGINT) AS n_registers_hit,
+           round(CASE WHEN ({0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M}
+                       / (harm + ({HLL_M} - n_hit))) <= {2.5 * HLL_M}
+                    AND ({HLL_M} - n_hit) > 0
+                 THEN {float(HLL_M)} * ln({float(HLL_M)}
+                                          / ({HLL_M} - n_hit))
+                 ELSE {0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M}
+                      / (harm + ({HLL_M} - n_hit)) END, 2) AS estimate
+    FROM agg
+    """

@@ -117,3 +117,43 @@ def test_pack_plan_global_two_phase_no_window_node(spark, tmp_path):
         assert got[i]["tokens_before"] == 500 * i
         assert got[i]["bin"] == (500 * i) // dq.PACK_WINDOW_TOKENS
     assert len({r["bin"] for r in got.values()}) > 10  # many bins spanned
+
+
+def test_hll_accuracy_and_merge_on_large_vocab(spark, tmp_path):
+    """5000 distinct tokens (the synthetic corpus's 31-word vocab can't
+    stress the sketch): estimate within the m=256 error envelope, and
+    the sketch is MERGEABLE — registers of two half-corpora max-merge
+    to exactly the full corpus's registers (the union law that makes
+    HLL the 100 TB distinct-count pattern)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(f"tok{j}" for j in range(i * 10, i * 10 + 10)),
+             "en", "web") for i in range(500)]     # 5000 distinct tokens
+    out = _docs_dir(spark, tmp_path, rows)
+    got = dq.q_hll_distinct(spark, out).collect()[0]
+    est, exact = got["estimate"], 5000
+    assert abs(est - exact) / exact < 0.2          # ~3 sigma for m=256
+    assert got["n_registers_hit"] == 256           # saturated, no linear path
+
+    # mergeability: half-corpus register files max-merge to the full one
+    def regs(pred):
+        docs = spark.read.parquet(out + "/documents.parquet").where(pred)
+        tok = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+               .where(F.col("w") != ""))
+        h = F.conv(F.substring(F.md5("w"), 1, dq.HLL_HASH_HEX), 16, 10) \
+             .cast("long")
+        rest = F.shiftright(h, dq.HLL_P)
+        rho = F.when(rest > 0, F.lit(45) - F.length(F.bin(rest))) \
+               .otherwise(F.lit(45))
+        return {r["register"]: r["m"]
+                for r in tok.select(
+                    F.pmod(h, F.lit(dq.HLL_M)).alias("register"),
+                    rho.alias("rho"))
+                .groupBy("register").agg(F.max("rho").alias("m"))
+                .collect()}
+
+    lo = regs(F.col("doc_id") < 250)
+    hi = regs(F.col("doc_id") >= 250)
+    full = regs(F.lit(True))
+    merged = {k: max(lo.get(k, 0), hi.get(k, 0)) for k in set(lo) | set(hi)}
+    assert merged == full
