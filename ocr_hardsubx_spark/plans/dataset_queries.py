@@ -2951,3 +2951,211 @@ def q_hll_distinct_sql() -> str:
                       / (harm + ({HLL_M} - n_hit)) END, 2) AS estimate
     FROM agg
     """
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the ANN memory-compression leg
+# --------------------------------------------------------------------------
+#
+# EMB_DIM=64 splits into PQ_M=8 subspaces of 8 dims; each subvector maps
+# to its nearest (L2) of PQ_K=16 sub-centroids, so a vector compresses
+# 64 floats -> 8 nibbles (4 bytes): the layout that keeps 10^12 vectors'
+# codes in RAM while the raw floats stay on disk.  The codebook is
+# deterministic (subvector slices of seed vectors 1..PQ_K — the same
+# relationally-recomputable discipline as the IVF codebook; production
+# trains per-subspace k-means offline).  Distances are rounded to 4
+# decimals BEFORE the argmin on both engines; ties take the lowest code.
+
+PQ_M = 8
+PQ_K = 16
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str):
+    """(PQ_M, PQ_K, PQ_SUB) float64 array from the cached seed fetch."""
+    import numpy as np
+
+    vecs = _ivf_seed_vectors(spark, sf_dir)
+    cents = np.asarray([vecs[k] for k in range(1, PQ_K + 1)],
+                       dtype=np.float64)            # (K, 64)
+    return np.stack([cents[:, s * PQ_SUB:(s + 1) * PQ_SUB]
+                     for s in range(PQ_M)])          # (M, K, SUB)
+
+
+def _pq_assign_udf(codebook):
+    """Arrow-batched PQ coder: squared-L2 to every sub-centroid via one
+    einsum per subspace, HALF_UP round-to-4, first-min argmin (lowest
+    code on ties — the oracle's ORDER BY dist, code).  Also returns the
+    reconstruction MSE under the chosen codes (the quantization-quality
+    census).  Same kernel discipline as the IVF/LSH coders: per-row
+    O(K x D) work belongs in BLAS, not interpreted folds."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebook, dtype=np.float64)      # (M, K, SUB)
+
+    @pandas_udf("struct<codes: array<int>, recon_mse: double>")
+    def assign(emb):
+        if len(emb) == 0:
+            return pd.DataFrame({"codes": [], "recon_mse": []})
+        M = np.vstack(emb.to_numpy()).astype(np.float64)  # (N, 64)
+        n = len(M)
+        codes = np.empty((n, PQ_M), dtype=np.int32)
+        err = np.zeros(n, dtype=np.float64)
+        for s in range(PQ_M):
+            X = M[:, s * PQ_SUB:(s + 1) * PQ_SUB]          # (N, SUB)
+            d2 = ((X[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+            d2 = np.floor(d2 * 1e4 + 0.5) / 1e4            # HALF_UP(4)
+            codes[:, s] = np.argmin(d2, axis=1)            # first min
+            chosen = C[s][codes[:, s]]                     # (N, SUB)
+            err += ((X - chosen) ** 2).sum(axis=1)
+        return pd.DataFrame({
+            "codes": list(codes),
+            "recon_mse": np.floor(err / EMB_DIM * 1e4 + 0.5) / 1e4,
+        })
+
+    return assign
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code assignment census: every vector's PQ_M codes (flattened
+    to columns for the oracle compare) + reconstruction MSE.  At scale
+    this is the INGEST projection whose output is the in-RAM search
+    structure; one pass, no shuffle."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(spark, sf_dir)
+    coded = emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id", _pq_assign_udf(cb)("embedding").alias("pq"))
+    return coded.select(
+        "vec_id",
+        *[F.col("pq.codes")[s].alias(f"code_{s}") for s in range(PQ_M)],
+        F.col("pq.recon_mse").alias("recon_mse"),
+    )
+
+
+def q_pq_codes_sql() -> str:
+    """Static relational oracle: the codebook derives IN SQL from the
+    same seed rows (vec_id 1..PQ_K) the Spark kernel collects — the
+    _IVF_SIMS_SQL discipline.  Argmin per (vector, subspace) via
+    row_number ORDER BY rounded-distance, code; reconstruction MSE from
+    the chosen centroid's RAW distance (the kernel rounds only at the
+    end, so the oracle must too)."""
+    subs = ", ".join(f"({s})" for s in range(PQ_M))
+    code_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS code_{s}"
+        for s in range(PQ_M))
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {PQ_K}
+    ),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    sub AS (
+      SELECT e.vec_id, sp.s, cents.k - 1 AS code,
+             round(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                   j -> pow(x[sp.s * {PQ_SUB} + j]
+                            - c[sp.s * {PQ_SUB} + j], 2))), 4) AS d2,
+             list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                   j -> pow(x[sp.s * {PQ_SUB} + j]
+                            - c[sp.s * {PQ_SUB} + j], 2))) AS d2_raw
+      FROM e CROSS JOIN (VALUES {subs}) sp(s) CROSS JOIN cents
+    ),
+    chosen AS (
+      SELECT vec_id, s, code, d2_raw,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rn
+      FROM sub
+    )
+    SELECT vec_id, {code_cols},
+           round(sum(d2_raw) / {EMB_DIM}, 4) AS recon_mse
+    FROM chosen WHERE rn = 1
+    GROUP BY vec_id
+    """
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) search: the query vector stays
+    un-quantized; the driver precomputes the PQ_M x PQ_K lookup table of
+    rounded subspace distances query->centroid, and every corpus
+    vector's approximate distance is the sum of PQ_M table lookups over
+    its CODES — no float vectors touched at query time.  At 10^12
+    vectors this is the in-RAM scan: 4 bytes/vector of codes + a 128-
+    entry LUT, versus 256 bytes/vector for exact search.  The LUT rides
+    as array literals (element_at on the code column); the chained sum
+    keeps one association order so the oracle's identically-ordered sum
+    is bit-equal, and rounding lands on exact-decimal sums (never a
+    half boundary).  Top-10 ascending by (adc_dist, vec_id)."""
+    import numpy as np
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(spark, sf_dir)                 # (M, K, SUB)
+    qv = np.asarray(_ivf_seed_vectors(spark, sf_dir)[0], dtype=np.float64)
+    lut = []
+    for s in range(PQ_M):
+        qs = qv[s * PQ_SUB:(s + 1) * PQ_SUB]
+        d2 = ((qs[None, :] - cb[s]) ** 2).sum(axis=1)
+        lut.append((np.floor(d2 * 1e4 + 0.5) / 1e4).tolist())
+
+    coded = (emb.where(F.col("embedding").isNotNull()
+                       & (F.col("vec_id") != 0))
+             .select("vec_id",
+                     _pq_assign_udf(cb)("embedding")["codes"]
+                     .alias("codes")))
+    adc = None
+    for s in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[s]]),
+            F.col("codes")[s] + 1)
+        adc = term if adc is None else adc + term
+    scored = coded.select("vec_id", F.round(adc, 4).alias("adc_dist"))
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+    w = (Window.partitionBy(F.col("vec_id") % 1)
+         .orderBy(F.asc("adc_dist"), F.asc("vec_id")))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def q_pq_adc_topk_sql() -> str:
+    # the `sub` CTE of the codes oracle already computes the ROUNDED
+    # query->centroid subspace distances (vec_id 0's rows ARE the LUT);
+    # list_sum over the ordered per-subspace list reproduces the
+    # kernel's left-to-right association
+    subs = ", ".join(f"({s})" for s in range(PQ_M))
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {PQ_K}
+    ),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    sub AS (
+      SELECT e.vec_id, sp.s, cents.k - 1 AS code,
+             round(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                   j -> pow(x[sp.s * {PQ_SUB} + j]
+                            - c[sp.s * {PQ_SUB} + j], 2))), 4) AS d2
+      FROM e CROSS JOIN (VALUES {subs}) sp(s) CROSS JOIN cents
+    ),
+    chosen AS (
+      SELECT vec_id, s, code,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rn
+      FROM sub
+    ),
+    adc AS (
+      SELECT ch.vec_id,
+             round(list_sum(list(q.d2 ORDER BY ch.s)), 4) AS adc_dist
+      FROM chosen ch
+      JOIN sub q ON q.vec_id = 0 AND q.s = ch.s AND q.code = ch.code
+      WHERE ch.rn = 1 AND ch.vec_id <> 0
+      GROUP BY ch.vec_id
+    )
+    SELECT vec_id, adc_dist,
+           row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rank
+    FROM adc
+    QUALIFY rank <= 10
+    """
