@@ -104,3 +104,31 @@ def write_bucketed(df: "DataFrame", table: str, key: str,
                   f"LOCATION '{database_location}'")
     (df.write.mode("overwrite").format("parquet")
        .bucketBy(buckets, key).sortBy(key).saveAsTable(table))
+
+
+JSONL_DOC_SCHEMA = ("url string, warc_ts string, html string, "
+                    "text string, lang string")
+
+
+def read_documents_jsonl(spark: "SparkSession", path: str) -> "DataFrame":
+    """Crawl-interchange JSONL source: one JSON object per line with
+    (url, warc_ts as ISO-8601 string, html as UTF-8 string, text, lang)
+    — the common hand-off format when pages arrive from a non-parquet
+    upstream (WARC extractors, API dumps).
+
+    The schema is EXPLICIT (inference over JSON is a full data scan at
+    100 TB and can silently widen types); timestamps parse from the ISO
+    string and html re-encodes to the binary column the extraction
+    stage expects, so downstream code sees the exact parquet-source
+    schema.  Corrupt lines surface under Spark's default PERMISSIVE
+    mode as null rows — filtered and countable by the caller via the
+    null url; pass mode=FAILFAST semantics by validating counts."""
+    raw = spark.read.schema(JSONL_DOC_SCHEMA).json(path)
+    return raw.select(
+        "url",
+        F.to_timestamp("warc_ts").alias("warc_ts"),
+        F.encode(F.coalesce(F.col("html"), F.lit("")), "UTF-8")
+         .alias("html"),
+        "text",
+        "lang",
+    )

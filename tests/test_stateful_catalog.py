@@ -112,3 +112,36 @@ def test_read_documents_table_branch(spark, corpus, monkeypatch):
     assert df.where(F.to_date("warc_ts") != "2025-01-01").count() == 0
     full = cat.read_documents(spark, "docs_table")
     assert full.count() == 200
+
+
+def test_jsonl_source_extraction_parity(spark, tmp_path):
+    """JSONL-landed pages extract byte-identically to the same pages
+    landed as parquet: the source layer normalizes (ISO timestamp ->
+    timestamp, html string -> binary) so the fused stage can't tell the
+    formats apart."""
+    import json
+
+    from ocr_hardsubx_spark.operators.extract import extract_documents
+    from ocr_hardsubx_spark.sources.catalog import read_documents_jsonl
+    from ocr_hardsubx_spark.sources.fixtures import generate_rows
+
+    rows = list(generate_rows(20, seed=42))
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        for r in rows:
+            f.write(json.dumps({
+                "url": r["url"],
+                "warc_ts": r["warc_ts"].isoformat(),
+                "html": r["html"].decode("utf-8"),
+                "text": r["text"],
+                "lang": r["lang"],
+            }) + "\n")
+
+    docs = read_documents_jsonl(spark, str(jl))
+    assert dict(docs.dtypes)["html"] == "binary"
+    assert dict(docs.dtypes)["warc_ts"] == "timestamp"
+    got = {r["url"]: r["extracted_text"]
+           for r in extract_documents(docs, spark).collect()}
+    assert len(got) == 20
+    for r in rows:
+        assert got[r["url"]] == r["text"]

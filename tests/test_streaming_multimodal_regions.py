@@ -115,3 +115,41 @@ def test_regions_table_contract(spark, corpus):
             assert r["end"] >= r["start"]
         # at least one local maximum on content pages
         assert any(r["local_maxima"] for r in rs), url
+
+
+def test_streaming_restart_is_exactly_once_across_new_files(
+        spark, tmp_path):
+    """Kill/restart with the SAME checkpoint: files landed between the
+    two runs are processed exactly once, earlier files never reprocess,
+    and the final output equals what one uninterrupted run produces —
+    the streaming twin of the batch manifest/resume exactly-once
+    contract."""
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    staged = sorted(glob.glob(os.path.join(PART_CORPUS, "**", "*.parquet"),
+                              recursive=True))
+    assert len(staged) >= 3
+    half = len(staged) // 2
+    for i, f in enumerate(staged[:half]):
+        shutil.copy(f, os.path.join(src, f"f{i:03d}.parquet"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_extraction(spark, src, out, ckpt).awaitTermination(300)
+    n1 = spark.read.parquet(out).count()
+    assert 0 < n1 < 200
+
+    # new crawl files land while the query is down; restart SAME ckpt
+    for i, f in enumerate(staged[half:]):
+        shutil.copy(f, os.path.join(src, f"g{i:03d}.parquet"))
+    stream_extraction(spark, src, out, ckpt).awaitTermination(300)
+
+    res = spark.read.parquet(out)
+    assert res.count() == 200
+    assert res.select("url").distinct().count() == 200  # exactly once
+    golden = spark.read.parquet(PART_CORPUS).select("url", "text")
+    j = res.join(golden, "url").collect()
+    assert len(j) == 200
+    assert all(r["extracted_text"] == r["text"] for r in j)
