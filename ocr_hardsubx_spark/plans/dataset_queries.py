@@ -3159,3 +3159,182 @@ def q_pq_adc_topk_sql() -> str:
     FROM adc
     QUALIFY rank <= 10
     """
+
+
+# --------------------------------------------------------------------------
+# IVF+PQ composed search (the 10^12-vector production ANN architecture)
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_assign_udf(cents_norm, codebook):
+    """One Arrow kernel computing BOTH quantizations per vector: the
+    IVF list (rounded-cosine argmax over the normalized centroids —
+    identical math to _ivf_assign_udf) and the PQ codes of the RESIDUAL
+    x - c_list (what remains after the coarse quantizer explains the
+    list; quantizing residuals is what makes the composed sketch far
+    tighter than PQ alone).  Zero-norm vectors get NULL list/codes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents_norm, dtype=np.float64)      # (K, 64)
+    B = np.asarray(codebook, dtype=np.float64)        # (M, K, SUB)
+
+    @pandas_udf("struct<list_id: int, codes: array<int>>")
+    def assign(emb):
+        if len(emb) == 0:
+            return pd.DataFrame({"list_id": [], "codes": []})
+        M = np.vstack(emb.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nz = nrm[:, 0] != 0
+        sims = np.divide(M @ C.T, nrm,
+                         out=np.full((len(M), C.shape[0]), np.nan),
+                         where=nrm != 0)
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+        lists = np.argmax(sims, axis=1)               # first max
+        resid = M - C[lists]
+        codes = np.empty((len(M), PQ_M), dtype=np.int32)
+        for s in range(PQ_M):
+            X = resid[:, s * PQ_SUB:(s + 1) * PQ_SUB]
+            d2 = ((X[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            d2 = np.floor(d2 * 1e4 + 0.5) / 1e4
+            codes[:, s] = np.argmin(d2, axis=1)
+        out_list = pd.array(lists + 1, dtype="Int32")
+        out_list[~nz] = pd.NA
+        return pd.DataFrame({
+            "list_id": out_list,
+            "codes": [None if not ok else c
+                      for ok, c in zip(nz, codes)],
+        })
+
+    return assign
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed top-10: coarse-probe the IVF_NPROBE closest
+    lists, then rank their members by asymmetric PQ distance over
+    RESIDUAL codes — the FAISS-IVFPQ architecture that serves 10^12
+    vectors from RAM (per vector: 1 list id + PQ_M nibbles).
+
+    Per-probed-list LUTs: the query's residual against THAT list's
+    centroid differs per list, so each probed list gets its own
+    PQ_M x PQ_K table (driver-side, nprobe x 128 rounded doubles);
+    rows select their list's LUT with a when() chain over the nprobe
+    literals.  Chained + keeps one association order so the oracle's
+    ordered list_sum is bit-equal; ties order by (adc, vec_id)."""
+    import numpy as np
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    probe_ids = _ivf_probe_ids(spark, sf_dir, IVF_NPROBE)
+    qv = np.asarray(_ivf_seed_vectors(spark, sf_dir)[0], dtype=np.float64)
+    Cn = np.asarray(cents, dtype=np.float64)
+    luts = {}
+    for p in probe_ids:
+        qr = qv - Cn[p - 1]
+        luts[p] = []
+        for s in range(PQ_M):
+            qs = qr[s * PQ_SUB:(s + 1) * PQ_SUB]
+            d2 = ((qs[None, :] - cb[s]) ** 2).sum(axis=1)
+            luts[p].append((np.floor(d2 * 1e4 + 0.5) / 1e4).tolist())
+
+    coded = (emb.where(F.col("embedding").isNotNull()
+                       & (F.col("vec_id") != 0))
+             .select("vec_id",
+                     _ivfpq_assign_udf(cents, cb)("embedding")
+                     .alias("a"))
+             .select("vec_id", F.col("a.list_id").alias("list_id"),
+                     F.col("a.codes").alias("codes"))
+             .where(F.col("list_id").isin(probe_ids)))
+    adc = None
+    for s in range(PQ_M):
+        term = None
+        for p in probe_ids:
+            lookup = F.element_at(
+                F.array(*[F.lit(v) for v in luts[p][s]]),
+                F.col("codes")[s] + 1)
+            term = (F.when(F.col("list_id") == p, lookup) if term is None
+                    else term.when(F.col("list_id") == p, lookup))
+        term = term.otherwise(F.lit(None))   # unreachable: rows filtered
+        adc = term if adc is None else adc + term
+    scored = coded.select("vec_id", "list_id",
+                          F.round(adc, 4).alias("adc_dist"))
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+    w = (Window.partitionBy(F.col("vec_id") % 1)
+         .orderBy(F.asc("adc_dist"), F.asc("vec_id")))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def q_ivfpq_topk_sql() -> str:
+    subs = ", ".join(f"({s})" for s in range(PQ_M))
+    dim_rng = f"range(1, {EMB_DIM} + 1)"
+    sub_rng = f"range(1, {PQ_SUB} + 1)"
+    return f"""
+    WITH {_IVF_SIMS_SQL},
+    cn AS (
+      SELECT vec_id AS cid,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x / sqrt(list_dot_product(
+                                CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])))) AS cnorm
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {IVF_K}
+    ),
+    probes AS (
+      SELECT cid FROM sims WHERE vec_id = 0
+      ORDER BY sim DESC, cid ASC LIMIT {IVF_NPROBE}
+    ),
+    pqc AS (
+      SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {PQ_K}
+    ),
+    r AS (
+      SELECT e.vec_id, a.cid,
+             list_transform({dim_rng},
+                 i -> CAST(e.embedding[i] AS DOUBLE) - cn.cnorm[i]) AS res
+      FROM embeddings e
+      JOIN assign a USING (vec_id)
+      JOIN probes p ON a.cid = p.cid
+      JOIN cn ON cn.cid = a.cid
+      WHERE e.vec_id <> 0
+    ),
+    sub AS (
+      SELECT r.vec_id, r.cid, sp.s, pqc.k - 1 AS code,
+             round(list_sum(list_transform({sub_rng},
+                   j -> pow(res[sp.s * {PQ_SUB} + j]
+                            - c[sp.s * {PQ_SUB} + j], 2))), 4) AS d2
+      FROM r CROSS JOIN (VALUES {subs}) sp(s) CROSS JOIN pqc
+    ),
+    chosen AS (
+      SELECT vec_id, cid, s, code,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rn
+      FROM sub
+    ),
+    qres AS (
+      SELECT p.cid,
+             list_transform({dim_rng},
+                 i -> CAST(q.embedding[i] AS DOUBLE) - cn.cnorm[i]) AS res
+      FROM probes p JOIN cn USING (cid)
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ),
+    qlut AS (
+      SELECT qres.cid, sp.s, pqc.k - 1 AS code,
+             round(list_sum(list_transform({sub_rng},
+                   j -> pow(res[sp.s * {PQ_SUB} + j]
+                            - c[sp.s * {PQ_SUB} + j], 2))), 4) AS d2
+      FROM qres CROSS JOIN (VALUES {subs}) sp(s) CROSS JOIN pqc
+    ),
+    adc AS (
+      SELECT ch.vec_id,
+             round(list_sum(list(q.d2 ORDER BY ch.s)), 4) AS adc_dist
+      FROM chosen ch
+      JOIN qlut q ON q.cid = ch.cid AND q.s = ch.s AND q.code = ch.code
+      WHERE ch.rn = 1
+      GROUP BY ch.vec_id
+    )
+    SELECT vec_id, a2.cid AS list_id, adc_dist,
+           row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rank
+    FROM adc JOIN assign a2 USING (vec_id)
+    QUALIFY rank <= 10
+    """

@@ -307,3 +307,62 @@ def test_pq_adc_tracks_exact_l2(spark):
     got = [r["vec_id"] for r in
            dq.q_pq_adc_topk(spark, SF).orderBy("rank").collect()]
     assert got == want
+
+
+def test_ivfpq_search_stays_in_probed_lists_and_is_exact_about_itself(
+        spark):
+    """Composed IVF+PQ: every returned vector belongs to one of the
+    IVF_NPROBE probed lists (the coarse quantizer really prunes), and
+    the registered top-10 equals a full driver-side recompute of the
+    same residual-ADC ordering — the query is exact about its own
+    approximation.  (No recall claim on this corpus: the synthetic
+    gaussian embeddings have no cluster structure, so an untrained
+    seed codebook cannot demonstrate residual tightening; production
+    trains the PQ codebook on residuals.)"""
+    import numpy as np
+
+    probes = dq._ivf_probe_ids(spark, SF, dq.IVF_NPROBE)
+    rows = dq.q_ivfpq_topk(spark, SF).orderBy("rank").collect()
+    assert len(rows) == 10
+    assert {r["list_id"] for r in rows} <= set(probes)
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet").collect()
+    V = {r["vec_id"]: np.asarray(r["embedding"], float)
+         for r in emb}
+    cents = np.asarray(dq._ivf_centroids(spark, SF), dtype=np.float64)
+    cb = dq._pq_codebook(spark, SF)
+    q = V[0]
+
+    def assign(v):
+        n = np.linalg.norm(v)
+        sims = (v / n) @ cents.T
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+        return int(np.argmax(sims)) + 1
+
+    def codes(resid):
+        out = []
+        for s in range(dq.PQ_M):
+            d2 = ((resid[s * 8:(s + 1) * 8][None, :] - cb[s]) ** 2)                 .sum(axis=1)
+            d2 = np.floor(d2 * 1e4 + 0.5) / 1e4
+            out.append(int(np.argmin(d2)))
+        return out
+
+    luts = {}
+    for p in probes:
+        qr = q - cents[p - 1]
+        luts[p] = [np.floor(((qr[s * 8:(s + 1) * 8][None, :]
+                              - cb[s]) ** 2).sum(axis=1) * 1e4 + 0.5)
+                   / 1e4 for s in range(dq.PQ_M)]
+    scored = []
+    for k, v in V.items():
+        if k == 0:
+            continue
+        lst = assign(v)
+        if lst not in luts:
+            continue
+        cs = codes(v - cents[lst - 1])
+        adc = round(sum(float(luts[lst][s][cs[s]])
+                        for s in range(dq.PQ_M)), 4)
+        scored.append((adc, k))
+    want = [k for _, k in sorted(scored)[:10]]
+    assert [r["vec_id"] for r in rows] == want
