@@ -45,6 +45,7 @@ HEADLINE_QUERIES = (
     "q_embed_neardup",
     "q_stream_dedup_shadow", "q_triplet_consistency",
     "q_url_canonicalize", "q_token_stats", "q_lang_id",
+    "q_hll_distinct", "q_pq_adc_topk", "q_ivfpq_topk", "q_lm_perplexity",
 )
 
 
