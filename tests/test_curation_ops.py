@@ -157,3 +157,76 @@ def test_hll_accuracy_and_merge_on_large_vocab(spark, tmp_path):
     full = regs(F.lit(True))
     merged = {k: max(lo.get(k, 0), hi.get(k, 0)) for k in set(lo) | set(hi)}
     assert merged == full
+
+
+def test_unicode_tokens_hash_identically_across_engines(spark, tmp_path):
+    """md5-keyed operators (HLL registers, sampling buckets, LM grams)
+    depend on Spark and DuckDB hashing the SAME bytes for non-ASCII
+    text: pin a unicode/emoji corpus through q_hll_distinct and
+    q_lm_perplexity against the oracle directly."""
+    import duckdb
+
+    rows = [
+        (1, "héllo wörld héllo naïve", "fr", "web"),
+        (2, "日本語 トークン 日本語 テスト", "ja", "web"),
+        (3, "emoji 🙂 mix 🙂 emoji test", "en", "web"),
+        (4, "héllo wörld naïve encore", "fr", "web"),
+    ]
+    out = _docs_dir(spark, tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{out}/documents.parquet/*.parquet')")
+    got = sorted(map(tuple, dq.q_hll_distinct(spark, out).collect()))
+    exp = sorted(map(tuple,
+                     con.execute(dq.q_hll_distinct_sql()).fetchall()))
+    assert got == exp
+    got = sorted(map(tuple, dq.q_lm_perplexity(spark, out).collect()))
+    exp = sorted(map(tuple,
+                     con.execute(dq.q_lm_perplexity_sql()).fetchall()))
+    assert got == exp
+
+
+def test_pack_plan_partitions_every_token_exactly_once(spark, tmp_path):
+    """Conservation law: per stream, tokens_before of the k-th doc ==
+    sum of earlier docs' n_tokens (no token lost or double-counted),
+    for an adversarial mix of sizes including empty-ish docs."""
+    import itertools
+
+    sizes = [1, 2048, 3, 5000, 1, 1, 2047, 2049, 10]
+    mk = lambda n: " ".join("w" for _ in range(n))  # noqa: E731
+    rows = [(i, mk(n), "en", "web") for i, n in enumerate(sizes)]
+    out = _docs_dir(spark, tmp_path, rows)
+    got = sorted((r["doc_id"], r["n_tokens"], r["tokens_before"])
+                 for r in dq.q_pack_plan(spark, out).collect())
+    acc = 0
+    for (_, n, before), want_n in zip(got, sizes):
+        assert before == acc and n == want_n
+        acc += n
+    assert acc == sum(sizes)
+    # the global two-phase form obeys the same law
+    got_g = sorted((r["doc_id"], r["tokens_before"])
+                   for r in dq.q_pack_plan_global(spark, out).collect())
+    assert [b for _, b in got_g] == \
+        [0] + list(itertools.accumulate(sizes))[:-1]
+
+
+def test_stratified_rates_are_monotone_in_the_dial(spark, tmp_path):
+    """A stratum with a higher keep rate keeps a superset-sized sample
+    of the SAME hash space: every doc kept at rate r is also kept at
+    any higher rate (the determinism law that makes rate changes safe
+    to reason about in production)."""
+    rows = [(i, f"text {i}", "es", "web") for i in range(300)]
+    out = _docs_dir(spark, tmp_path, rows)
+    kept_low = {r["doc_id"]
+                for r in dq.q_stratified_sample(spark, out).collect()}
+    # re-dial es to 1000 permille and recompute
+    orig = dict(dq.SAMPLE_RATES_PERMILLE)
+    try:
+        dq.SAMPLE_RATES_PERMILLE["es"] = 1000
+        kept_high = {r["doc_id"]
+                     for r in dq.q_stratified_sample(spark, out).collect()}
+    finally:
+        dq.SAMPLE_RATES_PERMILLE.clear()
+        dq.SAMPLE_RATES_PERMILLE.update(orig)
+    assert kept_low <= kept_high
+    assert len(kept_high) == 300
