@@ -2799,6 +2799,14 @@ def q_pack_plan_global(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long").alias("n_tokens"))
         .repartitionByRange(n_parts, "doc_id")
         .sortWithinPartitions("doc_id")
+        # PIN the partitioning: repartitionByRange SAMPLES its
+        # boundaries with an execution-dependent seed, so the two
+        # actions below (phase-1 totals, phase-2 cumsum) could
+        # otherwise materialize DIFFERENT partitions and the broadcast
+        # offsets would attach to the wrong pids.  localCheckpoint
+        # (eager) freezes one materialization both jobs read; a
+        # production run checkpoints to reliable storage instead.
+        .localCheckpoint()
     )
     sums = (base.groupBy(F.spark_partition_id().alias("pid"))
             .agg(F.sum("n_tokens").alias("total"),
