@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_codes": dq.q_pq_codes,
         "q_pq_adc_topk": dq.q_pq_adc_topk,
         "q_ivfpq_topk": dq.q_ivfpq_topk,
+        "q_bm25_topk": dq.q_bm25_topk,
+        "q_dedup_keep_list": dq.q_dedup_keep_list,
         "q_embed_quantize": dq.q_embed_quantize,
         "q_event_window_rate": dq.q_event_window_rate,
         "q_line_dedup": dq.q_line_dedup,
@@ -191,6 +193,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_codes": dq.q_pq_codes_sql(),
         "q_pq_adc_topk": dq.q_pq_adc_topk_sql(),
         "q_ivfpq_topk": dq.q_ivfpq_topk_sql(),
+        "q_bm25_topk": dq.q_bm25_topk_sql(),
+        "q_dedup_keep_list": dq.q_dedup_keep_list_sql(),
         "q_embed_quantize": dq.q_embed_quantize_sql(),
         "q_event_window_rate": dq.q_event_window_rate_sql(),
         "q_line_dedup": dq.q_line_dedup_sql(),

@@ -3346,3 +3346,129 @@ def q_ivfpq_topk_sql() -> str:
     FROM adc JOIN assign a2 USING (vec_id)
     QUALIFY rank <= 10
     """
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval scoring + the final dedup keep decision
+# --------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("spark", "query", "data")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed term query — the
+    retrieval primitive a training-data curation stack uses for
+    targeted harvesting ("find docs about X") and for decontamination
+    audits.
+
+    Relational end to end: one explode -> per-(doc, term) tf filtered
+    to the query terms (the explode output shrinks to |terms| rows per
+    doc BEFORE the shuffle), df per term (tiny, broadcast back), the
+    corpus-average document length as a 1-row broadcast, then the
+    standard Robertson idf x saturated-tf formula and a deterministic
+    rounded top-10.  At 100 TB the same plan serves any query whose
+    term list fits a broadcast — which is every query."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("w"))
+    hits = (toks.where(F.col("w").isin(*BM25_QUERY_TERMS))
+            .groupBy("doc_id", "dl", "w")
+            .agg(F.count("*").alias("tf")))
+    n_docs = docs.agg(F.count("*").alias("n"),
+                      F.avg(F.size(F.split("text", " "))).alias("avgdl"))
+    df_t = (hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df")))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    sat = (F.col("tf") * (BM25_K1 + 1)
+           / (F.col("tf") + BM25_K1
+              * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))))
+    scored = (
+        hits.join(F.broadcast(df_t), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 4).alias("bm25"),
+             F.count("*").alias("n_matched_terms"))
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+    w = (Window.partitionBy(F.col("doc_id") % 1)
+         .orderBy(F.desc("bm25"), F.asc("doc_id")))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def q_bm25_topk_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, dl, w, count(*) AS tf
+      FROM toks WHERE w IN ({terms})
+      GROUP BY doc_id, dl, w
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             avg(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ),
+    df_t AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM hits GROUP BY w
+    ),
+    scored AS (
+      SELECT h.doc_id,
+             round(sum(
+               ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (h.tf * ({BM25_K1} + 1)
+                  / (h.tf + {BM25_K1}
+                     * (1 - {BM25_B} + {BM25_B} * h.dl / s.avgdl)))
+             ), 4) AS bm25,
+             count(*) AS n_matched_terms
+      FROM hits h JOIN df_t d USING (w) CROSS JOIN stats s
+      GROUP BY h.doc_id
+    )
+    SELECT doc_id, bm25, n_matched_terms,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL DECISION: one kept document per
+    unified near-dup cluster, chosen by quality (longest doc wins, ties
+    to the lowest doc_id — a deterministic stand-in for the
+    quality-model argmax a production pipeline applies), everything
+    else marked dropped.  Composition of q_dup_clusters_unified with
+    the documents table: the window runs per cluster (tiny groups), so
+    the keep decision never shuffles more than the cluster members."""
+    clusters = q_dup_clusters_unified(spark, sf_dir)
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = (Window.partitionBy("cluster_rep")
+         .orderBy(F.desc("n_tokens"), F.asc("doc_id")))
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_rep", "n_tokens", "keep")
+    )
+
+
+def q_dedup_keep_list_sql() -> str:
+    return f"""
+    WITH clusters AS ({q_dup_clusters_unified_sql()}),
+    sized AS (
+      SELECT c.doc_id, c.cluster_rep,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_rep, n_tokens,
+           row_number() OVER (PARTITION BY cluster_rep
+                              ORDER BY n_tokens DESC, doc_id ASC) = 1
+             AS keep
+    FROM sized
+    """

@@ -230,3 +230,50 @@ def test_stratified_rates_are_monotone_in_the_dial(spark, tmp_path):
         dq.SAMPLE_RATES_PERMILLE.update(orig)
     assert kept_low <= kept_high
     assert len(kept_high) == 300
+
+
+def test_bm25_semantics_on_fixture(spark, tmp_path):
+    """Hand-checkable BM25 behavior: a doc with more query-term mass
+    (tf saturation notwithstanding) outranks one mention; docs without
+    any query term never appear; rarer terms weigh more (idf)."""
+    filler = " ".join(f"f{i}" for i in range(30))
+    rows = [
+        (1, f"spark query data {filler}", "en", "web"),  # all 3 terms
+        (2, f"spark spark spark {filler}", "en", "web"),  # tf on one
+        (3, f"query {filler}", "en", "web"),
+        (4, filler, "en", "web"),                         # no terms
+        (5, f"data {filler} {filler}", "en", "web"),      # long doc
+    ]
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in dq.q_bm25_topk(spark, out).collect()}
+    assert 4 not in got
+    assert got[1]["n_matched_terms"] == 3
+    assert got[1]["rank"] == 1                    # coverage beats tf
+    assert got[1]["bm25"] > got[2]["bm25"] > 0
+    # length normalization: the same single term in a longer doc scores
+    # lower than in a shorter one
+    assert got[3]["bm25"] > got[5]["bm25"]
+
+
+def test_dedup_keep_list_keeps_exactly_one_per_cluster(spark, tmp_path):
+    """Every cluster keeps exactly ONE doc — the longest member (ties
+    to lowest id); reusing the unified-cluster fixture (reorder caught
+    by simhash, edit by minhash) all three dup docs form one cluster
+    with one keeper."""
+    base = [f"w{i}" for i in range(20)]
+    rows = [
+        (1, " ".join(base), "en", "web"),
+        (2, " ".join(reversed(base)), "en", "web"),
+        (3, " ".join(base[:-1] + ["zz"]), "en", "web"),
+        (50, " ".join(f"a{i}" for i in range(20)), "en", "web"),
+    ]
+    out = _docs_dir(spark, tmp_path, rows)
+    got = dq.q_dedup_keep_list(spark, out).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster_rep"], []).append(r)
+    assert len(by_cluster) == 1                   # one unified cluster
+    members = by_cluster[1]
+    assert {r["doc_id"] for r in members} == {1, 2, 3}
+    keepers = [r["doc_id"] for r in members if r["keep"]]
+    assert keepers == [1]                         # equal length, min id
