@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_window_rate": dq.q_event_window_rate,
         "q_line_dedup": dq.q_line_dedup,
         "q_decontaminate": dq.q_decontaminate,
+        "q_decon_bloom": dq.q_decon_bloom,
     }
 
 
@@ -199,4 +200,5 @@ def oracle_sql() -> dict[str, str]:
         "q_event_window_rate": dq.q_event_window_rate_sql(),
         "q_line_dedup": dq.q_line_dedup_sql(),
         "q_decontaminate": dq.q_decontaminate_sql(),
+        "q_decon_bloom": dq.q_decon_bloom_sql(),
     }

@@ -3472,3 +3472,134 @@ def q_dedup_keep_list_sql() -> str:
              AS keep
     FROM sized
     """
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (broadcast bits instead of a gram join)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS_LOG2 = 16            # m = 65536 bits (8 KB broadcast)
+BLOOM_M = 1 << BLOOM_BITS_LOG2
+BLOOM_K = 4                     # hashes: 4 disjoint md5 hex slices
+
+
+def _bloom_positions(gram_md5_col):
+    """K bit positions from disjoint 4-hex slices of the gram's md5 —
+    deterministic, so Spark and the oracle derive identical bits."""
+    return [
+        (F.conv(F.substring(gram_md5_col, 1 + 4 * j, 4), 16, 10)
+         .cast("long") % BLOOM_M).cast("int")
+        for j in range(BLOOM_K)
+    ]
+
+
+def _decon_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) with g = md5 of each DECON_NGRAM-token gram (the
+    same guarded generation as q_decontaminate)."""
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - (DECON_NGRAM - 1), F.lit(0))
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    return docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            idx,
+            lambda i: F.md5(F.array_join(
+                F.slice(toks, i + 1, DECON_NGRAM), " ")),
+        )).alias("g"),
+    )
+
+
+def q_decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a BLOOM FILTER: the eval-set grams
+    compress to an m=2^16-bit / k=4 filter (8 KB) broadcast as a
+    1024-long literal array, and every corpus gram probes it with pure
+    bit arithmetic — NO join against the benchmark gram table at all.
+
+    This is the shape when even the (gram-hash) table is too big to
+    hash-join comfortably: a 10^9-gram eval suite is a ~GB join side,
+    but its Bloom bits are MBs and ride the task closure.  The filter
+    guarantees NO false negatives (every exact hit is flagged —
+    tests pin n_bloom_hits >= q_decontaminate's exact count per doc);
+    false positives are the tunable price, measured in the same test.
+    The bits themselves are derived deterministically (md5 slices), so
+    the DuckDB oracle reconstructs the identical filter relationally
+    and the outputs match exactly."""
+    docs = _tbl(spark, sf_dir, "documents")
+    bench = _decon_grams(docs.where(F.col("doc_id") < DECON_BENCH_DOCS))
+    pos_rows = (
+        bench.select(F.explode(F.array(
+            *_bloom_positions(F.col("g")))).alias("p"))
+        .distinct().collect())
+    words = [0] * (BLOOM_M // 64)
+    for r in pos_rows:
+        words[r["p"] >> 6] |= 1 << (r["p"] & 63)
+    # signed-long literal array (Spark longs are signed; bit 63 wraps)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bloom = F.array(*[F.lit(w) for w in words])
+
+    corpus = _decon_grams(docs.where(F.col("doc_id") >= DECON_BENCH_DOCS))
+    checks = [
+        F.call_function(
+            "shiftrightunsigned",
+            F.element_at(bloom, (p.cast("int") / 64).cast("int") + 1),
+            (p % 64).cast("int")).bitwiseAND(F.lit(1)) == 1
+        for p in _bloom_positions(F.col("g"))
+    ]
+    hit = checks[0]
+    for c in checks[1:]:
+        hit = hit & c
+    hits = (corpus.select("doc_id", hit.cast("int").alias("h"))
+            .groupBy("doc_id").agg(F.sum("h").alias("n_bloom_hits")))
+    return (
+        docs.where(F.col("doc_id") >= DECON_BENCH_DOCS)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("n_bloom_hits", F.lit(0))
+                 .alias("n_bloom_hits"),
+                (F.coalesce("n_bloom_hits", F.lit(0)) > 0)
+                 .alias("flagged"))
+    )
+
+
+def q_decon_bloom_sql() -> str:
+    pos = ", ".join(
+        f"CAST(CAST(concat('0x', substring(g, {1 + 4 * j}, 4)) AS UBIGINT)"
+        f" % {BLOOM_M} AS BIGINT)"
+        for j in range(BLOOM_K))
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i+{DECON_NGRAM - 1}], ' ')) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           LATERAL (SELECT unnest(range(1,
+                    greatest(len(t) - {DECON_NGRAM - 1}, 0) + 1)) AS i)
+    ),
+    bench_bits AS (
+      SELECT DISTINCT unnest([{pos}]) AS p
+      FROM grams WHERE doc_id < {DECON_BENCH_DOCS}
+    ),
+    corpus AS (
+      SELECT doc_id, i, unnest([{pos}]) AS p
+      FROM grams WHERE doc_id >= {DECON_BENCH_DOCS}
+    ),
+    probed AS (
+      -- per gram OCCURRENCE (doc_id, i): matched rows == K iff every
+      -- probe position is set (repeated positions count per row on
+      -- both match and miss, mirroring the Spark conjunction)
+      SELECT c.doc_id, c.i, count(b.p) AS n_set
+      FROM corpus c LEFT JOIN bench_bits b ON c.p = b.p
+      GROUP BY c.doc_id, c.i
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n
+      FROM probed WHERE n_set = {BLOOM_K}
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n, 0) AS n_bloom_hits,
+           COALESCE(h.n, 0) > 0 AS flagged
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id >= {DECON_BENCH_DOCS}
+    """

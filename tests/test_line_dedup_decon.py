@@ -189,3 +189,34 @@ def test_unified_clusters_merge_simhash_only_and_minhash_only_pairs(
            for r in dq.q_dup_clusters_unified(spark, out).collect()}
     assert uni[1] == uni[2] == uni[3] == 1   # one unified component
     assert 50 not in uni and 51 not in uni   # singletons stay out
+
+
+def test_bloom_decontamination_flags_exact_hits_never_misses(spark,
+                                                             tmp_path):
+    """Bloom-filter decontamination: every exact n-gram hit is flagged
+    (the filter's no-false-negative guarantee), clean docs pass, short
+    docs survive — all per-occurrence (a doc repeating the copied gram
+    counts each occurrence, exactly like the exact query)."""
+    bench_text = " ".join(f"b{i}" for i in range(12))
+    copied = " ".join(f"b{i}" for i in range(dq.DECON_NGRAM))
+    rows = (
+        [(i, bench_text) for i in range(dq.DECON_BENCH_DOCS)]
+        + [
+            (50, "clean text " + " ".join(f"w{i}" for i in range(20))),
+            (51, f"prefix words {copied} suffix words"),
+            (52, f"{copied} middle {copied}"),     # two occurrences
+            (53, "tiny"),                          # short doc
+        ]
+    )
+    out = _docs_dir(spark, tmp_path, rows)
+    bloom = {r["doc_id"]: r for r in dq.q_decon_bloom(spark, out).collect()}
+    exact = {r["doc_id"]: r
+             for r in dq.q_decontaminate(spark, out).collect()}
+    assert set(bloom) == set(exact) == {50, 51, 52, 53}
+    for d in bloom:
+        # no false negatives, ever
+        assert bloom[d]["n_bloom_hits"] >= exact[d]["n_contaminated_grams"]
+    assert bloom[51]["flagged"] is True
+    assert bloom[52]["n_bloom_hits"] >= 2
+    assert bloom[53]["flagged"] is False
+    assert exact[50]["contaminated"] is False  # FP possible but not here
