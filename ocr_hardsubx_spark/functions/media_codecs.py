@@ -501,6 +501,13 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 if restart_interval:
                     raise UnsupportedMedia(
                         "lossless JPEG with restart intervals")
+                if len(scan) != len(frame["comps"]):
+                    # a non-interleaved multi-scan lossless file would
+                    # otherwise return after scan 1 with the FIRST
+                    # component (e.g. red) mislabeled as luminance
+                    # (review finding) — declare the subset instead
+                    raise UnsupportedMedia(
+                        "non-interleaved multi-scan lossless JPEG")
                 return _decode_lossless_scan(
                     payload, pos + 2 + seglen, frame, scan, huff_dc,
                     pred_sel, pt)

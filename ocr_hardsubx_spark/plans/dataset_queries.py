@@ -507,17 +507,18 @@ def q_jaccard_nearby_sql() -> str:
 # similarity search over embeddings
 # --------------------------------------------------------------------------
 
-def _ranked_top10(scored: DataFrame) -> DataFrame:
+def _ranked_top10(scored: DataFrame, *order) -> DataFrame:
     """orderBy+limit (TakeOrderedAndProject: per-partition top-k, driver
-    merge) then rank the 10 surviving rows.  The partition key is a
-    constant by value (vec_id % 1 == 0) but non-foldable, so the
-    single-partition window is declared ON PURPOSE over k rows without
-    Spark's "No Partition Defined" warning (a foldable lit(0) is
-    optimized away and warns).  Do NOT use this window shape on a
-    non-limited frame — there it serializes the whole dataset."""
-    top = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
-    w = (Window.partitionBy(F.col("vec_id") % 1)
-         .orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+    merge) then rank the 10 surviving rows by the given order columns
+    (default: cosine descending).  The partition key is a constant by
+    value (vec_id % 1 == 0) but non-foldable, so the single-partition
+    window is declared ON PURPOSE over k rows without Spark's "No
+    Partition Defined" warning (a foldable lit(0) is optimized away and
+    warns).  Do NOT use this window shape on a non-limited frame —
+    there it serializes the whole dataset."""
+    order = list(order) or [F.desc("cos_sim"), F.asc("vec_id")]
+    top = scored.orderBy(*order).limit(10)
+    w = Window.partitionBy(F.col("vec_id") % 1).orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w))
 
 
@@ -2296,6 +2297,24 @@ DECON_NGRAM = 8
 DECON_BENCH_DOCS = 10  # docs 0..9 stand in for the benchmark/eval set
 
 
+def _decon_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) with g = md5 of each DECON_NGRAM-token gram (the
+    same guarded generation as q_decontaminate)."""
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - (DECON_NGRAM - 1), F.lit(0))
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    return docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            idx,
+            lambda i: F.md5(F.array_join(
+                F.slice(toks, i + 1, DECON_NGRAM), " ")),
+        )).alias("g"),
+    )
+
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data decontamination: flag documents sharing any
     DECON_NGRAM-token n-gram with the benchmark set (here: the first
@@ -2308,28 +2327,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id) with map-side partials for the overlap count.  The
     corpus side never shuffles its text — only (doc_id, gram-hash)."""
     docs = _tbl(spark, sf_dir, "documents")
-
-    def grams(df):
-        toks = F.split("text", " ")
-        n = F.greatest(F.size(toks) - (DECON_NGRAM - 1), F.lit(0))
-        # n == 0 (doc shorter than the n-gram) must yield NO grams:
-        # sequence(0, -1) would infer step -1 and produce [0, -1], and
-        # slice(toks, 0, ...) then aborts the job — guard with an empty
-        # array so explode simply drops the short doc.
-        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
-               .otherwise(F.array().cast("array<int>"))
-        return df.select(
-            "doc_id",
-            F.explode(F.transform(
-                idx,
-                lambda i: F.md5(F.array_join(
-                    F.slice(toks, i + 1, DECON_NGRAM), " ")),
-            )).alias("g"),
-        )
-
-    bench = (grams(docs.where(F.col("doc_id") < DECON_BENCH_DOCS))
+    bench = (_decon_grams(docs.where(F.col("doc_id") < DECON_BENCH_DOCS))
              .select("g").distinct())
-    corpus = grams(docs.where(F.col("doc_id") >= DECON_BENCH_DOCS))
+    corpus = _decon_grams(docs.where(F.col("doc_id") >= DECON_BENCH_DOCS))
     hits = (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -3120,10 +3120,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("codes")[s] + 1)
         adc = term if adc is None else adc + term
     scored = coded.select("vec_id", F.round(adc, 4).alias("adc_dist"))
-    top = scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
-    w = (Window.partitionBy(F.col("vec_id") % 1)
-         .orderBy(F.asc("adc_dist"), F.asc("vec_id")))
-    return top.withColumn("rank", F.row_number().over(w))
+    return _ranked_top10(scored, F.asc("adc_dist"), F.asc("vec_id"))
 
 
 def q_pq_adc_topk_sql() -> str:
@@ -3268,10 +3265,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc = term if adc is None else adc + term
     scored = coded.select("vec_id", "list_id",
                           F.round(adc, 4).alias("adc_dist"))
-    top = scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
-    w = (Window.partitionBy(F.col("vec_id") % 1)
-         .orderBy(F.asc("adc_dist"), F.asc("vec_id")))
-    return top.withColumn("rank", F.row_number().over(w))
+    return _ranked_top10(scored, F.asc("adc_dist"), F.asc("vec_id"))
 
 
 def q_ivfpq_topk_sql() -> str:
@@ -3392,10 +3386,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(idf * sat), 4).alias("bm25"),
              F.count("*").alias("n_matched_terms"))
     )
-    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
-    w = (Window.partitionBy(F.col("doc_id") % 1)
-         .orderBy(F.desc("bm25"), F.asc("doc_id")))
-    return top.withColumn("rank", F.row_number().over(w))
+    # reuse the guarded top-k idiom (vec_id is _ranked_top10's window
+    # key; alias through it and restore the retrieval schema)
+    ranked = _ranked_top10(
+        scored.withColumnRenamed("doc_id", "vec_id"),
+        F.desc("bm25"), F.asc("vec_id"))
+    return ranked.withColumnRenamed("vec_id", "doc_id")
 
 
 def q_bm25_topk_sql() -> str:
@@ -3493,21 +3489,34 @@ def _bloom_positions(gram_md5_col):
     ]
 
 
-def _decon_grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, g) with g = md5 of each DECON_NGRAM-token gram (the
-    same guarded generation as q_decontaminate)."""
-    toks = F.split("text", " ")
-    n = F.greatest(F.size(toks) - (DECON_NGRAM - 1), F.lit(0))
-    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
-           .otherwise(F.array().cast("array<int>"))
-    return docs.select(
-        "doc_id",
-        F.explode(F.transform(
-            idx,
-            lambda i: F.md5(F.array_join(
-                F.slice(toks, i + 1, DECON_NGRAM), " ")),
-        )).alias("g"),
-    )
+
+_BLOOM_CACHE: dict = {}
+
+
+def _bloom_words(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The benchmark Bloom filter as 1024 signed longs, built ONCE per
+    (session, sf_dir) with the shared mtime-stamp cache discipline —
+    the build is an eager distinct+collect job over the bench grams,
+    and without memoization every q_decon_bloom plan build would re-pay
+    it (the same per-invocation job class _log_cap_census was made
+    opt-in for; review finding)."""
+    key, stamp, fresh, _ = _stamped_state(
+        _BLOOM_CACHE, spark, "decon_bloom", sf_dir, "documents")
+    if fresh is not None:
+        return fresh
+    docs = _tbl(spark, sf_dir, "documents")
+    bench = _decon_grams(docs.where(F.col("doc_id") < DECON_BENCH_DOCS))
+    pos_rows = (
+        bench.select(F.explode(F.array(
+            *_bloom_positions(F.col("g")))).alias("p"))
+        .distinct().collect())
+    words = [0] * (BLOOM_M // 64)
+    for r in pos_rows:
+        words[r["p"] >> 6] |= 1 << (r["p"] & 63)
+    # signed-long literals (Spark longs are signed; bit 63 wraps)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    _BLOOM_CACHE[key] = (stamp, words)
+    return words
 
 
 def q_decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3526,17 +3535,8 @@ def q_decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle reconstructs the identical filter relationally
     and the outputs match exactly."""
     docs = _tbl(spark, sf_dir, "documents")
-    bench = _decon_grams(docs.where(F.col("doc_id") < DECON_BENCH_DOCS))
-    pos_rows = (
-        bench.select(F.explode(F.array(
-            *_bloom_positions(F.col("g")))).alias("p"))
-        .distinct().collect())
-    words = [0] * (BLOOM_M // 64)
-    for r in pos_rows:
-        words[r["p"] >> 6] |= 1 << (r["p"] & 63)
-    # signed-long literal array (Spark longs are signed; bit 63 wraps)
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bloom = F.array(*[F.lit(w) for w in words])
+    bloom = F.array(*[F.lit(w)
+                      for w in _bloom_words(spark, sf_dir)])
 
     corpus = _decon_grams(docs.where(F.col("doc_id") >= DECON_BENCH_DOCS))
     checks = [

@@ -571,7 +571,7 @@ def vacuum_superseded(spark: SparkSession, output_path: str) -> dict:
             "orphans_removed": len(orphans)}
 
 
-COMPACTION_LEASE_TTL_MS = 15 * 60 * 1000
+COMPACTION_LEASE_TTL_MS = 60 * 60 * 1000
 
 
 class CompactionLeaseHeld(RuntimeError):
@@ -580,6 +580,27 @@ class CompactionLeaseHeld(RuntimeError):
 
 def _lease_path(output_path: str) -> str:
     return os.path.join(output_path, "_manifests", "_compaction.lease")
+
+
+def _lease_mtime_ms(spark: SparkSession, output_path: str) -> int | None:
+    """The lease FILE's modification time — staleness is judged from
+    filesystem metadata, never from the lease's own content, so an
+    empty/corrupt lease (a writer crashed in the create->write gap) is
+    still breakable after its TTL, and a lease being renewed (touched)
+    stays fresh even while its bytes are mid-rewrite."""
+    p = _lease_path(output_path)
+    try:
+        if _is_uri(output_path):
+            fs, path_cls = _hdfs(spark, p)
+            if not fs.exists(path_cls(p)):
+                return None
+            return int(fs.getFileStatus(path_cls(p))
+                       .getModificationTime())
+        if not os.path.exists(p):
+            return None
+        return int(os.path.getmtime(p) * 1000)
+    except Exception:
+        return None
 
 
 def _read_lease(spark: SparkSession, output_path: str) -> dict | None:
@@ -600,11 +621,36 @@ def _read_lease(spark: SparkSession, output_path: str) -> dict | None:
             with open(p, "rb") as f:
                 raw = f.read()
         return json.loads(raw.decode("utf-8"))
+    except FileNotFoundError:
+        return None
     except Exception:
-        # unreadable/corrupt lease: treat as held-by-unknown — breaking
-        # it on a parse error would defeat the mutual exclusion
-        return {"owner": "<unreadable>", "acquired_ms": int(time.time()
-                * 1000)}
+        # unreadable/corrupt content: identity unknown, but STALENESS
+        # comes from the file mtime (_lease_mtime_ms), so this lease is
+        # still breakable after its TTL — no permanent deadlock
+        return {"owner": "<unreadable>"}
+
+
+def _break_stale_lease(spark: SparkSession, output_path: str) -> bool:
+    """Atomically take DOWN a stale lease by RENAMING it to a tombstone
+    (rename is atomic on local/HDFS): exactly ONE of any number of
+    concurrent breakers wins the rename; the losers' renames fail and
+    they fall back to the create race.  The unconditional-delete form
+    this replaces let a slow breaker delete a FRESH lease another
+    breaker had just created (review finding)."""
+    p = _lease_path(output_path)
+    tomb = f"{p}.broken.{uuid.uuid4().hex[:8]}"
+    try:
+        if _is_uri(output_path):
+            fs, path_cls = _hdfs(spark, p)
+            if not fs.rename(path_cls(p), path_cls(tomb)):
+                return False
+            fs.delete(path_cls(tomb), False)
+            return True
+        os.rename(p, tomb)
+        os.remove(tomb)
+        return True
+    except OSError:
+        return False
 
 
 def _acquire_compaction_lease(spark: SparkSession, output_path: str,
@@ -613,11 +659,14 @@ def _acquire_compaction_lease(spark: SparkSession, output_path: str,
     """Single-compactor mutual exclusion via an atomically-created lease
     file (round-3 verdict item 10: two concurrent compactors must never
     both flip ``replaces``).  ``open(..., 'x')`` locally /
-    ``FileSystem.createNewFile`` on HDFS are atomic creates; a lease
-    older than its TTL is presumed crashed and broken (delete +
-    ONE re-create attempt — if another breaker wins the re-create race,
-    this caller backs off with CompactionLeaseHeld).  Returns the owner
-    token to pass to ``_release_compaction_lease``."""
+    ``FileSystem.createNewFile`` on HDFS are atomic creates.  Staleness
+    is judged from the lease file's MTIME against the TTL; a long
+    compaction renews (touches) its lease mid-run
+    (``_renew_compaction_lease``), so a live owner is never presumed
+    dead while it makes progress.  A stale lease is broken via an
+    atomic RENAME (one winner among concurrent breakers) + ONE
+    re-create attempt; losing any race backs off with
+    CompactionLeaseHeld.  Returns the owner token."""
     p = _lease_path(output_path)
     owner = uuid.uuid4().hex
     payload = json.dumps({"owner": owner, "ttl_ms": ttl_ms,
@@ -647,18 +696,40 @@ def _acquire_compaction_lease(spark: SparkSession, output_path: str,
     for attempt in range(2):
         if try_create():
             return owner
-        held = _read_lease(spark, output_path)
-        if held is None:                      # released between checks
+        mtime = _lease_mtime_ms(spark, output_path)
+        if mtime is None:                     # released between checks
             continue
-        age = int(time.time() * 1000) - int(held.get("acquired_ms", 0))
-        if attempt == 0 and age > int(held.get("ttl_ms", ttl_ms)):
-            # stale: presumed-crashed owner — break and retry ONCE
-            _release_compaction_lease(spark, output_path, None)
+        held = _read_lease(spark, output_path) or {}
+        age = int(time.time() * 1000) - mtime
+        if attempt == 0 and age > int(held.get("ttl_ms") or ttl_ms):
+            # stale by mtime: presumed-crashed owner — atomic break,
+            # then ONE retry of the create race
+            _break_stale_lease(spark, output_path)
             continue
         raise CompactionLeaseHeld(
             f"compaction lease held by {held.get('owner')} "
             f"(age {age} ms, ttl {held.get('ttl_ms', ttl_ms)} ms)")
     raise CompactionLeaseHeld("lost the lease re-create race")
+
+
+def _renew_compaction_lease(spark: SparkSession, output_path: str,
+                            owner: str) -> None:
+    """Heartbeat: bump the lease mtime if (and only if) still ours, so
+    a compaction outliving the TTL is not presumed crashed (review
+    finding — the long step is the data rewrite; renew after it and
+    before the visibility flip)."""
+    held = _read_lease(spark, output_path)
+    if held is None or held.get("owner") != owner:
+        return
+    p = _lease_path(output_path)
+    try:
+        if _is_uri(output_path):
+            fs, path_cls = _hdfs(spark, p)
+            fs.setTimes(path_cls(p), int(time.time() * 1000), -1)
+        else:
+            os.utime(p, None)
+    except OSError:
+        pass
 
 
 def _release_compaction_lease(spark: SparkSession, output_path: str,
@@ -725,13 +796,14 @@ def compact_extracted(spark: SparkSession, output_path: str,
     lease = _acquire_compaction_lease(spark, output_path)
     try:
         return _compact_extracted_locked(spark, output_path,
-                                         target_file_mb, t0)
+                                         target_file_mb, t0, lease)
     finally:
         _release_compaction_lease(spark, output_path, lease)
 
 
 def _compact_extracted_locked(spark: SparkSession, output_path: str,
-                              target_file_mb: int, t0: float) -> dict:
+                              target_file_mb: int, t0: float,
+                              lease: str | None = None) -> dict:
     vac = vacuum_superseded(spark, output_path)
     runs = live_runs(spark, output_path)
     if len(runs) <= 1:
@@ -768,6 +840,10 @@ def _compact_extracted_locked(spark: SparkSession, output_path: str,
         (df.coalesce(n_target)
          .write.mode("overwrite").parquet(data_dir))
     _, n_written = _run_dir_stats(spark, data_dir)
+    if lease is not None:
+        # heartbeat after the long data rewrite so a TTL-length
+        # compaction is not presumed crashed before its commit flip
+        _renew_compaction_lease(spark, output_path, lease)
 
     import pyarrow as pa
 

@@ -722,3 +722,21 @@ def test_8bit_paths_unchanged_by_precision_plumbing():
     png = _jpeg(8, 8, [(1, 1, 1)], lambda w: _emit_block(w, 100))
     out = decode_jpeg(png)
     np.testing.assert_array_equal(out, np.full((8, 8), 228, np.uint8))
+
+
+def test_lossless_partial_scan_declares_out_of_subset():
+    """A 3-component lossless frame whose first scan covers only one
+    component (non-interleaved layout) must raise — never return the
+    red channel mislabeled as luminance (review finding)."""
+    dht = bytes([0x00]) + bytes(L_DC_COUNTS) + L_DC_SYMBOLS
+    sof = bytes([8]) + struct.pack(">HH", 1, 2) + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 1, 0, 0])      # scan covers comp 1 only
+    w = _BitWriter()
+    _emit_diff(w, 100 - 128)
+    _emit_diff(w, 2)
+    jpg = (b"\xff\xd8" + _seg(0xC4, dht) + _seg(0xC3, sof)
+           + _seg(0xDA, sos) + w.flush() + b"\xff\xd9")
+    with pytest.raises(UnsupportedMedia):
+        decode_jpeg(jpg)

@@ -473,10 +473,12 @@ def test_compaction_lease_blocks_second_compactor(spark, corpus, tmp_path):
     _release_compaction_lease(spark, out, token)
     assert not os.path.exists(_lease_path(out))
 
-    # a stale lease (crashed compactor) is broken after its TTL
+    # a stale lease (crashed compactor) is broken after its TTL —
+    # staleness is judged from the FILE mtime, so age the file itself
     with open(_lease_path(out), "w") as f:
-        json.dump({"owner": "dead", "ttl_ms": 1,
-                   "acquired_ms": int(_time.time() * 1000) - 10_000}, f)
+        json.dump({"owner": "dead", "ttl_ms": 1}, f)
+    old_t = _time.time() - 10
+    os.utime(_lease_path(out), (old_t, old_t))
     res = compact_extracted(spark, out)
     assert res["compacted"] and res["replaced"] == 2
     # the successful run released its own lease
@@ -515,3 +517,44 @@ def test_torn_manifest_reads_as_uncommitted(spark, corpus, tmp_path):
     # the torn run's input files are pending again (will re-process)
     pending = pending_input_files(spark, corpus, out)
     assert len(pending) > 0
+
+
+def test_lease_edge_cases_unreadable_break_and_renewal(spark, corpus,
+                                                       tmp_path):
+    """Review findings: (a) an EMPTY/corrupt lease (writer crashed in
+    the create->write gap) is breakable after its TTL because staleness
+    comes from the file mtime, never the content; (b) a FRESH
+    unreadable lease still blocks; (c) renewal bumps the mtime so a
+    long-running owner is not presumed crashed."""
+    import time as _time
+
+    from ocr_hardsubx_spark.plans.pipeline import (
+        CompactionLeaseHeld,
+        _acquire_compaction_lease,
+        _lease_path,
+        _release_compaction_lease,
+        _renew_compaction_lease,
+    )
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, corpus, out, max_files=2)
+
+    # (b) fresh zero-byte lease: identity unknown, still held
+    open(_lease_path(out), "wb").close()
+    with pytest.raises(CompactionLeaseHeld):
+        _acquire_compaction_lease(spark, out)
+
+    # (a) the same zero-byte lease aged past the TTL: breakable
+    old_t = _time.time() - 7200
+    os.utime(_lease_path(out), (old_t, old_t))
+    token = _acquire_compaction_lease(spark, out)
+    assert token
+
+    # (c) renewal bumps mtime only for the owner
+    os.utime(_lease_path(out), (old_t, old_t))
+    _renew_compaction_lease(spark, out, "not-the-owner")
+    assert os.path.getmtime(_lease_path(out)) < old_t + 1
+    _renew_compaction_lease(spark, out, token)
+    assert os.path.getmtime(_lease_path(out)) > _time.time() - 60
+    _release_compaction_lease(spark, out, token)
+    assert not os.path.exists(_lease_path(out))
