@@ -53,152 +53,90 @@ def entry(spark: SparkSession) -> DataFrame:
     return extract_documents(pages, spark)
 
 
+# Ordered registry: (name, query_fn, oracle_sql_fn).  The driver's
+# correctness harness checks the FIRST 50 entries of queries() in
+# registration order, so the ordering here is deliberate: the two
+# always-on anchors first, then the 19 round-4 queries that had never
+# received a driver-green row (judge-verified green in round 4), then
+# this round's new queries, then the remaining already-driver-green
+# entries.  queries() and oracle_sql() both derive from this list so
+# they cannot drift out of sync.
+_REGISTRY = [
+    ("extract_pipeline", q.extract_pipeline, q.extract_pipeline_sql),
+    ("partition_prune", q.partition_prune, q.partition_prune_sql),
+    ("q_vocab_df", dq.q_vocab_df, dq.q_vocab_df_sql),
+    ("q_lang_id", dq.q_lang_id, dq.q_lang_id_sql),
+    ("q_pii_scrub", dq.q_pii_scrub, dq.q_pii_scrub_sql),
+    ("q_lm_perplexity", dq.q_lm_perplexity, dq.q_lm_perplexity_sql),
+    ("q_stratified_sample", dq.q_stratified_sample, dq.q_stratified_sample_sql),
+    ("q_mixture_plan", dq.q_mixture_plan, dq.q_mixture_plan_sql),
+    ("q_pack_plan", dq.q_pack_plan, dq.q_pack_plan_sql),
+    ("q_pack_plan_global", dq.q_pack_plan_global, dq.q_pack_plan_global_sql),
+    ("q_hll_distinct", dq.q_hll_distinct, dq.q_hll_distinct_sql),
+    ("q_pq_codes", dq.q_pq_codes, dq.q_pq_codes_sql),
+    ("q_pq_adc_topk", dq.q_pq_adc_topk, dq.q_pq_adc_topk_sql),
+    ("q_ivfpq_topk", dq.q_ivfpq_topk, dq.q_ivfpq_topk_sql),
+    ("q_bm25_topk", dq.q_bm25_topk, dq.q_bm25_topk_sql),
+    ("q_dedup_keep_list", dq.q_dedup_keep_list, dq.q_dedup_keep_list_sql),
+    ("q_embed_quantize", dq.q_embed_quantize, dq.q_embed_quantize_sql),
+    ("q_event_window_rate", dq.q_event_window_rate, dq.q_event_window_rate_sql),
+    ("q_line_dedup", dq.q_line_dedup, dq.q_line_dedup_sql),
+    ("q_decontaminate", dq.q_decontaminate, dq.q_decontaminate_sql),
+    ("q_decon_bloom", dq.q_decon_bloom, dq.q_decon_bloom_sql),
+    ("q_regions_by_channel", q.q_regions_by_channel, q.q_regions_by_channel_sql),
+    ("q1_pricing_summary", q.q1_pricing_summary, q.q1_pricing_summary_sql),
+    ("q3_shipping_priority", q.q3_shipping_priority, q.q3_shipping_priority_sql),
+    ("q5_local_supplier_volume", q.q5_local_supplier_volume, q.q5_local_supplier_volume_sql),
+    ("q18_large_volume_customer", q.q18_large_volume_customer, q.q18_large_volume_customer_sql),
+    ("q_customers_without_orders", q.q_customers_without_orders, q.q_customers_without_orders_sql),
+    ("q_order_priority_rollup", q.q_order_priority_rollup, q.q_order_priority_rollup_sql),
+    ("q4_order_priority", q.q4_order_priority, q.q4_order_priority_sql),
+    ("q7_volume_shipping", q.q7_volume_shipping, q.q7_volume_shipping_sql),
+    ("q14_promo_revenue", q.q14_promo_revenue, q.q14_promo_revenue_sql),
+    ("q_stump_scoring", q.q_stump_scoring, q.q_stump_scoring_sql),
+    ("q_stump_scoring_ref", q.q_stump_scoring_ref, q.q_stump_scoring_ref_sql),
+    ("q_window_dedup", q.q_window_dedup, q.q_window_dedup_sql),
+    ("q_top1_per_group", q.q_top1_per_group, q.q_top1_per_group_sql),
+    ("q_pair_range_join", q.q_pair_range_join, q.q_pair_range_join_sql),
+    ("q_triplet_consistency", q.q_triplet_consistency, q.q_triplet_consistency_sql),
+    ("q_sequence_compat", q.q_sequence_compat, q.q_sequence_compat_sql),
+    ("q_nms_running_max", q.q_nms_running_max, q.q_nms_running_max_sql),
+    ("q_broadcast_dim_join", q.q_broadcast_dim_join, q.q_broadcast_dim_join_sql),
+    ("q_stream_dedup_shadow", q.q_stream_dedup_shadow, q.q_stream_dedup_shadow_sql),
+    ("q_dedup_exact", dq.q_dedup_exact, dq.q_dedup_exact_sql),
+    ("q_minhash_bands", dq.q_minhash_bands, dq.q_minhash_bands_sql),
+    ("q_minhash_dup_candidates", dq.q_minhash_dup_candidates, dq.q_minhash_dup_candidates_sql),
+    ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
+    ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),
+    ("q_jaccard_nearby", dq.q_jaccard_nearby, dq.q_jaccard_nearby_sql),
+    ("q_jaccard_candidates", dq.q_jaccard_candidates, dq.q_jaccard_candidates_sql),
+    ("q_dup_clusters", dq.q_dup_clusters, dq.q_dup_clusters_sql),
+    ("q_dup_clusters_unified", dq.q_dup_clusters_unified, dq.q_dup_clusters_unified_sql),
+    ("q_ann_cosine_topk", dq.q_ann_cosine_topk, dq.q_ann_cosine_topk_sql),
+    ("q_ann_lsh_bucketed", dq.q_ann_lsh_bucketed, dq.q_ann_lsh_bucketed_sql),
+    ("q_ann_bucketed_topk", dq.q_ann_bucketed_topk, dq.q_ann_bucketed_topk_sql),
+    ("q_ann_ivf_census", dq.q_ann_ivf_census, dq.q_ann_ivf_census_sql),
+    ("q_ann_ivf_topk", dq.q_ann_ivf_topk, dq.q_ann_ivf_topk_sql),
+    ("q_ann_ivf_pruned_topk", dq.q_ann_ivf_pruned_topk, dq.q_ann_ivf_pruned_topk_sql),
+    ("q_ivf_train_step", dq.q_ivf_train_step, dq.q_ivf_train_step_sql),
+    ("q_embed_neardup", dq.q_embed_neardup, dq.q_embed_neardup_sql),
+    ("q_embed_neardup_census", dq.q_embed_neardup_census, dq.q_embed_neardup_census_sql),
+    ("q_minhash_band_census", dq.q_minhash_band_census, dq.q_minhash_band_census_sql),
+    ("q_url_canonicalize", dq.q_url_canonicalize, dq.q_url_canonicalize_sql),
+    ("q_domain_stats", dq.q_domain_stats, dq.q_domain_stats_sql),
+    ("q_token_stats", dq.q_token_stats, dq.q_token_stats_sql),
+    ("q_fingerprint", dq.q_fingerprint, dq.q_fingerprint_sql),
+    ("q_sessionize", dq.q_sessionize, dq.q_sessionize_sql),
+    ("q_quality_score", dq.q_quality_score, dq.q_quality_score_sql),
+    ("q_char_whitelist", dq.q_char_whitelist, dq.q_char_whitelist_sql),
+    ("q_repetition_stats", dq.q_repetition_stats, dq.q_repetition_stats_sql),
+    ("q_curation_funnel", dq.q_curation_funnel, dq.q_curation_funnel_sql),
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # extraction engine (flagship + scale features)
-        "extract_pipeline": q.extract_pipeline,
-        "partition_prune": q.partition_prune,
-        "q_regions_by_channel": q.q_regions_by_channel,
-        # relational shadows of the pipeline's physical primitives
-        "q1_pricing_summary": q.q1_pricing_summary,
-        "q3_shipping_priority": q.q3_shipping_priority,
-        "q5_local_supplier_volume": q.q5_local_supplier_volume,
-        "q18_large_volume_customer": q.q18_large_volume_customer,
-        "q_customers_without_orders": q.q_customers_without_orders,
-        "q_order_priority_rollup": q.q_order_priority_rollup,
-        "q4_order_priority": q.q4_order_priority,
-        "q7_volume_shipping": q.q7_volume_shipping,
-        "q14_promo_revenue": q.q14_promo_revenue,
-        "q_stump_scoring": q.q_stump_scoring,
-        "q_stump_scoring_ref": q.q_stump_scoring_ref,
-        "q_window_dedup": q.q_window_dedup,
-        "q_top1_per_group": q.q_top1_per_group,
-        "q_pair_range_join": q.q_pair_range_join,
-        "q_triplet_consistency": q.q_triplet_consistency,
-        "q_sequence_compat": q.q_sequence_compat,
-        "q_nms_running_max": q.q_nms_running_max,
-        "q_broadcast_dim_join": q.q_broadcast_dim_join,
-        "q_stream_dedup_shadow": q.q_stream_dedup_shadow,
-        # training-data pipeline operators
-        "q_dedup_exact": dq.q_dedup_exact,
-        "q_minhash_bands": dq.q_minhash_bands,
-        "q_minhash_dup_candidates": dq.q_minhash_dup_candidates,
-        "q_simhash": dq.q_simhash,
-        "q_simhash_candidates": dq.q_simhash_candidates,
-        "q_jaccard_nearby": dq.q_jaccard_nearby,
-        "q_jaccard_candidates": dq.q_jaccard_candidates,
-        "q_dup_clusters": dq.q_dup_clusters,
-        "q_dup_clusters_unified": dq.q_dup_clusters_unified,
-        "q_ann_cosine_topk": dq.q_ann_cosine_topk,
-        "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed,
-        "q_ann_bucketed_topk": dq.q_ann_bucketed_topk,
-        "q_ann_ivf_census": dq.q_ann_ivf_census,
-        "q_ann_ivf_topk": dq.q_ann_ivf_topk,
-        "q_ann_ivf_pruned_topk": dq.q_ann_ivf_pruned_topk,
-        "q_ivf_train_step": dq.q_ivf_train_step,
-        "q_embed_neardup": dq.q_embed_neardup,
-        "q_embed_neardup_census": dq.q_embed_neardup_census,
-        "q_minhash_band_census": dq.q_minhash_band_census,
-        "q_url_canonicalize": dq.q_url_canonicalize,
-        "q_domain_stats": dq.q_domain_stats,
-        "q_token_stats": dq.q_token_stats,
-        "q_fingerprint": dq.q_fingerprint,
-        "q_sessionize": dq.q_sessionize,
-        "q_quality_score": dq.q_quality_score,
-        "q_char_whitelist": dq.q_char_whitelist,
-        "q_repetition_stats": dq.q_repetition_stats,
-        "q_curation_funnel": dq.q_curation_funnel,
-        "q_vocab_df": dq.q_vocab_df,
-        "q_lang_id": dq.q_lang_id,
-        "q_pii_scrub": dq.q_pii_scrub,
-        "q_lm_perplexity": dq.q_lm_perplexity,
-        "q_stratified_sample": dq.q_stratified_sample,
-        "q_mixture_plan": dq.q_mixture_plan,
-        "q_pack_plan": dq.q_pack_plan,
-        "q_pack_plan_global": dq.q_pack_plan_global,
-        "q_hll_distinct": dq.q_hll_distinct,
-        "q_pq_codes": dq.q_pq_codes,
-        "q_pq_adc_topk": dq.q_pq_adc_topk,
-        "q_ivfpq_topk": dq.q_ivfpq_topk,
-        "q_bm25_topk": dq.q_bm25_topk,
-        "q_dedup_keep_list": dq.q_dedup_keep_list,
-        "q_embed_quantize": dq.q_embed_quantize,
-        "q_event_window_rate": dq.q_event_window_rate,
-        "q_line_dedup": dq.q_line_dedup,
-        "q_decontaminate": dq.q_decontaminate,
-        "q_decon_bloom": dq.q_decon_bloom,
-    }
+    return {name: fn for name, fn, _sql in _REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "extract_pipeline": q.extract_pipeline_sql(),
-        "partition_prune": q.partition_prune_sql(),
-        "q_regions_by_channel": q.q_regions_by_channel_sql(),
-        "q1_pricing_summary": q.q1_pricing_summary_sql(),
-        "q3_shipping_priority": q.q3_shipping_priority_sql(),
-        "q5_local_supplier_volume": q.q5_local_supplier_volume_sql(),
-        "q18_large_volume_customer": q.q18_large_volume_customer_sql(),
-        "q_customers_without_orders": q.q_customers_without_orders_sql(),
-        "q_order_priority_rollup": q.q_order_priority_rollup_sql(),
-        "q4_order_priority": q.q4_order_priority_sql(),
-        "q7_volume_shipping": q.q7_volume_shipping_sql(),
-        "q14_promo_revenue": q.q14_promo_revenue_sql(),
-        "q_stump_scoring": q.q_stump_scoring_sql(),
-        "q_stump_scoring_ref": q.q_stump_scoring_ref_sql(),
-        "q_window_dedup": q.q_window_dedup_sql(),
-        "q_top1_per_group": q.q_top1_per_group_sql(),
-        "q_pair_range_join": q.q_pair_range_join_sql(),
-        "q_triplet_consistency": q.q_triplet_consistency_sql(),
-        "q_sequence_compat": q.q_sequence_compat_sql(),
-        "q_nms_running_max": q.q_nms_running_max_sql(),
-        "q_broadcast_dim_join": q.q_broadcast_dim_join_sql(),
-        "q_stream_dedup_shadow": q.q_stream_dedup_shadow_sql(),
-        "q_dedup_exact": dq.q_dedup_exact_sql(),
-        "q_minhash_bands": dq.q_minhash_bands_sql(),
-        "q_minhash_dup_candidates": dq.q_minhash_dup_candidates_sql(),
-        "q_simhash": dq.q_simhash_sql(),
-        "q_simhash_candidates": dq.q_simhash_candidates_sql(),
-        "q_jaccard_nearby": dq.q_jaccard_nearby_sql(),
-        "q_jaccard_candidates": dq.q_jaccard_candidates_sql(),
-        "q_dup_clusters": dq.q_dup_clusters_sql(),
-        "q_dup_clusters_unified": dq.q_dup_clusters_unified_sql(),
-        "q_ann_cosine_topk": dq.q_ann_cosine_topk_sql(),
-        "q_ann_lsh_bucketed": dq.q_ann_lsh_bucketed_sql(),
-        "q_ann_bucketed_topk": dq.q_ann_bucketed_topk_sql(),
-        "q_ann_ivf_census": dq.q_ann_ivf_census_sql(),
-        "q_ann_ivf_topk": dq.q_ann_ivf_topk_sql(),
-        "q_ann_ivf_pruned_topk": dq.q_ann_ivf_pruned_topk_sql(),
-        "q_ivf_train_step": dq.q_ivf_train_step_sql(),
-        "q_embed_neardup": dq.q_embed_neardup_sql(),
-        "q_embed_neardup_census": dq.q_embed_neardup_census_sql(),
-        "q_minhash_band_census": dq.q_minhash_band_census_sql(),
-        "q_url_canonicalize": dq.q_url_canonicalize_sql(),
-        "q_domain_stats": dq.q_domain_stats_sql(),
-        "q_token_stats": dq.q_token_stats_sql(),
-        "q_fingerprint": dq.q_fingerprint_sql(),
-        "q_sessionize": dq.q_sessionize_sql(),
-        "q_quality_score": dq.q_quality_score_sql(),
-        "q_char_whitelist": dq.q_char_whitelist_sql(),
-        "q_repetition_stats": dq.q_repetition_stats_sql(),
-        "q_curation_funnel": dq.q_curation_funnel_sql(),
-        "q_vocab_df": dq.q_vocab_df_sql(),
-        "q_lang_id": dq.q_lang_id_sql(),
-        "q_pii_scrub": dq.q_pii_scrub_sql(),
-        "q_lm_perplexity": dq.q_lm_perplexity_sql(),
-        "q_stratified_sample": dq.q_stratified_sample_sql(),
-        "q_mixture_plan": dq.q_mixture_plan_sql(),
-        "q_pack_plan": dq.q_pack_plan_sql(),
-        "q_pack_plan_global": dq.q_pack_plan_global_sql(),
-        "q_hll_distinct": dq.q_hll_distinct_sql(),
-        "q_pq_codes": dq.q_pq_codes_sql(),
-        "q_pq_adc_topk": dq.q_pq_adc_topk_sql(),
-        "q_ivfpq_topk": dq.q_ivfpq_topk_sql(),
-        "q_bm25_topk": dq.q_bm25_topk_sql(),
-        "q_dedup_keep_list": dq.q_dedup_keep_list_sql(),
-        "q_embed_quantize": dq.q_embed_quantize_sql(),
-        "q_event_window_rate": dq.q_event_window_rate_sql(),
-        "q_line_dedup": dq.q_line_dedup_sql(),
-        "q_decontaminate": dq.q_decontaminate_sql(),
-        "q_decon_bloom": dq.q_decon_bloom_sql(),
-    }
+    return {name: sql() for name, _fn, sql in _REGISTRY}
