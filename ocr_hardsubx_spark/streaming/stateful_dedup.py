@@ -11,13 +11,14 @@ document is suppressed.
 Implemented with ``applyInPandasWithState`` (the Structured Streaming
 escape hatch for custom stateful logic): state = the last kept document's
 normalized prefix + timestamp per host, carried across micro-batches.
-State is bounded (one row per host); pass ``idle_timeout_ms`` to expire
-idle hosts' state (production GC knob), or ``watermark=`` for
-out-of-order sources (reorder buffer + event-time-timeout flush +
-engine-side late-drop census — see streaming/watermark.py).  NB: with a processing-time
-timeout pending, an availableNow query stays alive until the timeout
-fires — so the default is NoTimeout, and timeout-based GC is opt-in for
-long-running deployments.
+State is bounded (one row per host).  The DEFAULT is watermark mode
+(out-of-order tolerant: reorder buffer + event-time-timeout flush +
+engine-side late-drop census + event-time idle-state GC — see
+streaming/watermark.py); ``watermark=None`` opts into the in-order
+fast path for sources that replay event-time order.  NB: in the
+in-order path with a processing-time timeout pending, an availableNow
+query stays alive until the timeout fires — so that path defaults to
+NoTimeout, and its GC is opt-in via ``idle_timeout_ms``.
 """
 
 from __future__ import annotations
@@ -42,7 +43,7 @@ STATE_SCHEMA = "prefix string"
 HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
 
 
-WM_STATE_SCHEMA = "prefix string, buf string"
+WM_STATE_SCHEMA = "prefix string, last_us long, buf string"
 
 
 def _make_dedup_host(idle_timeout_ms: int | None):
@@ -51,12 +52,21 @@ def _make_dedup_host(idle_timeout_ms: int | None):
     return _dedup_host
 
 
-def _dedup_host_wm(key, pdfs, state):
+def _make_dedup_host_wm(idle_horizon_ms: int):
+    def _dedup_host_wm_fn(key, pdfs, state):
+        return _dedup_host_wm(key, pdfs, state, idle_horizon_ms)
+    return _dedup_host_wm_fn
+
+
+def _dedup_host_wm(key, pdfs, state, idle_horizon_ms):
     """Watermark-mode per-host function: fold ONLY events strictly below
     the current watermark, in (warc_ts, url) order, buffering the rest
     in state (see streaming/watermark.py for the disorder contract).
     Beyond-watermark stragglers never reach this function — the engine
-    drops and counts them (watermark_drop_census)."""
+    drops and counts them (watermark_drop_census).  A host idle past
+    ``idle_horizon_ms`` (event time) has its state row removed — after
+    GC a refetch starts a fresh chain, the same tradeoff as the
+    in-order mode's processing-time idle_timeout_ms."""
     from .watermark import (
         dump_buffer, load_buffer, schedule_flush, split_ready,
     )
@@ -75,16 +85,23 @@ def _dedup_host_wm(key, pdfs, state):
             yield out[["host", "url", "warc_ts", "extracted_text", "kept"]]
         return
     if state.exists:
-        prefix, buf_json = state.get
-        prev, buf = (prefix if prefix != "" else None), load_buffer(buf_json)
+        prefix, last_us, buf_json = state.get
+        prev = prefix if prefix != "" else None
+        last_us = None if last_us is None or last_us < 0 else int(last_us)
+        buf = load_buffer(buf_json)
     else:
-        prev, buf = None, []
+        prev, last_us, buf = None, None, []
     if new is not None:
         for ts, url, text in zip(new["warc_ts"], new["url"],
                                  new["extracted_text"]):
             buf.append([int(pd.Timestamp(ts).value) // 1000, url, text])
     wm_ms = state.getCurrentWatermarkMs()
     ready, pending = split_ready(buf, wm_ms)
+    if state.hasTimedOut and not ready and not pending:
+        # idle-horizon GC: the watermark passed last activity + horizon
+        # with nothing buffered — drop the state row
+        state.remove()
+        return
     out_rows = []
     for ts_us, url, text in ready:
         cur = (text or "")[:DEDUP_PREFIX_CHARS]
@@ -96,8 +113,11 @@ def _dedup_host_wm(key, pdfs, state):
             if cur:
                 prev = cur
         out_rows.append((host, url, pd.Timestamp(ts_us * 1000), text, kept))
-    state.update((prev if prev is not None else "", dump_buffer(pending)))
-    schedule_flush(state, pending, wm_ms)
+        last_us = ts_us
+    state.update((prev if prev is not None else "",
+                  last_us if last_us is not None else -1,
+                  dump_buffer(pending)))
+    schedule_flush(state, pending, wm_ms, last_us, idle_horizon_ms)
     if out_rows:
         yield pd.DataFrame(
             out_rows,
@@ -204,17 +224,23 @@ def batch_host_dedup(extracted: "DataFrame") -> "DataFrame":
 
 def stateful_host_dedup(extracted: "DataFrame",
                         idle_timeout_ms: int | None = None,
-                        watermark: str | None = None) -> "DataFrame":
+                        watermark: str | None = "10 minutes") -> "DataFrame":
     """extracted(url, warc_ts, extracted_text, ...) -> per-host stream with
     a ``kept`` flag assigned by cross-batch consecutive dedup.
 
-    Default mode assumes in-order arrival per host (a file-source replay).
-    Pass ``watermark`` (e.g. ``"10 minutes"``) for a real out-of-order
-    source: events are reorder-buffered per host and folded in event-time
-    order once the watermark passes them; stragglers older than the
-    watermark are dropped BY THE ENGINE and counted
-    (watermark.watermark_drop_census).  Mutually exclusive with
-    ``idle_timeout_ms`` (event-time timeouts drive the buffer flush).
+    The DEFAULT is watermark mode (``watermark="10 minutes"``): real
+    sources (Kafka, a live crawl) deliver out of order, so events are
+    reorder-buffered per host and folded in event-time order once the
+    watermark passes them; stragglers older than the watermark are
+    dropped BY THE ENGINE and counted (watermark.watermark_drop_census).
+    In this mode ``idle_timeout_ms`` is an EVENT-TIME idle horizon
+    (default ``watermark.WM_IDLE_HORIZON_MS``, 24h): a host idle past it
+    has its state row GC'd.
+
+    Pass ``watermark=None`` to opt into the in-order fast path (a file
+    source replaying event-time order — no reorder buffer, no drops);
+    there ``idle_timeout_ms`` is the processing-time GC knob it always
+    was.
 
     Works on a streaming DataFrame (applyInPandasWithState); the unit tests
     drive it through a memory-source availableNow query.
@@ -223,10 +249,7 @@ def stateful_host_dedup(extracted: "DataFrame",
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    if watermark is not None and idle_timeout_ms is not None:
-        raise ValueError(
-            "watermark mode uses event-time timeouts for buffer flush; "
-            "idle_timeout_ms (processing-time) cannot be combined with it")
+    from .watermark import WM_IDLE_HORIZON_MS
 
     spark = SparkSession.getActiveSession()
     if spark is not None:
@@ -242,7 +265,9 @@ def stateful_host_dedup(extracted: "DataFrame",
             .select("host", "url", "warc_ts", "extracted_text")
             .groupBy("host")
             .applyInPandasWithState(
-                _dedup_host_wm,
+                _make_dedup_host_wm(
+                    idle_timeout_ms if idle_timeout_ms is not None
+                    else WM_IDLE_HORIZON_MS),
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=WM_STATE_SCHEMA,
                 outputMode="append",

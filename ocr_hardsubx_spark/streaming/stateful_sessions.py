@@ -12,11 +12,11 @@ SESSION_GAP); the still-open session stays in state.
 Contract, pinned in tests/test_stateful_sessions.py against the batch
 shadow: across ANY micro-batch slicing, the emitted closed sessions
 equal ``q_sessionize``'s result minus each user's LAST (still-open)
-session.  This default mode assumes in-order arrival per user (a file
-source replaying event-time order); for a real out-of-order stream use
-``stateful_sessionize_wm`` — the watermark mode that reorder-buffers
-within the watermark and engine-drops (with an exact census) beyond it
-(tests/test_streaming_watermark.py).
+session.  The DEFAULT mode is the watermark mode (real sources deliver
+out of order): reorder-buffer within the watermark, engine-drop (with
+an exact census) beyond it, idle-horizon state GC
+(tests/test_streaming_watermark.py).  ``watermark=None`` opts into the
+in-order fast path for sources that replay event-time order.
 """
 
 from __future__ import annotations
@@ -71,12 +71,22 @@ def _sessions_user(key, pdfs, state):
 WM_STATE_SCHEMA = STATE_SCHEMA + ", buf string"
 
 
-def _sessions_user_wm(key, pdfs, state):
+def _make_sessions_user_wm(idle_horizon_ms: int):
+    def _sessions_user_wm_fn(key, pdfs, state):
+        return _sessions_user_wm(key, pdfs, state, idle_horizon_ms)
+    return _sessions_user_wm_fn
+
+
+def _sessions_user_wm(key, pdfs, state, idle_horizon_ms):
     """Watermark-mode per-user fold: reorder-buffer arrivals in state,
     fold ONLY events strictly below the current watermark in
     (ts, event_id) order (streaming/watermark.py contract), flush via
     event-time timeouts.  Stragglers beyond the watermark are engine-
-    dropped and counted in the progress census."""
+    dropped and counted in the progress census.  A user idle past
+    ``idle_horizon_ms`` (event time) has the still-open session emitted
+    as closed (the gap already exceeds SESSION_GAP) and the state row
+    removed — without this GC, open-session rows accumulate forever
+    under user churn."""
     from .watermark import (
         dump_buffer, load_buffer, schedule_flush, split_ready,
     )
@@ -95,6 +105,14 @@ def _sessions_user_wm(key, pdfs, state):
             buf.append([int(pd.Timestamp(ts).value) // 1000, int(eid)])
     wm_ms = state.getCurrentWatermarkMs()
     ready, pending = split_ready(buf, wm_ms)
+    if state.hasTimedOut and not ready and not pending:
+        # idle-horizon GC: close and emit the open session (the idle
+        # horizon >= SESSION_GAP, so it IS closed in event time), then
+        # drop the state row
+        state.remove()
+        if n:
+            yield pd.DataFrame([(user, sno, n, lo, hi)], columns=_COLS)
+        return
     closed = []
     for us, eid in ready:
         if last_us is None or us - last_us > SESSION_GAP_US:
@@ -108,66 +126,85 @@ def _sessions_user_wm(key, pdfs, state):
     state.update((int(sno), int(n), int(lo), int(hi),
                   int(last_us) if last_us is not None else -1,
                   dump_buffer(pending)))
-    schedule_flush(state, pending, wm_ms)
+    schedule_flush(state, pending, wm_ms, last_us, idle_horizon_ms)
     if closed:
         yield pd.DataFrame(closed, columns=_COLS)
 
 
 def stateful_sessionize_wm(events: "DataFrame",
-                           watermark: str = "10 minutes") -> "DataFrame":
-    """Out-of-order-tolerant twin of ``stateful_sessionize``: same
-    closed-session output, but arrivals may be shuffled arbitrarily
-    within the ``watermark`` delay (reorder buffer + event-time
-    timeouts); older stragglers are engine-dropped and observable via
-    ``watermark.watermark_drop_census``.  Pinned in
-    tests/test_stateful_sessions.py: shuffled delivery == in-order
-    delivery == batch shadow, and the straggler census is exact."""
-    from pyspark.sql import SparkSession
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    spark = SparkSession.getActiveSession()
-    if spark is not None:
-        from ..plans.packaging import ensure_workers_can_import
-
-        ensure_workers_can_import(spark)  # --py-files equivalent
-
-    return (
-        events.withWatermark("ts", watermark)
-        .select("user_id", "event_id", "ts")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _sessions_user_wm,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=WM_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
-    )
+                           watermark: str = "10 minutes",
+                           idle_timeout_ms: int | None = None,
+                           ) -> "DataFrame":
+    """Back-compat alias for the watermark path — equivalent to
+    ``stateful_sessionize(events, watermark=watermark, ...)``, which is
+    now the default mode."""
+    return stateful_sessionize(events, watermark=watermark,
+                               idle_timeout_ms=idle_timeout_ms)
 
 
-def stateful_sessionize(events: "DataFrame") -> "DataFrame":
+def stateful_sessionize(events: "DataFrame",
+                        watermark: str | None = "10 minutes",
+                        idle_timeout_ms: int | None = None,
+                        ) -> "DataFrame":
     """events(event_id, ts, user_id, ...) -> closed-session summaries
     ``(user_id, session_no, n_events, first_event, last_event)``.
+
+    The DEFAULT is watermark mode: arrivals may be shuffled arbitrarily
+    within the ``watermark`` delay (reorder buffer + event-time
+    timeouts); older stragglers are engine-dropped and observable via
+    ``watermark.watermark_drop_census``; a user idle past
+    ``idle_timeout_ms`` event-time ms (default
+    ``watermark.WM_IDLE_HORIZON_MS``, floored at SESSION_GAP so the
+    emitted session is genuinely closed) has the open session emitted
+    and the state row GC'd.  Pinned in tests: shuffled delivery ==
+    in-order delivery == batch shadow, and the straggler census is
+    exact.
+
+    Pass ``watermark=None`` for the in-order fast path (a file source
+    replaying event-time order; no reorder buffer, no drops, no GC).
 
     Works on a streaming DataFrame; unit tests drive it through a
     parquet file source with varied micro-batch slicings."""
     from pyspark.sql import SparkSession
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from .watermark import WM_IDLE_HORIZON_MS
+
     spark = SparkSession.getActiveSession()
     if spark is not None:
         from ..plans.packaging import ensure_workers_can_import
 
         ensure_workers_can_import(spark)  # --py-files equivalent
 
+    if watermark is None:
+        if idle_timeout_ms is not None:
+            raise ValueError(
+                "idle_timeout_ms is the watermark-mode GC horizon; the "
+                "in-order fast path has no timeout-based GC")
+        return (
+            events.select("user_id", "event_id", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessions_user,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+    horizon = (idle_timeout_ms if idle_timeout_ms is not None
+               else WM_IDLE_HORIZON_MS)
+    # the GC close is only valid once the gap exceeds SESSION_GAP
+    horizon = max(horizon, SESSION_GAP_US // 1000 + 1)
     return (
-        events.select("user_id", "event_id", "ts")
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessions_user,
+            _make_sessions_user_wm(horizon),
             outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
+            stateStructType=WM_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -65,12 +65,33 @@ def split_ready(buf: list, wm_ms: int) -> tuple[list, list]:
     return ready, pending
 
 
-def schedule_flush(state, pending: list, wm_ms: int) -> None:
-    """Arm an event-time timeout so the pending buffer drains as the
-    watermark advances (must be strictly beyond the current watermark)."""
+# Default idle horizon for watermark-mode state GC: a key whose last
+# event is more than this far behind the watermark has its state row
+# removed (the reorder buffer is empty by then — everything below the
+# watermark has already folded).  Far enough that no bounded test
+# fixture trips it, bounded enough that host/user churn cannot grow
+# state without limit (the round-4 advisory's unbounded-state gap).
+WM_IDLE_HORIZON_MS = 24 * 3600 * 1000
+
+
+def schedule_flush(state, pending: list, wm_ms: int,
+                   last_us: int | None = None,
+                   idle_horizon_ms: int | None = None) -> None:
+    """Arm the single event-time timeout watermark mode gets to use.
+
+    With rows pending: just past the earliest, so the buffer drains as
+    the watermark advances (must be strictly beyond the current
+    watermark).  With the buffer drained: at ``last folded event +
+    idle_horizon_ms`` so the state row is GC'd (``state.remove()`` on
+    that firing) once the key has been idle a full horizon — without
+    this, every key's state row would persist forever under host/user
+    churn."""
     if pending:
         nxt = max(min(r[0] for r in pending) // 1000 + 1, wm_ms + 1)
         state.setTimeoutTimestamp(nxt)
+    elif idle_horizon_ms is not None and last_us is not None:
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + idle_horizon_ms, wm_ms + 1))
 
 
 def dump_buffer(buf: list) -> str:

@@ -37,7 +37,7 @@ def test_stateful_dedup_suppresses_refetches(spark, tmp_path):
     spark.createDataFrame(rows, SCHEMA).repartition(1) \
         .write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(SCHEMA).parquet(src)
-    q = (stateful_host_dedup(stream)
+    q = (stateful_host_dedup(stream, watermark=None)
          .writeStream.format("memory").queryName("sd1")
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ck"))
@@ -62,7 +62,7 @@ def test_stateful_dedup_state_crosses_batches(spark, tmp_path):
         spark.createDataFrame(rows, SCHEMA).repartition(1) \
             .write.mode("append").parquet(src)
         stream = spark.readStream.schema(SCHEMA).parquet(src)
-        q = (stateful_host_dedup(stream)
+        q = (stateful_host_dedup(stream, watermark=None)
              .writeStream.format("parquet")
              .option("path", out).option("checkpointLocation", ck)
              .outputMode("append")

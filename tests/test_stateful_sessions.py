@@ -38,7 +38,7 @@ def _stream_closed(spark, tmp_path, batches):
         spark.createDataFrame(batch, SCHEMA).repartition(1) \
             .write.mode("append").parquet(src)
         stream = spark.readStream.schema(SCHEMA).parquet(src)
-        q = (stateful_sessionize(stream)
+        q = (stateful_sessionize(stream, watermark=None)
              .writeStream.format("parquet")
              .option("path", out).option("checkpointLocation", ck)
              .outputMode("append")

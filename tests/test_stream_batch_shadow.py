@@ -60,7 +60,7 @@ def _stream_kept(spark, tmp_path, batches):
         spark.createDataFrame(batch, SCHEMA).repartition(1) \
             .write.mode("append").parquet(src)
         stream = spark.readStream.schema(SCHEMA).parquet(src)
-        q = (stateful_host_dedup(stream)
+        q = (stateful_host_dedup(stream, watermark=None)
              .writeStream.format("parquet")
              .option("path", out).option("checkpointLocation", ck)
              .outputMode("append")

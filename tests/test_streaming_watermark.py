@@ -170,3 +170,130 @@ def test_sessions_shuffled_delivery_equals_batch_with_straggler_census(
     # the straggler never surfaced in any emitted session
     assert all(not (lo <= 666 <= hi)
                for (_, _), (_, lo, hi) in emitted.items())
+
+
+def test_dedup_default_mode_is_watermark_shuffled_delivery(
+        spark, tmp_path):
+    """The DEFAULT path (no watermark= passed) must tolerate shuffled
+    delivery — real sources are out of order, so in-order is the opt-in
+    fast path, not the default."""
+    rows = _dedup_rows()
+    flush1 = ("https://flush.example/f1", T0 + 60 * M, "flush one")
+    flush2 = ("https://flush.example/f2", T0 + 120 * M, "flush two")
+    straggler = ("https://hostA.example/late", T0 - 120 * M, BOILER)
+    rounds = [
+        [rows[2], rows[0], rows[4]],
+        [rows[3], rows[1], flush1],
+        [straggler, flush2],
+    ]
+    got, dropped = _run_rounds(
+        spark, tmp_path,
+        lambda s: stateful_host_dedup(s),       # DEFAULT mode
+        DEDUP_SCHEMA, rounds)
+    assert dropped == 1
+    kept = {r["url"]: r["kept"] for r in got
+            if not r["url"].startswith("https://flush.")}
+    want = {r["url"]: r["kept"]
+            for r in batch_host_dedup(
+                spark.createDataFrame(rows, DEDUP_SCHEMA)).collect()}
+    assert kept == want
+
+
+def test_sessions_default_mode_is_watermark_shuffled_delivery(
+        spark, tmp_path):
+    """Default stateful_sessionize (no watermark= passed) under
+    delivery shuffled within the default 10-minute watermark."""
+    from ocr_hardsubx_spark.streaming.stateful_sessions import (
+        stateful_sessionize,
+    )
+
+    h = dt.timedelta(hours=1)
+    e1, e2, e3 = (10, T0, 1), (11, T0 + 5 * M, 1), (12, T0 + 40 * M, 1)
+    flush1, flush2 = (990, T0 + 5 * h, 99), (991, T0 + 10 * h, 99)
+    straggler = (666, T0 - 10 * h, 1)
+    rounds = [
+        [e2, e1],                       # shuffled within the watermark
+        [e3, flush1],
+        [straggler, flush2],
+    ]
+    got, dropped = _run_rounds(
+        spark, tmp_path,
+        lambda s: stateful_sessionize(s),       # DEFAULT mode
+        EVENTS_SCHEMA, rounds)
+    assert dropped == 1                         # exactly the straggler
+    emitted = {(r["user_id"], r["session_no"]):
+               (r["n_events"], r["first_event"], r["last_event"])
+               for r in got if r["user_id"] != 99}
+    want = _batch_minus_open(spark, tmp_path, [e1, e2, e3])
+    assert emitted == want == {(1, 1): (2, 10, 11)}
+
+
+def _dedup_gc_rounds():
+    h = dt.timedelta(hours=1)
+    a0 = ("https://hostA.example/g/0", T0, BOILER)
+    a1 = ("https://hostA.example/g/1", T0 + 5 * h + 55 * M, BOILER)
+    f = lambda i, t: (f"https://flush.example/f{i}", t, f"flush {i}")
+    return a0, a1, [
+        [a0, f(1, T0 + 30 * M)],
+        [f(2, T0 + 3 * h)],
+        [f(3, T0 + 6 * h)],                 # idle horizon passes here
+        [a1, f(4, T0 + 9 * h)],
+        [f(5, T0 + 12 * h)],
+    ]
+
+
+def test_dedup_wm_idle_state_gc(spark, tmp_path):
+    """A host idle past the event-time idle horizon has its state row
+    removed: the later near-identical refetch starts a FRESH chain and
+    is kept (state did not persist forever)."""
+    a0, a1, rounds = _dedup_gc_rounds()
+    got, dropped = _run_rounds(
+        spark, tmp_path,
+        lambda s: stateful_host_dedup(s, idle_timeout_ms=3_600_000),
+        DEDUP_SCHEMA, rounds)
+    assert dropped == 0
+    kept = {r["url"]: r["kept"] for r in got}
+    assert kept[a0[0]] is True
+    assert kept[a1[0]] is True              # fresh chain after GC
+
+
+def test_dedup_wm_idle_gc_control_state_survives_inside_horizon(
+        spark, tmp_path):
+    """Control for the GC test: with the default 24h horizon the state
+    row survives the same timeline, so the refetch IS suppressed —
+    proving the keep above is caused by the GC, not a chain bug."""
+    a0, a1, rounds = _dedup_gc_rounds()
+    got, dropped = _run_rounds(
+        spark, tmp_path,
+        lambda s: stateful_host_dedup(s),   # default 24h horizon
+        DEDUP_SCHEMA, rounds)
+    assert dropped == 0
+    kept = {r["url"]: r["kept"] for r in got}
+    assert kept[a0[0]] is True
+    assert kept[a1[0]] is False             # state survived, suppressed
+
+
+def test_sessions_wm_idle_state_gc_emits_open_session(spark, tmp_path):
+    """A user idle past the idle horizon has the still-open session
+    emitted as closed (gap >= horizon >= SESSION_GAP) and the state row
+    removed — no closing event ever arrives, yet the session surfaces."""
+    from ocr_hardsubx_spark.streaming.stateful_sessions import (
+        stateful_sessionize,
+    )
+
+    h = dt.timedelta(hours=1)
+    e1, e2 = (10, T0, 1), (11, T0 + 5 * M, 1)
+    rounds = [
+        [e1, e2, (990, T0 + 30 * M, 99)],
+        [(991, T0 + 3 * h, 99)],
+        [(992, T0 + 6 * h, 99)],            # GC fires for user 1 here
+    ]
+    got, dropped = _run_rounds(
+        spark, tmp_path,
+        lambda s: stateful_sessionize(s, idle_timeout_ms=3_600_000),
+        EVENTS_SCHEMA, rounds)
+    assert dropped == 0
+    emitted = {(r["user_id"], r["session_no"]):
+               (r["n_events"], r["first_event"], r["last_event"])
+               for r in got if r["user_id"] != 99}
+    assert emitted == {(1, 1): (2, 10, 11)}
