@@ -3603,3 +3603,186 @@ def q_decon_bloom_sql() -> str:
     FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
     WHERE d.doc_id >= {DECON_BENCH_DOCS}
     """
+
+
+# --------------------------------------------------------------------------
+# PQ codebook training + ANN retrieval-quality census
+# --------------------------------------------------------------------------
+#
+# Parity of q_pq_codes with a deterministic seed codebook proves the
+# ARITHMETIC; these prove the other two halves of a production PQ story:
+# q_pq_train_step is the oracle-checked per-subspace Lloyd unit (pq_lloyd
+# loops it, mirroring ivf_lloyd), and q_ann_recall_census measures what
+# each approximate method actually retrieves against brute-force cosine
+# ground truth — recall@10 per method, cross-engine checked.
+
+
+def _pq_subspace_pairs(coded: DataFrame) -> DataFrame:
+    """(s, code, sub) rows from a coded frame with (embedding, codes):
+    one pre-SLICED row per (vector, subspace).  Pre-slicing keeps the
+    shuffle payload at PQ_SUB floats + the (s, code) key — at 10^12
+    vectors the train step moves M narrow rows per vector, never the
+    full embedding."""
+    return coded.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(s).alias("s"),
+            F.col("codes")[s].alias("code"),
+            F.slice("embedding", s * PQ_SUB + 1, PQ_SUB).alias("sub"))
+        for s in range(PQ_M)])).alias("p")
+    ).select("p.s", "p.code", "p.sub")
+
+
+def _pq_mean_agg(pairs: DataFrame) -> DataFrame:
+    """ONE shuffle on (s, code): member count + per-dimension means of
+    the assigned sub-vectors (map-side-combinable avgs, same shape as
+    q_ivf_train_step's)."""
+    return pairs.groupBy("s", "code").agg(
+        F.count("*").alias("n_members"),
+        *[F.avg(F.col("sub")[j].cast("double")).alias(f"m{j}")
+          for j in range(PQ_SUB)])
+
+
+def q_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One per-subspace Lloyd step of PQ codebook training: assign every
+    vector's sub-slices to their nearest sub-centroids (the same rounded
+    HALF_UP(4) first-min kernel q_pq_codes pins), then per (subspace,
+    code) emit the member count and the L2 shift of the new mean from
+    the old sub-centroid — the convergence observable a training loop
+    watches.  Mirrors q_ivf_train_step for the coarse quantizer."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(spark, sf_dir)                   # (M, K, SUB)
+    coded = emb.where(F.col("embedding").isNotNull()).select(
+        "embedding",
+        _pq_assign_udf(cb)("embedding")["codes"].alias("codes"))
+    means = _pq_mean_agg(_pq_subspace_pairs(coded))
+    # old sub-centroid lookup: a map literal keyed s*PQ_K + code
+    # (M x K x SUB doubles ride in the plan — 4 KB, a projection)
+    omap = F.map_from_arrays(
+        F.array(*[F.lit(s * PQ_K + k)
+                  for s in range(PQ_M) for k in range(PQ_K)]),
+        F.array(*[F.array(*[F.lit(float(v)) for v in cb[s][k]])
+                  for s in range(PQ_M) for k in range(PQ_K)]))
+    old = F.element_at(omap, F.col("s") * PQ_K + F.col("code"))
+    sq = None
+    for j in range(PQ_SUB):
+        d = F.col(f"m{j}") - old[j]
+        sq = d * d if sq is None else sq + d * d
+    return means.select(
+        "s", "code", "n_members",
+        F.round(F.sqrt(sq), 4).alias("shift"))
+
+
+def q_pq_train_step_sql() -> str:
+    subs = ", ".join(f"({s})" for s in range(PQ_M))
+    avgs = ", ".join(
+        f"avg(x[a.s * {PQ_SUB} + {j + 1}]) AS m{j}"
+        for j in range(PQ_SUB))
+    shift = " + ".join(
+        f"pow(m{j} - c[m.s * {PQ_SUB} + {j + 1}], 2)"
+        for j in range(PQ_SUB))
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {PQ_K}
+    ),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    sub AS (
+      SELECT e.vec_id, sp.s, cents.k - 1 AS code,
+             round(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                   j -> pow(x[sp.s * {PQ_SUB} + j]
+                            - c[sp.s * {PQ_SUB} + j], 2))), 4) AS d2
+      FROM e CROSS JOIN (VALUES {subs}) sp(s) CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, s, code,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rn
+      FROM sub
+    ),
+    means AS (
+      SELECT a.s, a.code, count(*) AS n_members, {avgs}
+      FROM assign a JOIN e ON e.vec_id = a.vec_id
+      WHERE a.rn = 1
+      GROUP BY a.s, a.code
+    )
+    SELECT m.s, m.code, m.n_members,
+           round(sqrt({shift}), 4) AS shift
+    FROM means m JOIN cents ct ON ct.k - 1 = m.code
+    """
+
+
+def pq_lloyd(spark: SparkSession, sf_dir: str, iters: int = 2):
+    """Full PQ codebook training: `iters` per-subspace Lloyd steps from
+    the deterministic seed codebook.  Returns the trained (PQ_M, PQ_K,
+    PQ_SUB) codebook.  Not a registered query (iterative; the single
+    step above is the oracle-checked unit) — the driver loop collects
+    only PQ_M x PQ_K mean rows per step, never vectors."""
+    import numpy as np
+
+    cb = np.array(_pq_codebook(spark, sf_dir), dtype=np.float64)
+    emb = _tbl(spark, sf_dir, "embeddings")
+    for _ in range(iters):
+        coded = emb.where(F.col("embedding").isNotNull()).select(
+            "embedding",
+            _pq_assign_udf(cb)("embedding")["codes"].alias("codes"))
+        rows = _pq_mean_agg(_pq_subspace_pairs(coded)).collect()
+        nxt = cb.copy()                  # empty cells keep their centroid
+        for r in rows:
+            nxt[r["s"], r["code"]] = [r[f"m{j}"] for j in range(PQ_SUB)]
+        cb = nxt
+    return cb
+
+
+def q_ann_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality census: recall@10 of every approximate ANN
+    method against brute-force cosine ground truth (q_ann_cosine_topk).
+    Each method contributes its top-10 vec_ids; a left join against the
+    broadcast 10-row truth set counts the hits.  Parity with the oracle
+    re-deriving every method IN SQL pins that both engines retrieve the
+    same sets — the quality figure itself is documented in
+    BENCH/PLANS.md per round."""
+    truth = (q_ann_cosine_topk(spark, sf_dir)
+             .select("vec_id").withColumn("hit", F.lit(1)))
+    methods = [
+        ("ivf", q_ann_ivf_topk),
+        ("ivfpq", q_ivfpq_topk),
+        ("lsh", q_ann_bucketed_topk),
+        ("pq_adc", q_pq_adc_topk),
+    ]
+    tagged = None
+    for name, fn in methods:
+        part = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "vec_id")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return (
+        tagged.join(F.broadcast(truth), "vec_id", "left")
+        .groupBy("method")
+        .agg(F.round(F.sum(F.coalesce("hit", F.lit(0))) / 10.0, 4)
+              .alias("recall_at_10"))
+    )
+
+
+def q_ann_recall_census_sql() -> str:
+    def sub(sql: str) -> str:
+        return f"(SELECT vec_id FROM ({sql}) t)"
+
+    parts = " UNION ALL ".join(
+        f"SELECT '{name}' AS method, vec_id FROM {sub(sql)} m_{name}"
+        for name, sql in [
+            ("ivf", q_ann_ivf_topk_sql()),
+            ("ivfpq", q_ivfpq_topk_sql()),
+            ("lsh", q_ann_bucketed_topk_sql()),
+            ("pq_adc", q_pq_adc_topk_sql()),
+        ])
+    return f"""
+    WITH truth AS (SELECT vec_id FROM ({q_ann_cosine_topk_sql()}) b),
+    tagged AS ({parts})
+    SELECT tg.method,
+           round(sum(CASE WHEN tr.vec_id IS NOT NULL
+                          THEN 1 ELSE 0 END) / 10.0, 4) AS recall_at_10
+    FROM tagged tg LEFT JOIN truth tr ON tr.vec_id = tg.vec_id
+    GROUP BY tg.method
+    """

@@ -366,3 +366,52 @@ def test_ivfpq_search_stays_in_probed_lists_and_is_exact_about_itself(
         scored.append((adc, k))
     want = [k for _, k in sorted(scored)[:10]]
     assert [r["vec_id"] for r in rows] == want
+
+
+def test_pq_train_step_covers_all_cells_with_sane_shifts(spark):
+    rows = dq.q_pq_train_step(spark, SF).collect()
+    total = (spark.read.parquet(SF + "/embeddings.parquet")
+             .where(F.col("embedding").isNotNull()).count())
+    got = {(r["s"], r["code"]) for r in rows}
+    assert got <= {(s, k) for s in range(dq.PQ_M) for k in range(dq.PQ_K)}
+    # every subspace partitions the full corpus across its codes
+    for s in range(dq.PQ_M):
+        assert sum(r["n_members"] for r in rows if r["s"] == s) == total
+    assert all(r["shift"] >= 0.0 for r in rows)
+
+
+def test_pq_lloyd_reduces_reconstruction_error(spark):
+    """Per-subspace Lloyd steps must lower the mean PQ reconstruction
+    MSE over the corpus vs the seed codebook — deterministic on the
+    fixed data (Lloyd monotonically decreases the k-means objective)."""
+    import numpy as np
+
+    vecs = np.array([
+        r["embedding"] for r in
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .select("embedding").collect()], dtype=np.float64)
+
+    def mse(cb):
+        cb = np.asarray(cb, dtype=np.float64)
+        err = np.zeros(len(vecs))
+        for s in range(dq.PQ_M):
+            X = vecs[:, s * dq.PQ_SUB:(s + 1) * dq.PQ_SUB]
+            d2 = ((X[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1)
+        return (err / dq.EMB_DIM).mean()
+
+    seed = dq._pq_codebook(spark, SF)
+    trained = dq.pq_lloyd(spark, SF, iters=2)
+    assert mse(trained) < mse(seed)
+
+
+def test_recall_census_has_all_methods_in_range(spark):
+    rows = {r["method"]: r["recall_at_10"]
+            for r in dq.q_ann_recall_census(spark, SF).collect()}
+    assert set(rows) == {"ivf", "ivfpq", "lsh", "pq_adc"}
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    # the census must agree with a direct intersection for one method
+    brute = {r["vec_id"] for r in dq.q_ann_cosine_topk(spark, SF).collect()}
+    ivf = {r["vec_id"] for r in dq.q_ann_ivf_topk(spark, SF).collect()}
+    assert rows["ivf"] == round(len(brute & ivf) / 10.0, 4)
