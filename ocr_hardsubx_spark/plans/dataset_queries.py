@@ -2507,6 +2507,7 @@ def q_dup_clusters_unified_sql() -> str:
 # --------------------------------------------------------------------------
 
 LM_SMOOTH_K = 1  # add-k smoothing constant
+LM_JOIN_SALT = 8  # deterministic split factor for the hot-unigram join
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2516,16 +2517,30 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetitive, high = surprising — the KenLM-perplexity-style quality
     dial production pipelines cut on).
 
-    Scale shape: three aggregations with map-side partials (bigram
-    counts, unigram context counts, vocabulary size) and two shuffle
-    joins of the corpus's bigrams against those count tables — the LM
-    is DATA, not a broadcast constant, so vocabulary size is unbounded
-    (at 100 TB the bigram table is itself TB-scale and the join keys
-    are the shuffle partitioner).  The vocab size rides a 1-row
-    broadcast.  All-JVM expressions; short docs (< 2 tokens) have no
-    bigrams and are excluded by construction (same contract as the
+    Scale shape: the raw bigram stream is FIRST pre-aggregated to
+    (doc_id, w1, w2, n) — the per-doc repetition factor (stop-word
+    bigrams repeat heavily inside a document) is absorbed into a weight
+    BEFORE anything shuffles on a word key, so both count joins probe
+    the distinct-bigrams-per-doc table, not the raw stream.  Then three
+    aggregations with map-side partials (bigram counts, unigram context
+    counts, vocabulary size) and two shuffle joins — the LM is DATA,
+    not a broadcast constant, so vocabulary size is unbounded (at
+    100 TB the bigram table is itself TB-scale and the join keys are
+    the shuffle partitioner).  The `w1` key is still stop-word-skewed
+    ACROSS documents, and AQE cannot split that join: the c1 aggregate
+    is join-colocated (its groupBy("w1") output already satisfies the
+    join distribution — OptimizeSkewedJoin needs ENSURE_REQUIREMENTS
+    shuffles on BOTH sides, proven in tests/test_aqe_skew.py), so the
+    hot key is split DETERMINISTICALLY instead: the probe side carries
+    a doc-hash salt and c1 is replicated LM_JOIN_SALT ways — "the"
+    lands on LM_JOIN_SALT reducers by construction, and since both
+    sides of the salted join now ARE plain shuffles, AQE's skew split
+    is re-enabled as the runtime backstop for residual intra-salt skew
+    (also proven in tests/test_aqe_skew.py).  The vocab size rides a
+    1-row broadcast.  All-JVM expressions; short docs (< 2 tokens) have
+    no bigrams and are excluded by construction (same contract as the
     oracle).  Cross-engine float discipline: ln() is libm double on
-    both engines; the per-doc AVG is rounded to 4 decimals."""
+    both engines; the per-doc n-weighted AVG is rounded to 4 decimals."""
     docs = _tbl(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     # guard the index sequence exactly like q_decontaminate: size<2 must
@@ -2541,21 +2556,33 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at("t", i + 1).alias("w2")),
         )).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("n1"))
+    # per-doc pre-aggregation: every later shuffle/join moves one row
+    # per DISTINCT (doc, bigram) with its repetition count as a weight
+    bd = bi.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+    c2 = bd.groupBy("w1", "w2").agg(F.sum("n").alias("n2"))
+    c1 = bd.groupBy("w1").agg(F.sum("n").alias("n1"))
     vocab = (docs.select(F.explode(F.split("text", " ")).alias("w"))
              .where(F.col("w") != "")
              .agg(F.countDistinct("w").alias("v")))
     neglog = -F.log(
         (F.col("n2") + LM_SMOOTH_K)
         / (F.col("n1") + F.col("v") * LM_SMOOTH_K))
+    # salted unigram join: deterministic split of the stop-word head
+    # (salt invisible to results — n1 is identical in every replica)
+    bd_s = bd.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("doc_id"), F.lit(LM_JOIN_SALT)).cast("int"))
+    c1_s = c1.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(LM_JOIN_SALT)])))
     return (
-        bi.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+        bd_s.join(c2, ["w1", "w2"])
+        .join(c1_s, ["w1", "_salt"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
-        .agg(F.round(F.avg(neglog), 4).alias("avg_neg_logp"),
-             F.count("*").alias("n_bigrams"))
+        .agg(F.round(F.sum(F.col("n") * neglog) / F.sum("n"), 4)
+              .alias("avg_neg_logp"),
+             F.sum("n").alias("n_bigrams"))
     )
 
 
@@ -2569,19 +2596,22 @@ def q_lm_perplexity_sql() -> str:
       FROM toks, LATERAL (SELECT unnest(range(1,
            greatest(len(t) - 1, 0) + 1)) AS i)
     ),
-    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY 1, 2),
-    c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+    bd AS (SELECT doc_id, w1, w2, count(*) AS n
+           FROM bi GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, sum(n) AS n2 FROM bd GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(n) AS n1 FROM bd GROUP BY 1),
     vocab AS (
       SELECT count(DISTINCT w) AS v
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> ''
     )
-    SELECT bi.doc_id,
-           round(avg(-ln((n2 + {LM_SMOOTH_K})
-                 / (n1 + v * {LM_SMOOTH_K}))), 4) AS avg_neg_logp,
-           count(*) AS n_bigrams
-    FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
-    GROUP BY bi.doc_id
+    SELECT bd.doc_id,
+           round(sum(n * -ln((n2 + {LM_SMOOTH_K})
+                 / (n1 + v * {LM_SMOOTH_K}))) / sum(n), 4)
+             AS avg_neg_logp,
+           CAST(sum(n) AS BIGINT) AS n_bigrams
+    FROM bd JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+    GROUP BY bd.doc_id
     """
 
 
