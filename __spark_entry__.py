@@ -85,6 +85,7 @@ _REGISTRY = [
     ("q_decon_bloom", dq.q_decon_bloom, dq.q_decon_bloom_sql),
     ("q_pq_train_step", dq.q_pq_train_step, dq.q_pq_train_step_sql),
     ("q_ann_recall_census", dq.q_ann_recall_census, dq.q_ann_recall_census_sql),
+    ("q_pack_assemble", dq.q_pack_assemble, dq.q_pack_assemble_sql),
     ("q_regions_by_channel", q.q_regions_by_channel, q.q_regions_by_channel_sql),
     ("q1_pricing_summary", q.q1_pricing_summary, q.q1_pricing_summary_sql),
     ("q3_shipping_priority", q.q3_shipping_priority, q.q3_shipping_priority_sql),

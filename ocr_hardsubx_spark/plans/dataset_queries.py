@@ -2894,6 +2894,83 @@ def q_pack_plan_global_sql() -> str:
     """
 
 
+def q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed output itself — what a training-data pipeline
+    actually ships: one row per PACK_WINDOW_TOKENS window with the
+    ordered doc_ids feeding it, the tokens it holds, and its waste.
+
+    Built from q_pack_plan_global's offsets: a doc spanning a window
+    boundary contributes to EVERY window it overlaps (concat-and-split
+    packing — no padding between docs), so each plan row explodes to
+    its [first_bin..last_bin] window range (at most n_tokens/W + 1
+    rows) with the per-window token overlap, then ONE shuffle on
+    window_id assembles (sorted doc_id roster, token sum, waste).
+    Every window is exactly full except the final partial one — waste
+    is nonzero only there (pinned in tests).  doc_ids ride as a
+    comma-joined string so the cross-engine value-hash is
+    representation-stable."""
+    win = PACK_WINDOW_TOKENS
+    plan = q_pack_plan_global(spark, sf_dir)
+    last_bin = F.floor((F.col("tokens_before") + F.col("n_tokens") - 1)
+                       / win).cast("long")
+    spans = plan.select(
+        "doc_id", "n_tokens", "tokens_before",
+        F.explode(F.sequence(F.col("bin"), last_bin)).alias("window_id"))
+    contrib = (
+        F.least((F.col("window_id") + 1) * win,
+                F.col("tokens_before") + F.col("n_tokens"))
+        - F.greatest(F.col("window_id") * win, F.col("tokens_before")))
+    return (
+        spans.select("window_id", "doc_id", contrib.alias("c"))
+        .groupBy("window_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.array_join(F.sort_array(F.collect_list("doc_id")), ",")
+              .alias("doc_ids"),
+             F.sum("c").alias("n_tokens"))
+        .withColumn("waste", F.lit(win) - F.col("n_tokens"))
+    )
+
+
+def q_pack_assemble_sql() -> str:
+    win = PACK_WINDOW_TOKENS
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    plan AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, before,
+             -- sum() OVER is HUGEINT; range() needs BIGINT args
+             unnest(range(CAST(before // {win} AS BIGINT),
+                          CAST((before + n_tokens - 1) // {win} + 1
+                               AS BIGINT)))
+               AS window_id
+      FROM plan
+    )
+    SELECT window_id,
+           count(*) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY doc_id) AS doc_ids,
+           CAST(sum(least((window_id + 1) * {win}, before + n_tokens)
+                    - greatest(window_id * {win}, before)) AS BIGINT)
+             AS n_tokens,
+           CAST({win} - sum(least((window_id + 1) * {win},
+                                  before + n_tokens)
+                            - greatest(window_id * {win}, before))
+                AS BIGINT) AS waste
+    FROM spans
+    GROUP BY window_id
+    """
+
+
 # --------------------------------------------------------------------------
 # HyperLogLog distinct sketch (deterministic, oracle-replicable)
 # --------------------------------------------------------------------------

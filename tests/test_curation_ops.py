@@ -208,6 +208,24 @@ def test_pack_plan_partitions_every_token_exactly_once(spark, tmp_path):
                    for r in dq.q_pack_plan_global(spark, out).collect())
     assert [b for _, b in got_g] == \
         [0] + list(itertools.accumulate(sizes))[:-1]
+    # and the ASSEMBLED windows conserve tokens end to end: every
+    # window is exactly full except the final partial one, total tokens
+    # across windows equals the corpus total, and each doc's window
+    # range is contiguous
+    W = dq.PACK_WINDOW_TOKENS
+    wins = sorted((r["window_id"], r) for r in
+                  dq.q_pack_assemble(spark, out).collect())
+    assert [w for w, _ in wins] == list(range(len(wins)))
+    assert sum(r["n_tokens"] for _, r in wins) == sum(sizes)
+    for w, r in wins[:-1]:
+        assert r["n_tokens"] == W and r["waste"] == 0
+    last = wins[-1][1]
+    assert last["waste"] == W - last["n_tokens"] >= 0
+    # doc 3 (5000 tokens, starts at 2052) spans windows 1..3 and is on
+    # every roster in between
+    spanning = [w for w, r in wins if "3" in r["doc_ids"].split(",")]
+    assert spanning == list(range(spanning[0], spanning[-1] + 1))
+    assert len(spanning) >= 3
 
 
 def test_stratified_rates_are_monotone_in_the_dial(spark, tmp_path):
