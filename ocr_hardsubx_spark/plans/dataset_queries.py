@@ -1065,6 +1065,7 @@ def q_ann_ivf_topk_sql() -> str:
 # --------------------------------------------------------------------------
 
 IVF_LAYOUT_BASE = "/root/repo/data/ivf_layout"
+IVF_TMP_TTL_S = 3600  # orphaned-builder temp dirs older than this are swept
 IVF_LAYOUT_SCHEMA = "vec_id bigint, embedding array<float>, list_id int"
 
 
@@ -1081,22 +1082,38 @@ def ensure_ivf_layout(spark: SparkSession, sf_dir: str,
     nprobe of them.
 
     Idempotent per (sf_dir, embeddings-file mtime): the directory name
-    carries the source stamp; the write lands in a pid-suffixed temp
-    dir and is renamed into place, so a crashed writer never leaves a
-    half-visible layout and concurrent builders race benignly (first
-    rename wins, losers discard).  Zero-norm vectors carry a NULL
-    assignment and land in the hive default partition — never probed,
-    preserved for audit."""
+    carries the source stamp at NANOSECOND precision (st_mtime_ns — a
+    whole-second stamp let a rewrite landing in the same second
+    silently reuse the stale layout, review finding; _stamped_state
+    keeps the float mtime for the same reason); the write lands in a
+    pid-suffixed temp dir and is renamed into place, so a crashed
+    writer never leaves a half-visible layout and concurrent builders
+    race benignly (first rename wins, losers discard).  Crashed
+    builders' orphaned ``*.tmp.*`` dirs are swept on the next build
+    once older than IVF_TMP_TTL_S (age-gated so a LIVE concurrent
+    builder's in-flight temp dir is never removed).  Zero-norm vectors
+    carry a NULL assignment and land in the hive default partition —
+    never probed, preserved for audit."""
+    import glob as _glob
     import hashlib
     import shutil
+    import time as _time
 
     src = _t(sf_dir, "embeddings")
-    stamp = int(os.path.getmtime(src))
+    stamp = os.stat(src).st_mtime_ns
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     base = base_dir or IVF_LAYOUT_BASE
     path = os.path.join(base, f"{key}_{stamp}")
     if os.path.exists(path):
         return path
+    # sweep a crashed builder's never-GC'd temp dirs for this source
+    now = _time.time()
+    for orphan in _glob.glob(os.path.join(base, f"{key}_*.tmp.*")):
+        try:
+            if now - os.path.getmtime(orphan) > IVF_TMP_TTL_S:
+                shutil.rmtree(orphan, ignore_errors=True)
+        except OSError:
+            pass
     cents = _ivf_centroids(spark, sf_dir)
     tmp = f"{path}.tmp.{os.getpid()}"
     (

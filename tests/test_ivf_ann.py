@@ -415,3 +415,47 @@ def test_recall_census_has_all_methods_in_range(spark):
     brute = {r["vec_id"] for r in dq.q_ann_cosine_topk(spark, SF).collect()}
     ivf = {r["vec_id"] for r in dq.q_ann_ivf_topk(spark, SF).collect()}
     assert rows["ivf"] == round(len(brute & ivf) / 10.0, 4)
+
+
+def test_layout_stamp_is_subsecond_and_sweeps_orphans(spark, tmp_path,
+                                                      monkeypatch):
+    """(a) The layout stamp carries st_mtime_ns: a source rewrite
+    landing within the same SECOND still busts the cached layout
+    (whole-second stamps silently reused it — review finding).
+    (b) A crashed builder's orphaned *.tmp.* dir is swept once older
+    than IVF_TMP_TTL_S, while a fresh (live-builder) temp dir is
+    kept."""
+    import os
+    import shutil
+    import time as _time
+
+    # copy the sf dir so we can touch the source without mutating
+    # shared testdata
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("embeddings", "documents"):
+        shutil.copy(f"{SF}/{t}.parquet", f"{sf}/{t}.parquet")
+    monkeypatch.setattr(dq, "IVF_LAYOUT_BASE", str(tmp_path / "layout"))
+
+    p1 = dq.ensure_ivf_layout(spark, sf)
+    # rewrite the source "within the same second": bump mtime by 1ns
+    st = os.stat(f"{sf}/embeddings.parquet")
+    os.utime(f"{sf}/embeddings.parquet",
+             ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    p2 = dq.ensure_ivf_layout(spark, sf)
+    assert p2 != p1                       # stale layout NOT reused
+
+    # orphan sweep: stale tmp goes, fresh tmp stays
+    key_prefix = os.path.basename(p2).split("_")[0]
+    base = str(tmp_path / "layout")
+    stale = os.path.join(base, f"{key_prefix}_999.tmp.12345")
+    fresh = os.path.join(base, f"{key_prefix}_998.tmp.67890")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = _time.time() - dq.IVF_TMP_TTL_S - 10
+    os.utime(stale, (old, old))
+    os.utime(f"{sf}/embeddings.parquet",
+             ns=(st.st_atime_ns, st.st_mtime_ns + 2))
+    dq.ensure_ivf_layout(spark, sf)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)

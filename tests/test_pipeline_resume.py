@@ -558,3 +558,46 @@ def test_lease_edge_cases_unreadable_break_and_renewal(spark, corpus,
     assert os.path.getmtime(_lease_path(out)) > _time.time() - 60
     _release_compaction_lease(spark, out, token)
     assert not os.path.exists(_lease_path(out))
+
+
+def test_lease_heartbeat_outlives_ttl_and_release_restores_foreign(
+        spark, corpus, tmp_path):
+    """(a) A compaction whose critical section outlives the TTL is NOT
+    stealable while its heartbeat runs (the single post-rewrite renewal
+    left the rewrite window unprotected — review finding); with the
+    heartbeat stopped, the same lease goes stale and a second acquirer
+    breaks it.  (b) Releasing after one's lease was broken-and-replaced
+    RESTORES the new owner's lease instead of deleting it."""
+    import json
+    import time as _time
+
+    from ocr_hardsubx_spark.plans.pipeline import (
+        CompactionLeaseHeld,
+        _acquire_compaction_lease,
+        _lease_path,
+        _LeaseHeartbeat,
+        _release_compaction_lease,
+    )
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, corpus, out, max_files=2)
+
+    ttl = 1000                               # 1s TTL, heartbeat ~every 250ms
+    token = _acquire_compaction_lease(spark, out, ttl_ms=ttl)
+    with _LeaseHeartbeat(spark, out, token, ttl_ms=ttl):
+        _time.sleep(2.5)                     # 2.5 x TTL inside the hold
+        with pytest.raises(CompactionLeaseHeld):
+            _acquire_compaction_lease(spark, out, ttl_ms=ttl)
+    # heartbeat stopped: after TTL the lease is breakable (control)
+    _time.sleep(1.5)
+    thief = _acquire_compaction_lease(spark, out, ttl_ms=ttl)
+    assert thief and thief != token
+
+    # (b) the displaced original owner releases: the thief's lease must
+    # survive, content intact
+    _release_compaction_lease(spark, out, token)
+    assert os.path.exists(_lease_path(out))
+    with open(_lease_path(out)) as f:
+        assert json.load(f)["owner"] == thief
+    _release_compaction_lease(spark, out, thief)
+    assert not os.path.exists(_lease_path(out))
