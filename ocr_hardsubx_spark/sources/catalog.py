@@ -12,6 +12,22 @@ session time (SURVEY.md §7.6):
   ``PartitionFilters`` in tests/test_pipeline_resume.py).
 
 Either way the downstream job sees the same DataFrame schema.
+
+Enabling the affirmative path (documented environmental blocker: the
+sandbox has no network, so the jar cannot be vendored — verified by a
+maven-central GET returning no route in round 5):
+
+* jar: ``org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:<latest>``
+  for this PySpark (4.1.x, Scala 2.13); for Spark 4.0 use
+  ``iceberg-spark-runtime-4.0_2.13`` (Iceberg >= 1.9).  Ship it via
+  ``spark.jars.packages`` (online) or drop it into ``$SPARK_HOME/jars``
+  / ``spark.jars`` (air-gapped).
+* confs: ``spark.sql.catalog.ice=org.apache.iceberg.spark.SparkCatalog``,
+  ``spark.sql.catalog.ice.type=hadoop``,
+  ``spark.sql.catalog.ice.warehouse=<path>`` (or ``type=rest`` + ``uri``
+  for a REST catalog).
+* with both present, tests/test_iceberg_gated.py's scan test lights up
+  unchanged: ``spark.read.table`` + native ``warc_ts`` metadata pruning.
 """
 
 from __future__ import annotations
