@@ -317,12 +317,88 @@ assert SIMHASH_BANDS * SIMHASH_BAND_BITS == 64
 assert SIMHASH_HAMMING_MAX <= SIMHASH_BANDS - 1
 
 
+def _simhash_kernel_udf():
+    """Arrow-batched bit-vote SimHash kernel (round-4 verdict item 8):
+    the WHOLE fingerprint computes inside one pandas_udf over the raw
+    text column — no explode, no 64 per-bit SUM counters, no shuffle at
+    all (the query becomes scan -> project).  Per batch: flatten
+    tokens, md5 ONLY the np.unique tokens (Zipf vocabularies make this
+    a large cut — the stop-word head hashes once per batch, not once
+    per occurrence), build the (U, 64) +/-1 vote matrix, and
+    segment-sum votes per document with np.add.reduceat (C-speed, no
+    Python in the loop).  Bit semantics match the JVM/oracle form
+    exactly: hash64 = hi32 << 32 | lo32 from the first 16 md5 hex
+    chars, bit set iff vote sum > 0, bit 63 is the sign bit.  Docs with
+    no non-empty tokens return NULL (the JVM form's inner explode drops
+    them); equality with the JVM shadow is pinned on the corpus in
+    tests/test_simhash_candidates.py."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    POW = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    @pandas_udf("long")
+    def simhash64(texts):
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype="Int64")
+        toks = texts.fillna("").str.split(" ")
+        lens = toks.str.len().to_numpy()
+        doc_idx = np.repeat(np.arange(n), lens)
+        flat = np.array(list(itertools.chain.from_iterable(toks)),
+                        dtype=object)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        out = np.zeros(n, dtype=np.int64)
+        has = np.zeros(n, dtype=bool)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            uh = np.empty(len(uniq), dtype=np.uint64)
+            for k, w in enumerate(uniq):
+                d = hashlib.md5(w.encode("utf-8")).hexdigest()
+                uh[k] = (np.uint64(int(d[:8], 16)) << np.uint64(32)) \
+                    | np.uint64(int(d[8:16], 16))
+            bits = ((uh[:, None] >> np.arange(64, dtype=np.uint64)[None])
+                    & np.uint64(1)).astype(np.int32)
+            votes = 2 * bits - 1                       # (U, 64) +/-1
+            starts = np.searchsorted(doc_idx, np.arange(n))
+            seg_len = np.diff(np.append(starts, len(doc_idx)))
+            has = seg_len > 0
+            # reduceat rejects start == len and emits garbage rows for
+            # empty segments — clip and mask those docs to NULL below
+            acc = np.add.reduceat(
+                votes[inv], np.minimum(starts, len(doc_idx) - 1), axis=0)
+            out = ((acc > 0).astype(np.uint64) @ POW).view(np.int64)
+        res = pd.Series(out, dtype="Int64")
+        res[~has] = pd.NA
+        return res
+
+    return simhash64
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document: per-token md5 -> two
+    """64-bit SimHash fingerprint per document via the Arrow bit-vote
+    kernel (_simhash_kernel_udf): scan -> project, zero shuffles.  The
+    all-JVM 64-counter formulation is kept as q_simhash_jvm_shadow —
+    it mirrors the DuckDB oracle term for term and is pinned equal to
+    this kernel on the corpus (the IVF/LSH kernel discipline).
+    Consumed by q_simhash_candidates (banded Hamming near-dup search)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _simhash_kernel_udf()(F.col("text")).alias("simhash64"),
+    ).where(F.col("simhash64").isNotNull())
+
+
+def q_simhash_jvm_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-mirrored shadow of q_simhash: per-token md5 -> two
     32-bit halves -> per-bit +/-1 votes summed over tokens -> sign bits
     reassembled into one signed BIGINT (bit 63 is the sign bit).  All JVM
-    expressions; one shuffle (groupBy doc_id, 64 partial-agg counters).
-    Consumed by q_simhash_candidates (banded Hamming near-dup search)."""
+    expressions; one shuffle (groupBy doc_id, 64 partial-agg counters)."""
     docs = _tbl(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")

@@ -109,3 +109,31 @@ def test_identical_docs_pair_at_zero(spark, tmp_path):
 def test_fingerprint_is_signed_64bit(text):
     v = simhash64(text)
     assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_kernel_equals_jvm_shadow_including_empty_docs(spark, tmp_path):
+    """The Arrow bit-vote kernel must be bit-identical to the
+    oracle-mirrored JVM 64-counter form — on the corpus AND on the
+    edge docs the JVM form's inner explode silently drops (empty /
+    all-space / NULL text): the kernel must drop exactly the same
+    set."""
+    from ocr_hardsubx_spark.plans import dataset_queries as dq
+
+    SF = "/root/testdata/sf0.001"
+    kern = {r["doc_id"]: r["simhash64"]
+            for r in dq.q_simhash(spark, SF).collect()}
+    jvm = {r["doc_id"]: r["simhash64"]
+           for r in dq.q_simhash_jvm_shadow(spark, SF).collect()}
+    assert kern == jvm and len(kern) > 0
+
+    rows = [(1, "hello world"), (2, ""), (3, "   "), (4, None),
+            (5, "hello"), (6, "the the the")]
+    d = str(tmp_path)
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .write.parquet(d + "/documents.parquet"))
+    got = {r["doc_id"]: r["simhash64"]
+           for r in dq.q_simhash(spark, d).collect()}
+    want = {r["doc_id"]: r["simhash64"]
+            for r in dq.q_simhash_jvm_shadow(spark, d).collect()}
+    assert got == want
+    assert set(got) == {1, 5, 6}          # 2/3/4 dropped on BOTH paths
