@@ -86,6 +86,11 @@ _REGISTRY = [
     ("q_pq_train_step", dq.q_pq_train_step, dq.q_pq_train_step_sql),
     ("q_ann_recall_census", dq.q_ann_recall_census, dq.q_ann_recall_census_sql),
     ("q_pack_assemble", dq.q_pack_assemble, dq.q_pack_assemble_sql),
+    ("q_substring_dedup", dq.q_substring_dedup, dq.q_substring_dedup_sql),
+    ("q_quantile_sketch", dq.q_quantile_sketch, dq.q_quantile_sketch_sql),
+    ("q_dedup_incremental", dq.q_dedup_incremental, dq.q_dedup_incremental_sql),
+    ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
+    ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),
     ("q_regions_by_channel", q.q_regions_by_channel, q.q_regions_by_channel_sql),
     ("q1_pricing_summary", q.q1_pricing_summary, q.q1_pricing_summary_sql),
     ("q3_shipping_priority", q.q3_shipping_priority, q.q3_shipping_priority_sql),
@@ -109,8 +114,6 @@ _REGISTRY = [
     ("q_dedup_exact", dq.q_dedup_exact, dq.q_dedup_exact_sql),
     ("q_minhash_bands", dq.q_minhash_bands, dq.q_minhash_bands_sql),
     ("q_minhash_dup_candidates", dq.q_minhash_dup_candidates, dq.q_minhash_dup_candidates_sql),
-    ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
-    ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),
     ("q_jaccard_nearby", dq.q_jaccard_nearby, dq.q_jaccard_nearby_sql),
     ("q_jaccard_candidates", dq.q_jaccard_candidates, dq.q_jaccard_candidates_sql),
     ("q_dup_clusters", dq.q_dup_clusters, dq.q_dup_clusters_sql),

@@ -3986,3 +3986,250 @@ def q_ann_recall_census_sql() -> str:
     FROM tagged tg LEFT JOIN truth tr ON tr.vec_id = tg.vec_id
     GROUP BY tg.method
     """
+
+
+# --------------------------------------------------------------------------
+# exact-substring dedup census, histogram quantile sketch, incremental dedup
+# --------------------------------------------------------------------------
+
+SUBSTR_NGRAM = 20   # the exact-substring dedup window (Lee et al. use 50
+                    # BPE tokens; 20 whitespace tokens is the same op at
+                    # the synthetic corpus's document length)
+
+
+def _substr_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, g): md5 of each SUBSTR_NGRAM-token window with its
+    0-based start position (the position makes span coverage
+    computable downstream; the _decon_grams guard keeps short docs at
+    zero grams, never sequence(1, 0))."""
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks) - (SUBSTR_NGRAM - 1), F.lit(0))
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    return docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("i"),
+                F.md5(F.array_join(
+                    F.slice(toks, i + 1, SUBSTR_NGRAM), " ")).alias("g")),
+        )).alias("p"),
+    ).select("doc_id", F.col("p.i").alias("i"), F.col("p.g").alias("g"))
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup census (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" operator): for every
+    doc, how many of its SUBSTR_NGRAM-token windows also appear in at
+    least one OTHER document, and what fraction of the doc's tokens
+    those duplicated windows cover — the removable-span decision a
+    substring-level dedup pass acts on.
+
+    Scale shape: the gram shuffle carries (16-byte hash, doc_id, pos)
+    only; the cross-doc test is one map-side-combinable
+    groupBy(g) count(DISTINCT doc_id); only DUPLICATED occurrences
+    (a small fraction of the corpus) pay the K-way position explode
+    for the exact interval-union coverage — never the full gram
+    stream.  No driver-side state; every count re-derives from the
+    row."""
+    docs = _tbl(spark, sf_dir, "documents")
+    grams = _substr_grams(docs)
+    dupg = (grams.groupBy("g")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= 2).select("g"))
+    hits = grams.join(dupg, "g")
+    ndup = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
+    covered = (
+        hits.select("doc_id", F.explode(
+            F.sequence(F.col("i"), F.col("i") + (SUBSTR_NGRAM - 1)))
+            .alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("pos").alias("covered_tokens"))
+    )
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens"),
+        F.greatest(F.size(toks) - (SUBSTR_NGRAM - 1), F.lit(0))
+         .cast("long").alias("n_grams"))
+    return (
+        base.join(ndup, "doc_id", "left").join(covered, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(F.coalesce("covered_tokens", F.lit(0))
+                    / F.col("n_tokens"), 4).alias("dup_token_frac"),
+        )
+    )
+
+
+def q_substring_dedup_sql() -> str:
+    k = SUBSTR_NGRAM
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i+{k - 1}], ' ')) AS g
+      FROM t, LATERAL (SELECT unnest(range(1,
+           greatest(len(t) - {k - 1}, 0) + 1)) AS i)
+    ),
+    dupg AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, i FROM grams JOIN dupg USING (g)),
+    nd AS (SELECT doc_id, count(*) AS n_dup_grams FROM hits GROUP BY 1),
+    cov AS (
+      SELECT doc_id, count(DISTINCT p) AS covered_tokens
+      FROM hits, LATERAL (SELECT unnest(range(i, i + {k})) AS p)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(greatest(len(t.t) - {k - 1}, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(nd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT)
+             AS covered_tokens,
+           round(COALESCE(cov.covered_tokens, 0) * 1.0 / len(t.t), 4)
+             AS dup_token_frac
+    FROM t LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+    """
+
+
+QSKETCH_BIN_W = 8       # histogram bin width (tokens)
+QSKETCH_BINS = 32       # overflow clamps into the last bin
+QSKETCH_PERMILLE = (500, 900, 990)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch over per-doc token counts —
+    the curation-threshold primitive (where do I cut quality/length at
+    100 TB?) in the HLL discipline: the sketch state is QSKETCH_BINS
+    counters regardless of corpus size, merge = vector add (pinned in
+    tests), and the estimate is deterministic (upper edge of the first
+    bin whose cumulative count reaches ceil(q*N/1000)) so the oracle
+    reproduces it bit for bit — exact about its own approximation.
+
+    ONE shuffle of at most QSKETCH_BINS rows; the cumulative window
+    runs on those <=32 rows (single tiny partition by construction —
+    the sketch, not the corpus)."""
+    from pyspark.sql import Window
+
+    docs = _tbl(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            F.least(F.floor(F.size(F.split("text", " "))
+                            / QSKETCH_BIN_W),
+                    F.lit(QSKETCH_BINS - 1)).cast("int").alias("bin"))
+        .groupBy("bin").agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin", F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy(F.lit(0) % 1)).alias("total"))
+    qs = F.explode(F.array(*[F.lit(q) for q in QSKETCH_PERMILLE])) \
+          .alias("q_permille")
+    return (
+        cum.select("bin", "cum", "total", qs)
+        .where(F.col("cum") >= F.ceil(F.col("q_permille")
+                                      * F.col("total") / 1000))
+        .groupBy("q_permille")
+        .agg(F.min((F.col("bin") + 1) * QSKETCH_BIN_W).cast("long")
+              .alias("est_tokens"))
+    )
+
+
+def q_quantile_sketch_sql() -> str:
+    qvals = ", ".join(f"({q})" for q in QSKETCH_PERMILLE)
+    return f"""
+    WITH hist AS (
+      SELECT least(CAST(floor(len(string_split(text, ' '))
+                              / {QSKETCH_BIN_W}) AS INT),
+                   {QSKETCH_BINS - 1}) AS bin,
+             count(*) AS n
+      FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin,
+             sum(n) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(n) OVER () AS total
+      FROM hist
+    )
+    SELECT q.q_permille,
+           CAST(min((bin + 1) * {QSKETCH_BIN_W}) AS BIGINT) AS est_tokens
+    FROM cum CROSS JOIN (VALUES {qvals}) q(q_permille)
+    WHERE cum >= ceil(q.q_permille * total / 1000.0)
+    GROUP BY q.q_permille
+    """
+
+
+INCR_INDEX_BELOW = 250  # doc_id < 250 = the already-deduped index;
+                        # doc_id >= 250 = the incoming ingest batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup — the shape a production ingest
+    actually runs: the existing corpus's SIGNATURE TABLE is a persisted
+    artifact, and each new batch joins against it (plus itself), so the
+    old-vs-old pair space is NEVER revisited.  Candidate pairs
+    (doc_a < doc_b) where doc_b is in the NEW batch: new-new and
+    old-new pairs only.
+
+    Scale shape: the index side is first semi-joined to the bucket keys
+    the BATCH actually touches — the old signature table contributes
+    shuffle rows only for buckets a new doc lands in (at 100 TB the
+    batch is a day, the index is the corpus; this semi-join is the
+    whole economics).  Hot buckets cap at MAX_BUCKET as in the full
+    self-join form."""
+    sig = _session_cached(spark, "minhash_sig", sf_dir, "documents",
+                          lambda: q_minhash_bands(spark, sf_dir))
+    batch = sig.where(F.col("doc_id") >= INCR_INDEX_BELOW)
+    batch_buckets = batch.select("band", "minhash").distinct()
+    touched = sig.join(batch_buckets, ["band", "minhash"])
+    ok = (touched.groupBy("band", "minhash")
+          .agg(F.count("*").alias("n"))
+          .where(F.col("n").between(2, MAX_BUCKET))
+          .select("band", "minhash"))
+    capped = touched.join(ok, ["band", "minhash"])
+    a = capped.alias("a")
+    b = capped.where(F.col("doc_id") >= INCR_INDEX_BELOW).alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.minhash") == F.col("b.minhash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                (F.col("a.doc_id") < INCR_INDEX_BELOW).alias("vs_index"))
+        .distinct()
+    )
+
+
+def q_dedup_incremental_sql() -> str:
+    return f"""
+    WITH sig AS ({q_minhash_bands_sql()}),
+    batch_buckets AS (
+      SELECT DISTINCT band, minhash FROM sig
+      WHERE doc_id >= {INCR_INDEX_BELOW}
+    ),
+    touched AS (
+      SELECT s.* FROM sig s JOIN batch_buckets USING (band, minhash)
+    ),
+    ok AS (
+      SELECT band, minhash FROM touched GROUP BY band, minhash
+      HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+    ),
+    capped AS (
+      SELECT t.* FROM touched t JOIN ok USING (band, minhash)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.doc_id < {INCR_INDEX_BELOW} AS vs_index
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.minhash = b.minhash
+     AND a.doc_id < b.doc_id
+    WHERE b.doc_id >= {INCR_INDEX_BELOW}
+    """

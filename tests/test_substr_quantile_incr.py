@@ -1,0 +1,101 @@
+"""Exact-substring dedup census, histogram quantile sketch, and
+incremental MinHash dedup — the round-5 additions to the curation
+operator family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_hardsubx_spark.plans import dataset_queries as dq
+
+SF = "/root/testdata/sf0.001"
+K = dq.SUBSTR_NGRAM
+
+
+def _docs(spark, tmp_path, rows):
+    out = str(tmp_path)
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .write.parquet(out + "/documents.parquet"))
+    return out
+
+
+def test_substring_dedup_exact_coverage(spark, tmp_path):
+    """Two docs share one exact K-token span; a third is unique; a
+    fourth is shorter than K (zero grams).  Coverage and gram counts
+    are exact, not approximate."""
+    span = " ".join(f"s{i}" for i in range(K))          # the shared span
+    rows = [
+        (1, "a b c " + span + " x y z"),                # span at pos 3
+        (2, span + " q r"),                             # span at pos 0
+        (3, " ".join(f"u{i}" for i in range(K + 10))),  # unique doc
+        (4, "too short"),                               # < K tokens
+    ]
+    out = _docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in
+           dq.q_substring_dedup(spark, out).collect()}
+    # doc 1: 3 + K + 3 tokens -> K+7 grams... only the exact span gram
+    # is shared (1 gram), covering exactly K tokens
+    assert got[1]["n_dup_grams"] == 1
+    assert got[1]["covered_tokens"] == K
+    assert got[1]["dup_token_frac"] == round(K / (K + 6), 4)
+    assert got[2]["n_dup_grams"] == 1 and got[2]["covered_tokens"] == K
+    assert got[3]["n_dup_grams"] == 0 and got[3]["covered_tokens"] == 0
+    assert got[4]["n_grams"] == 0 and got[4]["dup_token_frac"] == 0.0
+
+
+def test_substring_dedup_overlapping_spans_union_coverage(spark,
+                                                          tmp_path):
+    """Two docs identical over K+5 tokens -> 6 overlapping dup grams
+    whose UNION covers K+5 tokens (interval union, not 6*K)."""
+    shared = " ".join(f"s{i}" for i in range(K + 5))
+    rows = [(1, shared + " tailone"), (2, shared + " tailtwo")]
+    out = _docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in
+           dq.q_substring_dedup(spark, out).collect()}
+    for d in (1, 2):
+        assert got[d]["n_dup_grams"] == 6
+        assert got[d]["covered_tokens"] == K + 5
+
+
+def test_quantile_sketch_rule_and_merge_law(spark, tmp_path):
+    """The estimate equals the documented rule computed independently
+    in numpy, and the sketch is MERGEABLE: histograms of two disjoint
+    halves vector-add to the full corpus's histogram (the property that
+    makes it the 100 TB threshold primitive)."""
+    import numpy as np
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    n_tok = np.array([r["n"] for r in docs.select(
+        F.size(F.split("text", " ")).alias("n")).collect()])
+    bins = np.minimum(n_tok // dq.QSKETCH_BIN_W, dq.QSKETCH_BINS - 1)
+    counts = np.bincount(bins, minlength=dq.QSKETCH_BINS)
+    got = {r["q_permille"]: r["est_tokens"]
+           for r in dq.q_quantile_sketch(spark, SF).collect()}
+    cum = counts.cumsum()
+    for q in dq.QSKETCH_PERMILLE:
+        want_bin = int(np.argmax(cum >= -(-q * len(n_tok) // 1000)))
+        assert got[q] == (want_bin + 1) * dq.QSKETCH_BIN_W
+    # merge law on the underlying state
+    half = np.bincount(bins[: len(bins) // 2],
+                       minlength=dq.QSKETCH_BINS)
+    other = np.bincount(bins[len(bins) // 2:],
+                        minlength=dq.QSKETCH_BINS)
+    assert (half + other == counts).all()
+
+
+def test_incremental_equals_full_restricted_to_batch(spark):
+    """The incremental form must produce EXACTLY the full self-join's
+    candidate pairs whose newer side is in the batch — never an
+    old-old pair, never a missing new pair."""
+    full = {(r["doc_a"], r["doc_b"]) for r in
+            dq.q_minhash_dup_candidates(spark, SF).collect()}
+    want = {(a, b) for a, b in full if b >= dq.INCR_INDEX_BELOW}
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           dq.q_dedup_incremental(spark, SF).collect()}
+    assert got == want
+    assert all(b >= dq.INCR_INDEX_BELOW for _, b in got)
+    # vs_index marks exactly the pairs whose older side predates the batch
+    flags = {(r["doc_a"], r["doc_b"]): r["vs_index"] for r in
+             dq.q_dedup_incremental(spark, SF).collect()}
+    assert all(flag == (a < dq.INCR_INDEX_BELOW)
+               for (a, _), flag in flags.items())
