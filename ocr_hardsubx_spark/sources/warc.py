@@ -1,0 +1,119 @@
+"""WARC source: read crawl-native archive files into the page frame.
+
+Common-Crawl-style pipelines hand pages over as WARC files (ISO 28500):
+concatenated records, each a ``WARC/1.x`` header block + a body of
+``Content-Length`` bytes; page payloads live in ``response`` records as
+an HTTP message whose body is the HTML.  This reader turns a directory
+of ``.warc`` / ``.warc.gz`` files into the same ``(url, warc_ts, html,
+lang)`` frame the parquet and JSONL sources produce, so
+``extract_documents`` runs unchanged on raw crawl output.
+
+Scale shape: ``spark.read.format("binaryFile")`` makes the FILE the
+parallelism unit — exactly how crawl corpora shard (Common Crawl is
+~100k WARC files per snapshot; 1000 executors chew a file list, no
+intra-file split needed).  Record parsing is one Arrow-batched
+``mapInPandas`` pass per file; nothing about a record leaves the task
+until it is a narrow (url, ts, html) row.  Whole-file gzip and the
+per-record-member gzip Common Crawl actually ships both decompress
+through the same code path (``gzip.decompress`` handles concatenated
+members).  Malformed or truncated records are SKIPPED, never fatal —
+a crawl archive always carries damage; the count of parsed records is
+observable as the output row count vs the archive's record census.
+
+Non-goals at sandbox scale, documented for production: range-request
+reads of individual records via the CDX index (the random-access path)
+and splitting a single huge file across tasks (needs a record-boundary
+``InputFormat``; the file-per-task shape above is the standard one).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+WARC_PAGE_SCHEMA = "url string, warc_ts timestamp, html binary, lang string"
+
+_MAX_RECORD_BYTES = 64 << 20   # guard: a corrupt Content-Length cannot
+                               # allocate an unbounded buffer
+
+
+def parse_warc_records(blob: bytes):
+    """Yield (url, iso_ts, html_bytes) for each well-formed ``response``
+    record in a (possibly gzip'd) WARC blob.  Pure function — the
+    single-node oracle for the Spark reader, directly testable."""
+    import gzip
+
+    if blob[:2] == b"\x1f\x8b":
+        try:
+            blob = gzip.decompress(blob)   # handles concatenated members
+        except OSError:
+            return
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        start = blob.find(b"WARC/", pos)
+        if start < 0:
+            return
+        hdr_end = blob.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            return
+        headers = {}
+        for line in blob[start:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        body_start = hdr_end + 4
+        body_end = body_start + length
+        if length < 0 or length > _MAX_RECORD_BYTES or body_end > n:
+            pos = body_start                  # truncated/corrupt: skip
+            continue
+        pos = body_end                         # next record follows \r\n\r\n
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode(
+            "utf-8", "replace")
+        ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
+        if not url or not ts:
+            continue
+        body = blob[body_start:body_end]
+        if body[:5] in (b"HTTP/",):
+            http_end = body.find(b"\r\n\r\n")
+            body = body[http_end + 4:] if http_end >= 0 else b""
+        yield url, ts, body
+
+
+def read_documents_warc(spark: "SparkSession", path: str) -> "DataFrame":
+    """Directory/glob of WARC files -> (url, warc_ts, html, lang) frame
+    with the same schema/semantics as the parquet and JSONL sources
+    (lang rides NULL — WARC carries no language annotation; lang-id is
+    a downstream operator, q_lang_id)."""
+    import pandas as pd
+
+    from ..plans.packaging import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+
+    def parse_files(it):
+        from ocr_hardsubx_spark.sources.warc import parse_warc_records
+
+        for pdf in it:
+            rows = []
+            for blob in pdf["content"]:
+                for url, ts, html in parse_warc_records(bytes(blob)):
+                    try:
+                        when = pd.Timestamp(ts)
+                    except ValueError:     # unparseable WARC-Date: skip
+                        continue
+                    rows.append((url, when, html, None))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "lang"])
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("content")
+    return files.mapInPandas(parse_files, schema=WARC_PAGE_SCHEMA)

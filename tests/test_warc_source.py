@@ -1,0 +1,102 @@
+"""WARC source: crawl-native archive files -> the page frame, end to
+end through the real extraction stage."""
+
+from __future__ import annotations
+
+import gzip
+
+from ocr_hardsubx_spark.sources.warc import (
+    parse_warc_records,
+    read_documents_warc,
+)
+
+HTML_A = (b"<html><body><nav><a href='/'>Home</a></nav>"
+          b"<div class='content'><p>Article alpha body text that "
+          b"should survive extraction.</p></div></body></html>")
+HTML_B = (b"<html><body><div class='content'><p>Second page beta "
+          b"content.</p></div></body></html>")
+
+
+def _record(wtype: bytes, uri: bytes, date: bytes, body: bytes) -> bytes:
+    head = (b"WARC/1.0\r\n"
+            b"WARC-Type: " + wtype + b"\r\n"
+            b"WARC-Target-URI: " + uri + b"\r\n"
+            b"WARC-Date: " + date + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            b"\r\n")
+    return head + body + b"\r\n\r\n"
+
+
+def _http(body: bytes) -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+
+
+def _warc_blob() -> bytes:
+    return (
+        _record(b"warcinfo", b"", b"2025-01-01T00:00:00Z", b"software: x")
+        + _record(b"response", b"https://a.example/1",
+                  b"2025-01-02T03:04:05Z", _http(HTML_A))
+        + _record(b"request", b"https://a.example/1",
+                  b"2025-01-02T03:04:05Z", b"GET /1 HTTP/1.1\r\n\r\n")
+        + _record(b"response", b"https://b.example/2",
+                  b"2025-01-03T00:00:00Z", _http(HTML_B))
+    )
+
+
+def test_parse_warc_records_pure():
+    got = list(parse_warc_records(_warc_blob()))
+    assert [(u, t) for u, t, _ in got] == [
+        ("https://a.example/1", "2025-01-02T03:04:05Z"),
+        ("https://b.example/2", "2025-01-03T00:00:00Z"),
+    ]
+    assert got[0][2] == HTML_A and got[1][2] == HTML_B
+
+
+def test_parse_skips_truncated_and_gzip_roundtrips():
+    blob = _warc_blob()
+    # truncate the final record's body mid-way: it must be skipped,
+    # earlier records still parse
+    cut = blob[: blob.rfind(b"Second page") + 3]
+    got = list(parse_warc_records(cut))
+    assert [u for u, _, _ in got] == ["https://a.example/1"]
+    # whole-file gzip (and per-record members decompress the same way)
+    assert list(parse_warc_records(gzip.compress(blob))) \
+        == list(parse_warc_records(blob))
+    # per-record gzip members (the Common Crawl layout)
+    members = b"".join(gzip.compress(r) for r in (
+        _record(b"response", b"https://a.example/1",
+                b"2025-01-02T03:04:05Z", _http(HTML_A)),
+        _record(b"response", b"https://b.example/2",
+                b"2025-01-03T00:00:00Z", _http(HTML_B)),
+    ))
+    assert [u for u, _, _ in parse_warc_records(members)] \
+        == ["https://a.example/1", "https://b.example/2"]
+
+
+def test_warc_to_extraction_end_to_end(spark, tmp_path):
+    """Two WARC files (one gzip'd) -> page frame -> the REAL extraction
+    stage; extracted text matches the single-node library oracle."""
+    from ocr_hardsubx_spark.operators.extract import extract_documents
+    from ocr_hardsubx_spark.refimpl import extract_document
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a.warc").write_bytes(_warc_blob())
+    (d / "b.warc.gz").write_bytes(gzip.compress(
+        _record(b"response", b"https://c.example/3",
+                b"2025-01-04T00:00:00Z", _http(HTML_B))))
+
+    pages = read_documents_warc(spark, str(d))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {"https://a.example/1", "https://b.example/2",
+                         "https://c.example/3"}
+    assert bytes(rows["https://a.example/1"]["html"]) == HTML_A
+    assert rows["https://a.example/1"]["warc_ts"].isoformat() \
+        .startswith("2025-01-02T03:04:05")
+
+    out = {r["url"]: r["extracted_text"]
+           for r in extract_documents(pages, spark).collect()}
+    for url, html in [("https://a.example/1", HTML_A),
+                      ("https://b.example/2", HTML_B),
+                      ("https://c.example/3", HTML_B)]:
+        assert out[url] == extract_document(html)["extracted_text"]
