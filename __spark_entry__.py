@@ -89,6 +89,7 @@ _REGISTRY = [
     ("q_substring_dedup", dq.q_substring_dedup, dq.q_substring_dedup_sql),
     ("q_quantile_sketch", dq.q_quantile_sketch, dq.q_quantile_sketch_sql),
     ("q_dedup_incremental", dq.q_dedup_incremental, dq.q_dedup_incremental_sql),
+    ("q_quality_lr_step", dq.q_quality_lr_step, dq.q_quality_lr_step_sql),
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),
     ("q_regions_by_channel", q.q_regions_by_channel, q.q_regions_by_channel_sql),

@@ -4233,3 +4233,119 @@ def q_dedup_incremental_sql() -> str:
      AND a.doc_id < b.doc_id
     WHERE b.doc_id >= {INCR_INDEX_BELOW}
     """
+
+
+# --------------------------------------------------------------------------
+# in-engine quality-classifier training (logistic regression step)
+# --------------------------------------------------------------------------
+#
+# The reference's classifiers arrive pre-trained (S3/S4 distills them);
+# a curation pipeline also needs to TRAIN its quality models over the
+# corpus itself.  One full-batch logistic-regression gradient step is
+# the oracle-checkable unit (everything is one map-side-combinable
+# aggregation); lr_train loops it, mirroring ivf_lloyd / pq_lloyd.
+
+LR_INIT_W = (0.1, -0.2, 0.3)   # pinned non-zero start (w=0 makes every
+                               # sigmoid 0.5 — a vacuous first step)
+LR_RATE = 0.5
+
+
+def _lr_features():
+    """Three JVM-expression features per doc + the weak-supervision
+    label (docs mentioning the stop word 'the' stand in for 'fluent
+    prose' — a deterministic rule both engines re-derive)."""
+    n_tok = F.size(F.split("text", " "))
+    x1 = F.least(n_tok, F.lit(200)) / 200.0
+    # type-token ratio (distinct/total) — live on any corpus, unlike a
+    # punctuation ratio (the synthetic corpus is pure [a-z ])
+    x2 = F.round(F.try_divide(
+        F.size(F.array_distinct(F.split("text", " "))), n_tok), 6)
+    y = F.array_contains(F.split("text", " "), "the").cast("int")
+    return [F.lit(1.0).alias("x0"), x1.alias("x1"),
+            F.coalesce(x2, F.lit(0.0)).alias("x2")], y.alias("y")
+
+
+def q_quality_lr_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full-batch gradient step of the logistic quality classifier
+    from the pinned LR_INIT_W: grad_j = avg((sigmoid(w.x) - y) * x_j),
+    w'_j = w_j - LR_RATE * grad_j.  ONE aggregation with map-side
+    partials — at 100 TB a training step is a single pass, no shuffle
+    of anything but 3 running sums per task.  exp() is libm double on
+    both engines (the q_lm_perplexity ln() discipline); outputs round
+    to 6."""
+    docs = _tbl(spark, sf_dir, "documents")
+    xs, y = _lr_features()
+    feat = docs.select(*xs, y)
+    z = sum(F.col(f"x{j}") * LR_INIT_W[j] for j in range(3))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    grads = feat.agg(*[
+        F.avg((p - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}")
+        for j in range(3)
+    ])
+    rows = None
+    for j in range(3):
+        r = grads.select(
+            F.lit(j).alias("j"),
+            F.round(F.col(f"g{j}"), 6).alias("grad"),
+            F.round(F.lit(LR_INIT_W[j]) - LR_RATE * F.col(f"g{j}"), 6)
+             .alias("w_new"))
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def q_quality_lr_step_sql() -> str:
+    w = LR_INIT_W
+    feats = f"""
+      SELECT 1.0 AS x0,
+             least(len(string_split(text, ' ')), 200) / 200.0 AS x1,
+             COALESCE(round(len(list_distinct(string_split(text, ' ')))
+                   * 1.0
+                   / nullif(len(string_split(text, ' ')), 0), 6), 0.0)
+               AS x2,
+             CAST(list_contains(string_split(text, ' '), 'the')
+                  AS INT) AS y
+      FROM documents
+    """
+    z = " + ".join(f"x{j} * {w[j]}" for j in range(3))
+    parts = " UNION ALL ".join(
+        f"SELECT {j} AS j, round(g{j}, 6) AS grad, "
+        f"round({w[j]} - {LR_RATE} * g{j}, 6) AS w_new FROM grads"
+        for j in range(3))
+    gcols = ", ".join(
+        f"avg((1.0 / (1.0 + exp(-({z}))) - y) * x{j}) AS g{j}"
+        for j in range(3))
+    return f"WITH feat AS ({feats}), grads AS (SELECT {gcols} FROM feat) {parts}"
+
+
+def lr_train(spark: SparkSession, sf_dir: str,
+             iters: int = 20) -> list[float]:
+    """Full-batch logistic training loop from LR_INIT_W: each step is
+    one aggregation job collecting 3 numbers (mirrors ivf_lloyd's
+    driver loop — the model is driver-resident, the data never is).
+    Returns the trained weights; the loss-decreases property is pinned
+    in tests."""
+    docs = _tbl(spark, sf_dir, "documents")
+    xs, y = _lr_features()
+    feat = docs.select(*xs, y)
+    w = list(LR_INIT_W)
+    for _ in range(iters):
+        z = sum(F.col(f"x{j}") * w[j] for j in range(3))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = feat.agg(*[
+            F.avg((p - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}")
+            for j in range(3)]).collect()[0]
+        w = [w[j] - LR_RATE * g[f"g{j}"] for j in range(3)]
+    return w
+
+
+def lr_loss(spark: SparkSession, sf_dir: str, w: list[float]) -> float:
+    """Mean logistic loss of weights w over the corpus (one agg)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    xs, y = _lr_features()
+    feat = docs.select(*xs, y)
+    z = sum(F.col(f"x{j}") * w[j] for j in range(3))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    eps = 1e-12
+    loss = -(F.col("y") * F.log(p + eps)
+             + (1 - F.col("y")) * F.log(1 - p + eps))
+    return feat.agg(F.avg(loss)).collect()[0][0]

@@ -99,3 +99,34 @@ def test_incremental_equals_full_restricted_to_batch(spark):
              dq.q_dedup_incremental(spark, SF).collect()}
     assert all(flag == (a < dq.INCR_INDEX_BELOW)
                for (a, _), flag in flags.items())
+
+
+def test_lr_training_reduces_loss(spark):
+    """lr_train's driver loop must reduce the mean logistic loss vs
+    the pinned initial weights (deterministic on the fixed corpus) —
+    the trained-model analog of the ivf_lloyd objective test."""
+    w0 = list(dq.LR_INIT_W)
+    trained = dq.lr_train(spark, SF, iters=10)
+    assert dq.lr_loss(spark, SF, trained) < dq.lr_loss(spark, SF, w0)
+
+
+def test_lr_step_matches_hand_gradient(spark, tmp_path):
+    """The registered single step reproduces a hand-computed gradient
+    on a 2-doc fixture."""
+    import math
+
+    rows = [(1, "the cat sat"), (2, "dog dog dog dog")]
+    out = _docs(spark, tmp_path, rows)
+    got = {r["j"]: r for r in dq.q_quality_lr_step(spark, out).collect()}
+    feats = []
+    for _, text in rows:
+        toks = text.split(" ")
+        x = (1.0, min(len(toks), 200) / 200.0,
+             round(len(set(toks)) / len(toks), 6))
+        feats.append((x, 1 if "the" in toks else 0))
+    w = dq.LR_INIT_W
+    for j in range(3):
+        g = sum((1 / (1 + math.exp(-sum(x[k] * w[k] for k in range(3))))
+                 - y) * x[j] for x, y in feats) / len(feats)
+        assert got[j]["grad"] == round(g, 6)
+        assert got[j]["w_new"] == round(w[j] - dq.LR_RATE * g, 6)

@@ -100,3 +100,29 @@ def test_warc_to_extraction_end_to_end(spark, tmp_path):
                       ("https://b.example/2", HTML_B),
                       ("https://c.example/3", HTML_B)]:
         assert out[url] == extract_document(html)["extracted_text"]
+
+
+def test_parser_never_crashes_or_hangs_on_corruption():
+    """Hypothesis fuzz: arbitrary corruption of a valid archive (and
+    arbitrary raw bytes) must never raise or loop — damage is the
+    normal state of a crawl archive."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    blob = _warc_blob()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=400))
+    def raw_bytes(junk):
+        list(parse_warc_records(junk))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, len(blob) - 1), st.binary(min_size=1,
+                                                    max_size=16))
+    def mutated(pos, patch):
+        mutant = blob[:pos] + patch + blob[pos + len(patch):]
+        for url, ts, body in parse_warc_records(mutant):
+            assert isinstance(url, str) and isinstance(body, bytes)
+
+    raw_bytes()
+    mutated()
