@@ -91,18 +91,29 @@ def group_regions(kept: list[Region]) -> list[list[Region]]:
             parent[ry] = rx
 
     # closest-sibling: for each left region, link only the nearest valid
-    # right partner (erfilter.c:1187-1241 top-1 per group)
+    # right partner (erfilter.c:1187-1241 top-1 per group).  Exact
+    # early exits off the start-sort (the former full O(n^2) scan was
+    # 2/3 of single-core extraction wall):
+    # * gap = kept[j].start - kept[i].end is NON-DECREASING in j, so
+    #   the FIRST valid j is the minimum-gap partner with the earliest
+    #   tie — identical to the old min-tracking scan;
+    # * once gap exceeds PAIR_GAP_HI * 0.5 * (area_i + max remaining
+    #   area), no later j can pass the gap band (their gaps are >= and
+    #   their bands are <=) — suffix max of area makes that a hard stop.
+    sufmax = [0] * (n + 1)
+    for idx in range(n - 1, -1, -1):
+        sufmax[idx] = max(sufmax[idx + 1], kept[idx].area)
+    half_hi = PAIR_GAP_HI * 0.5
     edges: dict[int, int] = {}
     for i in range(n):
-        best = -1
-        best_gap = None
+        a = kept[i]
         for j in range(i + 1, n):
-            if is_valid_pair(kept[i], kept[j]):
-                gap = kept[j].start - kept[i].end
-                if best_gap is None or gap < best_gap:
-                    best, best_gap = j, gap
-        if best >= 0:
-            edges[i] = best
+            gap = kept[j].start - a.end
+            if gap > half_hi * (a.area + sufmax[j]):
+                break
+            if is_valid_pair(a, kept[j]):
+                edges[i] = j
+                break
 
     # triplet gate: each chain junction i->j->k is a pair JOIN pair on the
     # shared middle j (isValidTriplet's "at least one region in common",
@@ -156,22 +167,41 @@ def group_regions(kept: list[Region]) -> list[list[Region]]:
     for i, j in kept_edges:
         back.setdefault(j, []).append(i)
 
+    # both walks memoize on the node: chain suffixes/prefixes are shared
+    # by every edge along a chain, so the former per-edge re-walk was
+    # quadratic in chain length (profiled hot on boilerplate-heavy docs)
+    _ahead: dict[int, list[int]] = {}
+    _behind: dict[int, list[int]] = {}
+
     def _gaps_ahead(j: int) -> list[int]:
-        out = []
-        while j in fwd:                    # starts strictly increase: no cycle
-            out.append(gap_of[(j, fwd[j])])
+        path = []
+        while j in fwd and j not in _ahead:   # starts increase: no cycle
+            path.append(j)
             j = fwd[j]
-        return out
+        tail = _ahead.get(j, [])
+        for x in reversed(path):
+            tail = [gap_of[(x, fwd[x])]] + tail
+            _ahead[x] = tail
+        return _ahead.get(j, []) if not path else _ahead[path[0]]
 
     def _gaps_behind(i: int) -> list[int]:
-        out = []
+        # iterative post-order over the ancestor in-tree (each node has
+        # <= 1 outgoing edge, so ancestors never re-converge)
+        order = []
         stack = [i]
         while stack:
             x = stack.pop()
+            if x in _behind:
+                continue
+            order.append(x)
+            stack.extend(p for p in back.get(x, []) if p not in _behind)
+        for x in reversed(order):
+            out = []
             for p in back.get(x, []):
                 out.append(gap_of[(p, x)])
-                stack.append(p)
-        return out
+                out.extend(_behind[p])
+            _behind[x] = out
+        return _behind[i]
 
     for i, j in kept_edges:
         ga = _gaps_behind(i)
