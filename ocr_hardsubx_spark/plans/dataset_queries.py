@@ -4282,15 +4282,16 @@ def q_quality_lr_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg((p - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}")
         for j in range(3)
     ])
-    rows = None
-    for j in range(3):
-        r = grads.select(
+    # unpivot the 1-row aggregate via explode — a union of per-feature
+    # selects would re-run the corpus aggregation once per feature
+    return grads.select(F.explode(F.array(*[
+        F.struct(
             F.lit(j).alias("j"),
             F.round(F.col(f"g{j}"), 6).alias("grad"),
             F.round(F.lit(LR_INIT_W[j]) - LR_RATE * F.col(f"g{j}"), 6)
              .alias("w_new"))
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+        for j in range(3)])).alias("r")
+    ).select("r.j", "r.grad", "r.w_new")
 
 
 def q_quality_lr_step_sql() -> str:
