@@ -1165,11 +1165,15 @@ def ensure_ivf_layout(spark: SparkSession, sf_dir: str,
     pid-suffixed temp dir and is renamed into place, so a crashed
     writer never leaves a half-visible layout and concurrent builders
     race benignly (first rename wins, losers discard).  Crashed
-    builders' orphaned ``*.tmp.*`` dirs are swept on the next build
-    once older than IVF_TMP_TTL_S (age-gated so a LIVE concurrent
-    builder's in-flight temp dir is never removed).  Zero-norm vectors
-    carry a NULL assignment and land in the hive default partition —
-    never probed, preserved for audit."""
+    builders' orphaned ``*.tmp.*`` dirs are swept on the next build by
+    PID LIVENESS (the dir name carries the builder pid; an mtime age
+    gate was wrong — a parquet write only touches the top-level dir at
+    start/commit, so a >TTL live write looked stale, review finding)
+    with the TTL age kept as a secondary condition; production
+    multi-NODE builders need lease-style ownership instead, since a
+    pid check only sees this machine.  Zero-norm vectors carry a NULL
+    assignment and land in the hive default partition — never probed,
+    preserved for audit."""
     import glob as _glob
     import hashlib
     import shutil
@@ -1182,13 +1186,22 @@ def ensure_ivf_layout(spark: SparkSession, sf_dir: str,
     path = os.path.join(base, f"{key}_{stamp}")
     if os.path.exists(path):
         return path
-    # sweep a crashed builder's never-GC'd temp dirs for this source
+    # sweep a crashed builder's never-GC'd temp dirs for this source:
+    # dead owner pid (exact on one machine) AND past the TTL age
     now = _time.time()
     for orphan in _glob.glob(os.path.join(base, f"{key}_*.tmp.*")):
         try:
+            pid = int(orphan.rsplit(".", 1)[-1])
+            try:
+                os.kill(pid, 0)
+                continue                 # owner alive: never touch
+            except ProcessLookupError:
+                pass                     # owner dead
+            except PermissionError:
+                continue                 # alive, other uid
             if now - os.path.getmtime(orphan) > IVF_TMP_TTL_S:
                 shutil.rmtree(orphan, ignore_errors=True)
-        except OSError:
+        except (OSError, ValueError):
             pass
     cents = _ivf_centroids(spark, sf_dir)
     tmp = f"{path}.tmp.{os.getpid()}"

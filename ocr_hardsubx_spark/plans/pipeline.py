@@ -799,7 +799,10 @@ def _release_compaction_lease(spark: SparkSession, output_path: str,
                     data = bytes(stream.readAllBytes())
                 finally:
                     stream.close()
-            held = json.loads(data) if data else {}
+            try:
+                held = json.loads(data) if data else {}
+            except ValueError:   # torn write: identity unknown, restore
+                held = {}
             if owner is not None and held.get("owner") != owner:
                 # displaced a fresh foreign lease: restore it atomically
                 if fs.createNewFile(path_cls(p)):

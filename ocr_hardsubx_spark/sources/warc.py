@@ -44,11 +44,15 @@ def parse_warc_records(blob: bytes):
     record in a (possibly gzip'd) WARC blob.  Pure function — the
     single-node oracle for the Spark reader, directly testable."""
     import gzip
+    import zlib
 
     if blob[:2] == b"\x1f\x8b":
         try:
             blob = gzip.decompress(blob)   # handles concatenated members
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # BadGzipFile is OSError, but a TRUNCATED member raises
+            # EOFError and corrupt deflate raises zlib.error — all are
+            # routine archive damage, never fatal
             return
     pos = 0
     n = len(blob)

@@ -224,7 +224,8 @@ def batch_host_dedup(extracted: "DataFrame") -> "DataFrame":
 
 def stateful_host_dedup(extracted: "DataFrame",
                         idle_timeout_ms: int | None = None,
-                        watermark: str | None = "10 minutes") -> "DataFrame":
+                        watermark: str | None = "10 minutes",
+                        idle_horizon_ms: int | None = None) -> "DataFrame":
     """extracted(url, warc_ts, extracted_text, ...) -> per-host stream with
     a ``kept`` flag assigned by cross-batch consecutive dedup.
 
@@ -233,14 +234,18 @@ def stateful_host_dedup(extracted: "DataFrame",
     reorder-buffered per host and folded in event-time order once the
     watermark passes them; stragglers older than the watermark are
     dropped BY THE ENGINE and counted (watermark.watermark_drop_census).
-    In this mode ``idle_timeout_ms`` is an EVENT-TIME idle horizon
-    (default ``watermark.WM_IDLE_HORIZON_MS``, 24h): a host idle past it
-    has its state row GC'd.
+    ``idle_horizon_ms`` is this mode's EVENT-TIME idle GC (default
+    ``watermark.WM_IDLE_HORIZON_MS``, 24h): a host idle past it has its
+    state row removed — a later refetch starts a FRESH chain, the
+    documented GC tradeoff.
 
     Pass ``watermark=None`` to opt into the in-order fast path (a file
     source replaying event-time order — no reorder buffer, no drops);
-    there ``idle_timeout_ms`` is the processing-time GC knob it always
-    was.
+    there ``idle_timeout_ms`` is the PROCESSING-TIME GC knob it always
+    was.  The two GC knobs are deliberately separate parameters and
+    each is rejected in the other's mode — a processing-time budget
+    must never be silently reinterpreted as an event-time horizon
+    (review finding).
 
     Works on a streaming DataFrame (applyInPandasWithState); the unit tests
     drive it through a memory-source availableNow query.
@@ -260,13 +265,18 @@ def stateful_host_dedup(extracted: "DataFrame",
     with_host = extracted.withColumn(
         "host", F.regexp_extract("url", HOST_RE, 1))
     if watermark is not None:
+        if idle_timeout_ms is not None:
+            raise ValueError(
+                "idle_timeout_ms is the in-order mode's processing-time "
+                "GC knob; watermark mode GCs on EVENT time — pass "
+                "idle_horizon_ms (or watermark=None for in-order mode)")
         return (
             with_host.withWatermark("warc_ts", watermark)
             .select("host", "url", "warc_ts", "extracted_text")
             .groupBy("host")
             .applyInPandasWithState(
                 _make_dedup_host_wm(
-                    idle_timeout_ms if idle_timeout_ms is not None
+                    idle_horizon_ms if idle_horizon_ms is not None
                     else WM_IDLE_HORIZON_MS),
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=WM_STATE_SCHEMA,
@@ -274,6 +284,11 @@ def stateful_host_dedup(extracted: "DataFrame",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )
         )
+    if idle_horizon_ms is not None:
+        raise ValueError(
+            "idle_horizon_ms is the watermark mode's event-time GC "
+            "horizon; the in-order fast path GCs on processing time — "
+            "pass idle_timeout_ms")
     return (
         with_host.select("host", "url", "warc_ts", "extracted_text")
         .groupBy("host")

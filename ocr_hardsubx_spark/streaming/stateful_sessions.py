@@ -14,8 +14,9 @@ shadow: across ANY micro-batch slicing, the emitted closed sessions
 equal ``q_sessionize``'s result minus each user's LAST (still-open)
 session.  The DEFAULT mode is the watermark mode (real sources deliver
 out of order): reorder-buffer within the watermark, engine-drop (with
-an exact census) beyond it, idle-horizon state GC
-(tests/test_streaming_watermark.py).  ``watermark=None`` opts into the
+an exact census) beyond it, OPT-IN idle-horizon state GC
+(tests/test_streaming_watermark.py; see stateful_sessionize on why GC
+is not defaulted here).  ``watermark=None`` opts into the
 in-order fast path for sources that replay event-time order.
 """
 
@@ -71,7 +72,7 @@ def _sessions_user(key, pdfs, state):
 WM_STATE_SCHEMA = STATE_SCHEMA + ", buf string"
 
 
-def _make_sessions_user_wm(idle_horizon_ms: int):
+def _make_sessions_user_wm(idle_horizon_ms: int | None):
     def _sessions_user_wm_fn(key, pdfs, state):
         return _sessions_user_wm(key, pdfs, state, idle_horizon_ms)
     return _sessions_user_wm_fn
@@ -133,18 +134,18 @@ def _sessions_user_wm(key, pdfs, state, idle_horizon_ms):
 
 def stateful_sessionize_wm(events: "DataFrame",
                            watermark: str = "10 minutes",
-                           idle_timeout_ms: int | None = None,
+                           idle_horizon_ms: int | None = None,
                            ) -> "DataFrame":
     """Back-compat alias for the watermark path — equivalent to
     ``stateful_sessionize(events, watermark=watermark, ...)``, which is
     now the default mode."""
     return stateful_sessionize(events, watermark=watermark,
-                               idle_timeout_ms=idle_timeout_ms)
+                               idle_horizon_ms=idle_horizon_ms)
 
 
 def stateful_sessionize(events: "DataFrame",
                         watermark: str | None = "10 minutes",
-                        idle_timeout_ms: int | None = None,
+                        idle_horizon_ms: int | None = None,
                         ) -> "DataFrame":
     """events(event_id, ts, user_id, ...) -> closed-session summaries
     ``(user_id, session_no, n_events, first_event, last_event)``.
@@ -152,13 +153,21 @@ def stateful_sessionize(events: "DataFrame",
     The DEFAULT is watermark mode: arrivals may be shuffled arbitrarily
     within the ``watermark`` delay (reorder buffer + event-time
     timeouts); older stragglers are engine-dropped and observable via
-    ``watermark.watermark_drop_census``; a user idle past
-    ``idle_timeout_ms`` event-time ms (default
-    ``watermark.WM_IDLE_HORIZON_MS``, floored at SESSION_GAP so the
-    emitted session is genuinely closed) has the open session emitted
-    and the state row GC'd.  Pinned in tests: shuffled delivery ==
-    in-order delivery == batch shadow, and the straggler census is
-    exact.
+    ``watermark.watermark_drop_census``.  Pinned in tests: shuffled
+    delivery == in-order delivery == batch shadow, and the straggler
+    census is exact.
+
+    ``idle_horizon_ms`` (EVENT-time, floored at SESSION_GAP, OPT-IN) is
+    the state GC dial: a user idle past it has the open session emitted
+    as closed and the state row removed.  It is opt-in — NOT defaulted
+    like the dedup operator's — because removal drops the session
+    COUNTER: a user returning after the horizon restarts at
+    session_no=1, so emitted (user_id, session_no) keys can repeat
+    across GC epochs and no longer match the batch shadow's monotone
+    numbering (review finding).  With GC enabled, downstream must key
+    on (user_id, session_no, first_event); without it, state is one
+    open-session row per user ever seen — the price of stable
+    numbering.  Both behaviors are pinned in tests.
 
     Pass ``watermark=None`` for the in-order fast path (a file source
     replaying event-time order; no reorder buffer, no drops, no GC).
@@ -168,8 +177,6 @@ def stateful_sessionize(events: "DataFrame",
     from pyspark.sql import SparkSession
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from .watermark import WM_IDLE_HORIZON_MS
-
     spark = SparkSession.getActiveSession()
     if spark is not None:
         from ..plans.packaging import ensure_workers_can_import
@@ -177,9 +184,9 @@ def stateful_sessionize(events: "DataFrame",
         ensure_workers_can_import(spark)  # --py-files equivalent
 
     if watermark is None:
-        if idle_timeout_ms is not None:
+        if idle_horizon_ms is not None:
             raise ValueError(
-                "idle_timeout_ms is the watermark-mode GC horizon; the "
+                "idle_horizon_ms is the watermark-mode GC horizon; the "
                 "in-order fast path has no timeout-based GC")
         return (
             events.select("user_id", "event_id", "ts")
@@ -192,10 +199,10 @@ def stateful_sessionize(events: "DataFrame",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
         )
-    horizon = (idle_timeout_ms if idle_timeout_ms is not None
-               else WM_IDLE_HORIZON_MS)
-    # the GC close is only valid once the gap exceeds SESSION_GAP
-    horizon = max(horizon, SESSION_GAP_US // 1000 + 1)
+    horizon = idle_horizon_ms
+    if horizon is not None:
+        # the GC close is only valid once the gap exceeds SESSION_GAP
+        horizon = max(horizon, SESSION_GAP_US // 1000 + 1)
     return (
         events.withWatermark("ts", watermark)
         .select("user_id", "event_id", "ts")

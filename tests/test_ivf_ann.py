@@ -445,17 +445,32 @@ def test_layout_stamp_is_subsecond_and_sweeps_orphans(spark, tmp_path,
     p2 = dq.ensure_ivf_layout(spark, sf)
     assert p2 != p1                       # stale layout NOT reused
 
-    # orphan sweep: stale tmp goes, fresh tmp stays
+    # orphan sweep is gated on PID LIVENESS first, TTL age second:
+    # dead-owner + old  -> swept;  dead-owner + fresh -> kept (TTL);
+    # LIVE owner + old  -> kept (the >TTL in-flight build the mtime
+    # gate would have wrongly killed — review finding)
+    import subprocess
+
+    dead_pid = subprocess.run(["true"]).returncode is not None and         subprocess.Popen(["true"]).pid
+    import time as _t2
+    _t2.sleep(0.1)
+    try:
+        os.waitpid(dead_pid, 0)
+    except ChildProcessError:
+        pass
     key_prefix = os.path.basename(p2).split("_")[0]
     base = str(tmp_path / "layout")
-    stale = os.path.join(base, f"{key_prefix}_999.tmp.12345")
-    fresh = os.path.join(base, f"{key_prefix}_998.tmp.67890")
-    os.makedirs(stale)
-    os.makedirs(fresh)
+    stale = os.path.join(base, f"{key_prefix}_999.tmp.{dead_pid}")
+    fresh = os.path.join(base, f"{key_prefix}_998.tmp.{dead_pid}")
+    live_old = os.path.join(base, f"{key_prefix}_997.tmp.{os.getpid()}")
+    for d in (stale, fresh, live_old):
+        os.makedirs(d)
     old = _time.time() - dq.IVF_TMP_TTL_S - 10
     os.utime(stale, (old, old))
+    os.utime(live_old, (old, old))
     os.utime(f"{sf}/embeddings.parquet",
              ns=(st.st_atime_ns, st.st_mtime_ns + 2))
     dq.ensure_ivf_layout(spark, sf)
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)
+    assert os.path.exists(live_old)

@@ -249,7 +249,7 @@ def test_dedup_wm_idle_state_gc(spark, tmp_path):
     a0, a1, rounds = _dedup_gc_rounds()
     got, dropped = _run_rounds(
         spark, tmp_path,
-        lambda s: stateful_host_dedup(s, idle_timeout_ms=3_600_000),
+        lambda s: stateful_host_dedup(s, idle_horizon_ms=3_600_000),
         DEDUP_SCHEMA, rounds)
     assert dropped == 0
     kept = {r["url"]: r["kept"] for r in got}
@@ -290,10 +290,63 @@ def test_sessions_wm_idle_state_gc_emits_open_session(spark, tmp_path):
     ]
     got, dropped = _run_rounds(
         spark, tmp_path,
-        lambda s: stateful_sessionize(s, idle_timeout_ms=3_600_000),
+        lambda s: stateful_sessionize(s, idle_horizon_ms=3_600_000),
         EVENTS_SCHEMA, rounds)
     assert dropped == 0
     emitted = {(r["user_id"], r["session_no"]):
                (r["n_events"], r["first_event"], r["last_event"])
                for r in got if r["user_id"] != 99}
     assert emitted == {(1, 1): (2, 10, 11)}
+
+
+def test_gc_knobs_are_mode_specific_and_never_reinterpreted(spark):
+    """A processing-time GC budget must never silently become an
+    event-time horizon (or vice versa) when the mode changes — each
+    knob is rejected in the other's mode."""
+    import pytest as _pytest
+
+    from ocr_hardsubx_spark.streaming.stateful_sessions import (
+        stateful_sessionize,
+    )
+
+    df = spark.createDataFrame([], DEDUP_SCHEMA)
+    with _pytest.raises(ValueError):
+        stateful_host_dedup(df, idle_timeout_ms=60_000)      # wm default
+    with _pytest.raises(ValueError):
+        stateful_host_dedup(df, watermark=None,
+                            idle_horizon_ms=60_000)
+    ev = spark.createDataFrame([], EVENTS_SCHEMA)
+    with _pytest.raises(ValueError):
+        stateful_sessionize(ev, watermark=None,
+                            idle_horizon_ms=60_000)
+
+
+def test_sessions_gc_restarts_numbering_documented_epoch(spark,
+                                                         tmp_path):
+    """The documented GC tradeoff, pinned as a contract: a user
+    returning AFTER the idle horizon starts a fresh numbering epoch
+    (session_no restarts at 1), and the rows stay distinguishable via
+    first_event.  Without GC (the default), state — and numbering —
+    would have persisted."""
+    from ocr_hardsubx_spark.streaming.stateful_sessions import (
+        stateful_sessionize,
+    )
+
+    h = dt.timedelta(hours=1)
+    rounds = [
+        [(10, T0, 1), (990, T0 + 30 * M, 99)],
+        [(991, T0 + 3 * h, 99)],            # GC fires for user 1
+        [(992, T0 + 6 * h, 99)],
+        # user 1 returns long past the horizon: new epoch
+        [(20, T0 + 7 * h, 1), (993, T0 + 9 * h, 99)],
+        [(994, T0 + 12 * h, 99)],           # GC fires again
+    ]
+    got, dropped = _run_rounds(
+        spark, tmp_path,
+        lambda s: stateful_sessionize(s, idle_horizon_ms=3_600_000),
+        EVENTS_SCHEMA, rounds)
+    assert dropped == 0
+    mine = sorted((r["session_no"], r["first_event"], r["n_events"])
+                  for r in got if r["user_id"] == 1)
+    # two epochs, each numbered from 1, distinguished by first_event
+    assert mine == [(1, 10, 1), (1, 20, 1)]

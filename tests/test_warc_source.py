@@ -62,6 +62,11 @@ def test_parse_skips_truncated_and_gzip_roundtrips():
     # whole-file gzip (and per-record members decompress the same way)
     assert list(parse_warc_records(gzip.compress(blob))) \
         == list(parse_warc_records(blob))
+    # TRUNCATED gzip (mid-member) raises EOFError from gzip, and corrupt
+    # deflate raises zlib.error — both must be swallowed, not fatal
+    gz = gzip.compress(blob)
+    assert list(parse_warc_records(gz[: len(gz) // 2])) == []
+    assert list(parse_warc_records(gz[:10] + b"\x00garbage")) == []
     # per-record gzip members (the Common Crawl layout)
     members = b"".join(gzip.compress(r) for r in (
         _record(b"response", b"https://a.example/1",
