@@ -43,6 +43,17 @@ def parse_warc_records(blob: bytes):
     """Yield (url, iso_ts, html_bytes) for each well-formed ``response``
     record in a (possibly gzip'd) WARC blob.  Pure function — the
     single-node oracle for the Spark reader, directly testable."""
+    for url, ts, body, _off, _ln in parse_warc_records_indexed(blob):
+        yield url, ts, body
+
+
+def parse_warc_records_indexed(blob: bytes):
+    """Like parse_warc_records but also yields each record's
+    (offset, length) within the DECOMPRESSED stream — the CDX-index
+    fields that make a record individually addressable (production
+    pairs these with per-record gzip member offsets for HTTP range
+    reads; with whole-stream offsets the seek is into the inflated
+    stream)."""
     import gzip
     import zlib
 
@@ -89,7 +100,7 @@ def parse_warc_records(blob: bytes):
         if body[:5] in (b"HTTP/",):
             http_end = body.find(b"\r\n\r\n")
             body = body[http_end + 4:] if http_end >= 0 else b""
-        yield url, ts, body
+        yield url, ts, body, start, body_end - start
 
 
 def read_documents_warc(spark: "SparkSession", path: str) -> "DataFrame":
@@ -121,3 +132,46 @@ def read_documents_warc(spark: "SparkSession", path: str) -> "DataFrame":
     files = spark.read.format("binaryFile").load(path) \
         .select("content")
     return files.mapInPandas(parse_files, schema=WARC_PAGE_SCHEMA)
+
+
+CDX_SCHEMA = ("url string, warc_ts timestamp, file string, "
+              "offset long, length long")
+
+
+def build_cdx(spark: "SparkSession", path: str) -> "DataFrame":
+    """Build the CDX-style record index for a WARC directory: one row
+    per response record with its archive file and (offset, length) —
+    the lookup table that turns a trillion-record archive into a
+    random-access store (resolve url -> (file, offset), range-read one
+    record; Common Crawl ships exactly this as its cdx-*.gz index).
+    Same file-per-task sharding as read_documents_warc; typically
+    written out sorted/bucketed by url so the resolve is a pruned
+    lookup, not a scan."""
+    import pandas as pd
+
+    from ..plans.packaging import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+
+    def index_files(it):
+        from ocr_hardsubx_spark.sources.warc import (
+            parse_warc_records_indexed,
+        )
+
+        for pdf in it:
+            rows = []
+            for fname, blob in zip(pdf["path"], pdf["content"]):
+                for url, ts, _body, off, ln in \
+                        parse_warc_records_indexed(bytes(blob)):
+                    try:
+                        when = pd.Timestamp(ts)
+                    except ValueError:
+                        continue
+                    rows.append((url, when, fname, off, ln))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "file",
+                               "offset", "length"])
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+    return files.mapInPandas(index_files, schema=CDX_SCHEMA)

@@ -131,3 +131,24 @@ def test_parser_never_crashes_or_hangs_on_corruption():
 
     raw_bytes()
     mutated()
+
+
+def test_cdx_index_offsets_address_records(spark, tmp_path):
+    """The CDX rows must actually ADDRESS the records: slicing the
+    decompressed archive at (offset, length) re-parses to exactly that
+    record."""
+    from ocr_hardsubx_spark.sources.warc import (
+        build_cdx, parse_warc_records,
+    )
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    blob = _warc_blob()
+    (d / "a.warc").write_bytes(blob)
+    rows = {r["url"]: r for r in build_cdx(spark, str(d)).collect()}
+    assert set(rows) == {"https://a.example/1", "https://b.example/2"}
+    for url, r in rows.items():
+        assert r["file"].endswith("a.warc")
+        sliced = blob[r["offset"]: r["offset"] + r["length"]]
+        got = list(parse_warc_records(sliced))
+        assert len(got) == 1 and got[0][0] == url
