@@ -92,6 +92,11 @@ _REGISTRY = [
     ("q_quality_lr_step", dq.q_quality_lr_step, dq.q_quality_lr_step_sql),
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),
+    ("q_minhash_bands", dq.q_minhash_bands, dq.q_minhash_bands_sql),
+    ("q_minhash_dup_candidates", dq.q_minhash_dup_candidates, dq.q_minhash_dup_candidates_sql),
+    ("q_jaccard_candidates", dq.q_jaccard_candidates, dq.q_jaccard_candidates_sql),
+    ("q_dup_clusters", dq.q_dup_clusters, dq.q_dup_clusters_sql),
+    ("q_dup_clusters_unified", dq.q_dup_clusters_unified, dq.q_dup_clusters_unified_sql),
     ("q_regions_by_channel", q.q_regions_by_channel, q.q_regions_by_channel_sql),
     ("q1_pricing_summary", q.q1_pricing_summary, q.q1_pricing_summary_sql),
     ("q3_shipping_priority", q.q3_shipping_priority, q.q3_shipping_priority_sql),
@@ -113,12 +118,7 @@ _REGISTRY = [
     ("q_broadcast_dim_join", q.q_broadcast_dim_join, q.q_broadcast_dim_join_sql),
     ("q_stream_dedup_shadow", q.q_stream_dedup_shadow, q.q_stream_dedup_shadow_sql),
     ("q_dedup_exact", dq.q_dedup_exact, dq.q_dedup_exact_sql),
-    ("q_minhash_bands", dq.q_minhash_bands, dq.q_minhash_bands_sql),
-    ("q_minhash_dup_candidates", dq.q_minhash_dup_candidates, dq.q_minhash_dup_candidates_sql),
     ("q_jaccard_nearby", dq.q_jaccard_nearby, dq.q_jaccard_nearby_sql),
-    ("q_jaccard_candidates", dq.q_jaccard_candidates, dq.q_jaccard_candidates_sql),
-    ("q_dup_clusters", dq.q_dup_clusters, dq.q_dup_clusters_sql),
-    ("q_dup_clusters_unified", dq.q_dup_clusters_unified, dq.q_dup_clusters_unified_sql),
     ("q_ann_cosine_topk", dq.q_ann_cosine_topk, dq.q_ann_cosine_topk_sql),
     ("q_ann_lsh_bucketed", dq.q_ann_lsh_bucketed, dq.q_ann_lsh_bucketed_sql),
     ("q_ann_bucketed_topk", dq.q_ann_bucketed_topk, dq.q_ann_bucketed_topk_sql),

@@ -144,7 +144,14 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     each shingle is hashed once instead of N_BANDS times and the explode
     output is never multiplied x N_BANDS before the shuffle — at 100 TB
     the shuffle carries one (doc_id, digest) row per shingle, and the
-    unpivot runs on the already-aggregated (#docs x N_BANDS) frame."""
+    unpivot runs on the already-aggregated (#docs x N_BANDS) frame.
+
+    An Arrow unique-shingle kernel (the q_simhash discipline) was built
+    and MEASURED against this form in round 5: warm interleaved medians
+    0.95s (JVM) vs 1.58s (kernel) at sf0.1 — the simhash win came from
+    replacing 64 per-bit SUM counters, which this query does not have
+    (4 min-aggs over one digest), so the JVM form stays.  Negative
+    results are results; see BENCH/PLANS.md."""
     docs = _tbl(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks"))
@@ -153,11 +160,16 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0))),
+                # try_element_at: ANSI mode (Spark 4) makes a plain
+                # element_at THROW past the end, so a sub-3-token doc
+                # crashed the old form (latent until the kernel's edge
+                # fixtures); NULLs then vanish in concat_ws, matching
+                # the oracle's trim form
                 lambda i: F.concat_ws(
                     " ",
-                    F.element_at(F.col("toks"), i + 1),
-                    F.element_at(F.col("toks"), i + 2),
-                    F.element_at(F.col("toks"), i + 3),
+                    F.try_element_at(F.col("toks"), i + 1),
+                    F.try_element_at(F.col("toks"), i + 2),
+                    F.try_element_at(F.col("toks"), i + 3),
                 ),
             )
         ).alias("shingle"),

@@ -130,3 +130,22 @@ def test_lr_step_matches_hand_gradient(spark, tmp_path):
                  - y) * x[j] for x, y in feats) / len(feats)
         assert got[j]["grad"] == round(g, 6)
         assert got[j]["w_new"] == round(w[j] - dq.LR_RATE * g, 6)
+
+
+def test_minhash_bands_survive_short_docs(spark, tmp_path):
+    """Sub-3-token docs crashed the signature query under ANSI
+    element_at (latent until round-5 edge fixtures; fixed with
+    try_element_at).  Pin: short docs produce partial-shingle
+    signatures, empty/NULL docs drop, and the single-token doc's bands
+    are exactly the md5("a") slices."""
+    import hashlib
+
+    rows = [(1, "a b c d"), (2, ""), (3, "x y"), (4, None), (5, "a")]
+    d = str(tmp_path)
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .write.parquet(d + "/documents.parquet"))
+    got = sorted(map(tuple, dq.q_minhash_bands(spark, d).collect()))
+    assert sorted({r[0] for r in got}) == [1, 3, 5]
+    h = hashlib.md5(b"a").hexdigest()
+    assert [(b, m) for i, b, m in got if i == 5] == \
+        [(b, h[8 * b:8 * b + 8]) for b in range(4)]
