@@ -90,6 +90,8 @@ _REGISTRY = [
     ("q_quantile_sketch", dq.q_quantile_sketch, dq.q_quantile_sketch_sql),
     ("q_dedup_incremental", dq.q_dedup_incremental, dq.q_dedup_incremental_sql),
     ("q_quality_lr_step", dq.q_quality_lr_step, dq.q_quality_lr_step_sql),
+    ("q_dup_cluster_census", dq.q_dup_cluster_census, dq.q_dup_cluster_census_sql),
+    ("q_quality_cut", dq.q_quality_cut, dq.q_quality_cut_sql),
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),
     ("q_minhash_bands", dq.q_minhash_bands, dq.q_minhash_bands_sql),

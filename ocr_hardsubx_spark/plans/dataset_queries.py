@@ -4151,7 +4151,11 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(QSKETCH_BINS - 1)).cast("int").alias("bin"))
         .groupBy("bin").agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # non-foldable constant partition: the window runs on the <=32-row
+    # sketch by construction, and this keys it without the global
+    # single-partition warning (repo convention)
+    w = (Window.partitionBy(F.lit(0) % 1).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
     cum = hist.select(
         "bin", F.sum("n").over(w).alias("cum"),
         F.sum("n").over(Window.partitionBy(F.lit(0) % 1)).alias("total"))
@@ -4375,3 +4379,79 @@ def lr_loss(spark: SparkSession, sf_dir: str, w: list[float]) -> float:
     loss = -(F.col("y") * F.log(p + eps)
              + (1 - F.col("y")) * F.log(1 - p + eps))
     return feat.agg(F.avg(loss)).collect()[0][0]
+
+
+def q_dup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: (cluster_size, n_clusters,
+    n_docs_removable) over the unified clusters — the one-page answer
+    to "how much does dedup buy" that a 100 TB run reads BEFORE paying
+    for the deletes (removable = size - 1 kept per cluster).  Two tiny
+    aggregations over the already-computed cluster table; at scale the
+    census output is at most max-cluster-size rows."""
+    clusters = q_dup_clusters_unified(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_rep").agg(
+        F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+             .alias("n_docs_removable"),
+        )
+    )
+
+
+def q_dup_cluster_census_sql() -> str:
+    return f"""
+    WITH clusters AS ({q_dup_clusters_unified_sql()}),
+    sizes AS (
+      SELECT cluster_rep, count(*) AS cluster_size
+      FROM clusters GROUP BY cluster_rep
+    )
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST((cluster_size - 1) * count(*) AS BIGINT)
+             AS n_docs_removable
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch COMPOSED into the curation decision it
+    exists for: cut the corpus at the sketch's median token-count
+    estimate (keep docs >= the p500 bin edge's lower bound).  The
+    threshold is a 1-row broadcast off the 32-counter sketch — at
+    100 TB the cut re-plans from GBs of histogram state, never a
+    global sort.  Output: per-doc keep decision + the threshold it
+    derived from (recomputable from the row alone)."""
+    thr = (q_quantile_sketch(spark, sf_dir)
+           .where(F.col("q_permille") == 500)
+           .select((F.col("est_tokens") - QSKETCH_BIN_W)
+                   .alias("thr")))
+    docs = _tbl(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id", "n_tokens", "thr",
+            (F.col("n_tokens") >= F.col("thr")).alias("keep"),
+        )
+    )
+
+
+def q_quality_cut_sql() -> str:
+    return f"""
+    WITH sk AS ({q_quantile_sketch_sql()}),
+    thr AS (
+      SELECT est_tokens - {QSKETCH_BIN_W} AS thr
+      FROM sk WHERE q_permille = 500
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           thr.thr AS thr,
+           len(string_split(d.text, ' ')) >= thr.thr AS keep
+    FROM documents d CROSS JOIN thr
+    """

@@ -149,3 +149,31 @@ def test_minhash_bands_survive_short_docs(spark, tmp_path):
     h = hashlib.md5(b"a").hexdigest()
     assert [(b, m) for i, b, m in got if i == 5] == \
         [(b, h[8 * b:8 * b + 8]) for b in range(4)]
+
+
+def test_cluster_census_accounts_for_every_clustered_doc(spark):
+    """size*count summed over the census == total clustered docs, and
+    removable == total - n_clusters (keep one per cluster)."""
+    census = dq.q_dup_cluster_census(spark, SF).collect()
+    total = dq.q_dup_clusters_unified(spark, SF).count()
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in census) \
+        == total
+    assert sum(r["n_docs_removable"] for r in census) \
+        == total - sum(r["n_clusters"] for r in census)
+    assert all(r["cluster_size"] >= 2 for r in census)
+
+
+def test_quality_cut_threshold_is_the_sketch_median(spark):
+    """Every keep decision recomputes from the row + the sketch
+    threshold alone, and roughly half the corpus survives a median
+    cut."""
+    rows = dq.q_quality_cut(spark, SF).collect()
+    thr = {r["thr"] for r in rows}
+    assert len(thr) == 1
+    (thr,) = thr
+    est = {r["q_permille"]: r["est_tokens"]
+           for r in dq.q_quantile_sketch(spark, SF).collect()}
+    assert thr == est[500] - dq.QSKETCH_BIN_W
+    kept = sum(r["keep"] for r in rows)
+    assert all((r["n_tokens"] >= thr) == r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
