@@ -398,12 +398,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-JVM 64-counter formulation is kept as q_simhash_jvm_shadow —
     it mirrors the DuckDB oracle term for term and is pinned equal to
     this kernel on the corpus (the IVF/LSH kernel discipline).
-    Consumed by q_simhash_candidates (banded Hamming near-dup search)."""
-    docs = _tbl(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        _simhash_kernel_udf()(F.col("text")).alias("simhash64"),
-    ).where(F.col("simhash64").isNotNull())
+
+    Returns the SAME session-cached frame q_simhash_candidates buckets
+    (one kernel pass per (session, corpus) however many queries consume
+    the fingerprints — the production analog is a materialized
+    signature table)."""
+    def build():
+        docs = _tbl(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            _simhash_kernel_udf()(F.col("text")).alias("simhash64"),
+        ).where(F.col("simhash64").isNotNull())
+
+    return _session_cached(spark, "simhash_sig", sf_dir, "documents",
+                           build)
 
 
 def q_simhash_jvm_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
