@@ -380,11 +380,13 @@ def _simhash_kernel_udf():
             starts = np.searchsorted(doc_idx, np.arange(n))
             seg_len = np.diff(np.append(starts, len(doc_idx)))
             has = seg_len > 0
-            # reduceat rejects start == len and emits garbage rows for
-            # empty segments — clip and mask those docs to NULL below
-            acc = np.add.reduceat(
-                votes[inv], np.minimum(starts, len(doc_idx) - 1), axis=0)
-            out = ((acc > 0).astype(np.uint64) @ POW).view(np.int64)
+            # reduceat only over NON-EMPTY segment starts: consecutive
+            # non-empty starts bound exactly their own segments, so no
+            # clipping is needed.  (The former np.minimum clip created a
+            # spurious boundary at len-1 whenever the batch ENDED with
+            # empty docs, truncating the last real doc's vote sum.)
+            acc = np.add.reduceat(votes[inv], starts[has], axis=0)
+            out[has] = ((acc > 0).astype(np.uint64) @ POW).view(np.int64)
         res = pd.Series(out, dtype="Int64")
         res[~has] = pd.NA
         return res
@@ -2406,8 +2408,8 @@ def q_line_dedup_sql() -> str:
                FROM hashed JOIN census USING (h))
     SELECT doc_id,
            count(*) AS n_lines,
-           sum(CASE WHEN n_docs >= {LINE_DUP_MIN_DOCS} THEN 1 ELSE 0 END)
-             AS n_dup_lines,
+           CAST(sum(CASE WHEN n_docs >= {LINE_DUP_MIN_DOCS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
            md5(COALESCE(string_agg(line, '. ' ORDER BY pos)
                         FILTER (WHERE n_docs < {LINE_DUP_MIN_DOCS}), ''))
              AS kept_md5
@@ -2891,7 +2893,7 @@ def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-partition totals -> broadcast offsets), which this per-stream
     form composes with."""
     docs = _tbl(spark, sf_dir, "documents")
-    toks = F.size(F.split("text", " "))
+    toks = F.size(F.split("text", " ")).cast("long")
     w = Window.partitionBy("lang").orderBy("doc_id")
     before = F.coalesce(
         F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -2912,16 +2914,17 @@ def q_pack_plan_sql() -> str:
       FROM documents
     )
     SELECT doc_id, lang, n_tokens,
-           COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS tokens_before,
+           CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
            CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
                     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                     AND 1 PRECEDING), 0) / {PACK_WINDOW_TOKENS})
                 AS BIGINT) AS bin,
-           COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             % {PACK_WINDOW_TOKENS} AS offset_in_bin
+           CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0)
+                % {PACK_WINDOW_TOKENS} AS BIGINT) AS offset_in_bin
     FROM t
     """
 
@@ -3007,15 +3010,15 @@ def q_pack_plan_global_sql() -> str:
       FROM documents
     )
     SELECT doc_id, 'all' AS lang, n_tokens,
-           COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS tokens_before,
+                AS BIGINT) AS tokens_before,
            CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     / {PACK_WINDOW_TOKENS}) AS BIGINT) AS bin,
-           COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             % {PACK_WINDOW_TOKENS} AS offset_in_bin
+                % {PACK_WINDOW_TOKENS} AS BIGINT) AS offset_in_bin
     FROM t
     """
 

@@ -137,3 +137,36 @@ def test_kernel_equals_jvm_shadow_including_empty_docs(spark, tmp_path):
             for r in dq.q_simhash_jvm_shadow(spark, d).collect()}
     assert got == want
     assert set(got) == {1, 5, 6}          # 2/3/4 dropped on BOTH paths
+
+
+def test_kernel_batch_ending_in_empty_docs(spark, tmp_path):
+    """Round-6 ADVICE (high): a batch whose LAST rows are zero-token
+    docs (empty / whitespace / NULL text) must not truncate the
+    preceding real doc's vote segment.  The former np.minimum clip on
+    reduceat starts created a spurious boundary at len-1 in exactly
+    that case, silently dropping the last token's votes of the last
+    real doc.  Pinned two ways: the raw Arrow kernel on the literal
+    advisor repro batch, and end-to-end through Spark on a
+    single-partition parquet with the empty doc as the final row."""
+    from ocr_hardsubx_spark.plans import dataset_queries as dq
+
+    # raw kernel, exact advisor batch: doc 1's fingerprint must match
+    # the pure-Python mirror regardless of the trailing empty doc
+    kern = dq._simhash_kernel_udf().func
+    got = kern(pd.Series(["hello world foo", "bar baz qux quux", ""]))
+    assert pd.isna(got.iloc[2])
+    assert got.iloc[0] == simhash64("hello world foo")
+    assert got.iloc[1] == simhash64("bar baz qux quux")
+
+    # end-to-end: single-partition parquet, empty/NULL docs at the tail
+    rows = [(1, "hello world foo"), (2, "bar baz qux quux"),
+            (3, ""), (4, None)]
+    d = str(tmp_path)
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .coalesce(1).write.parquet(d + "/documents.parquet"))
+    got = {r["doc_id"]: r["simhash64"]
+           for r in dq.q_simhash(spark, d).collect()}
+    want = {r["doc_id"]: r["simhash64"]
+            for r in dq.q_simhash_jvm_shadow(spark, d).collect()}
+    assert got == want == {1: simhash64("hello world foo"),
+                           2: simhash64("bar baz qux quux")}
