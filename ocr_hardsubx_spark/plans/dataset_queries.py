@@ -163,14 +163,19 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # try_element_at: ANSI mode (Spark 4) makes a plain
                 # element_at THROW past the end, so a sub-3-token doc
                 # crashed the old form (latent until the kernel's edge
-                # fixtures); NULLs then vanish in concat_ws, matching
-                # the oracle's trim form
-                lambda i: F.concat_ws(
+                # fixtures).  NULLs vanish in concat_ws, but EMPTY
+                # tokens (doubled/leading/trailing spaces in the doc)
+                # do not — they leave stray edge spaces the oracle's
+                # trim(...) strips, so the shingle md5s diverged on
+                # such docs (round-6 ADVICE).  F.trim mirrors the
+                # oracle exactly: internal runs of spaces survive on
+                # both engines, edge spaces survive on neither.
+                lambda i: F.trim(F.concat_ws(
                     " ",
                     F.try_element_at(F.col("toks"), i + 1),
                     F.try_element_at(F.col("toks"), i + 2),
                     F.try_element_at(F.col("toks"), i + 3),
-                ),
+                )),
             )
         ).alias("shingle"),
     ).where(F.col("shingle") != "")
@@ -1164,6 +1169,12 @@ def q_ann_ivf_topk_sql() -> str:
 
 IVF_LAYOUT_BASE = "/root/repo/data/ivf_layout"
 IVF_TMP_TTL_S = 3600  # orphaned-builder temp dirs older than this are swept
+# a RECYCLED pid can make a dead builder's orphan look alive forever
+# (os.kill(pid, 0) succeeds for the unrelated process that now owns the
+# pid) — past this much more generous age the orphan is swept even when
+# its pid "exists" (round-6 ADVICE; no parquet write on this box runs
+# 24h, and a genuinely live write re-stamps the dir at commit)
+IVF_TMP_RECYCLED_TTL_S = 24 * 3600
 IVF_LAYOUT_SCHEMA = "vec_id bigint, embedding array<float>, list_id int"
 
 
@@ -1191,7 +1202,11 @@ def ensure_ivf_layout(spark: SparkSession, sf_dir: str,
     PID LIVENESS (the dir name carries the builder pid; an mtime age
     gate was wrong — a parquet write only touches the top-level dir at
     start/commit, so a >TTL live write looked stale, review finding)
-    with the TTL age kept as a secondary condition; production
+    with the TTL age kept as a secondary condition — and a far more
+    generous age-only backstop (IVF_TMP_RECYCLED_TTL_S) for the
+    recycled-pid case, where an unrelated live process now owns the
+    dead builder's pid and liveness alone would pin the orphan
+    forever; production
     multi-NODE builders need lease-style ownership instead, since a
     pid check only sees this machine.  Zero-norm vectors carry a NULL
     assignment and land in the hive default partition — never probed,
@@ -1209,19 +1224,24 @@ def ensure_ivf_layout(spark: SparkSession, sf_dir: str,
     if os.path.exists(path):
         return path
     # sweep a crashed builder's never-GC'd temp dirs for this source:
-    # dead owner pid (exact on one machine) AND past the TTL age
+    # (dead owner pid AND past the TTL age) OR past the much longer
+    # recycled-pid TTL — a liveness check alone can pin an orphan
+    # forever when the dead builder's pid is later recycled by an
+    # unrelated process (round-6 ADVICE)
     now = _time.time()
     for orphan in _glob.glob(os.path.join(base, f"{key}_*.tmp.*")):
         try:
             pid = int(orphan.rsplit(".", 1)[-1])
+            age = now - os.path.getmtime(orphan)
             try:
                 os.kill(pid, 0)
-                continue                 # owner alive: never touch
+                alive = True             # or a recycled pid
             except ProcessLookupError:
-                pass                     # owner dead
+                alive = False            # owner dead
             except PermissionError:
-                continue                 # alive, other uid
-            if now - os.path.getmtime(orphan) > IVF_TMP_TTL_S:
+                alive = True             # exists, other uid
+            ttl = IVF_TMP_RECYCLED_TTL_S if alive else IVF_TMP_TTL_S
+            if age > ttl:
                 shutil.rmtree(orphan, ignore_errors=True)
         except (OSError, ValueError):
             pass

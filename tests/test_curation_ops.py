@@ -295,3 +295,30 @@ def test_dedup_keep_list_keeps_exactly_one_per_cluster(spark, tmp_path):
     assert {r["doc_id"] for r in members} == {1, 2, 3}
     keepers = [r["doc_id"] for r in members if r["keep"]]
     assert keepers == [1]                         # equal length, min id
+
+
+def test_minhash_shingles_match_oracle_on_stray_spaces(spark, tmp_path):
+    """Round-6 ADVICE (low): docs with doubled / leading / trailing
+    spaces produce empty split-tokens.  Spark's concat_ws keeps them
+    (stray edge spaces in the shingle) while the oracle's trim(...)
+    strips them, so shingle md5s — and hence band minima — diverged
+    cross-engine.  F.trim on the Spark shingle pins the two forms
+    equal; this fixture is exactly the divergent shapes."""
+    import duckdb
+
+    rows = [
+        (1, " leading space doc here", "en", "web"),
+        (2, "trailing space doc here ", "en", "web"),
+        (3, "double  space doc here", "en", "web"),
+        (4, "a  ", "en", "web"),            # advisor repro: 'a '
+        (5, " b c", "en", "web"),           # advisor repro: ' b c'
+        (6, "normal three token doc", "en", "web"),
+    ]
+    out = _docs_dir(spark, tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{out}/documents.parquet/*.parquet')")
+    got = sorted(map(tuple, dq.q_minhash_bands(spark, out).collect()))
+    exp = sorted(map(tuple,
+                     con.execute(dq.q_minhash_bands_sql()).fetchall()))
+    assert got == exp

@@ -463,14 +463,23 @@ def test_layout_stamp_is_subsecond_and_sweeps_orphans(spark, tmp_path,
     stale = os.path.join(base, f"{key_prefix}_999.tmp.{dead_pid}")
     fresh = os.path.join(base, f"{key_prefix}_998.tmp.{dead_pid}")
     live_old = os.path.join(base, f"{key_prefix}_997.tmp.{os.getpid()}")
-    for d in (stale, fresh, live_old):
+    # "recycled pid": the dir's owner pid maps to a LIVE process (here:
+    # our own), but the dir is older than any plausible build — the
+    # age-only backstop must sweep it even though os.kill(pid, 0)
+    # succeeds (round-6 ADVICE: a liveness-only gate pins such orphans
+    # forever once a dead builder's pid is recycled)
+    recycled = os.path.join(base, f"{key_prefix}_996.tmp.{os.getpid()}")
+    for d in (stale, fresh, live_old, recycled):
         os.makedirs(d)
     old = _time.time() - dq.IVF_TMP_TTL_S - 10
+    ancient = _time.time() - dq.IVF_TMP_RECYCLED_TTL_S - 10
     os.utime(stale, (old, old))
     os.utime(live_old, (old, old))
+    os.utime(recycled, (ancient, ancient))
     os.utime(f"{sf}/embeddings.parquet",
              ns=(st.st_atime_ns, st.st_mtime_ns + 2))
     dq.ensure_ivf_layout(spark, sf)
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)
     assert os.path.exists(live_old)
+    assert not os.path.exists(recycled)
