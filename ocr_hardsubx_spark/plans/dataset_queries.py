@@ -4155,6 +4155,156 @@ def q_substring_dedup_sql() -> str:
     """
 
 
+def substring_dedup_apply(docs: DataFrame) -> DataFrame:
+    """The exact-substring dedup APPLY step (round-5 verdict item 5):
+    act on q_substring_dedup's census and emit the deduplicated corpus
+    itself — per doc, the text with every duplicated-gram span CUT
+    except the corpus-global first occurrence of each gram (Lee et al.
+    2022 keep-first discipline; the reference anchor is the R3 dedup
+    contract at sub-document granularity, erfilter.c:1730 entry
+    contract family).
+
+    Semantics: a SUBSTR_NGRAM-token window is *duplicated* when its
+    md5 appears in >= 2 distinct docs (exactly the census's dupg set).
+    Among all occurrences of a duplicated gram, the first in global
+    (doc_id, position) order is KEPT; every other occurrence has its
+    full K-token span removed.  Removed spans within a doc are
+    interval-unioned (a token covered by ANY removable occurrence
+    goes); the kept tokens are reassembled in order with single
+    spaces.  A kept first occurrence may still lose tokens to an
+    OVERLAPPING removable occurrence of a different gram — the
+    documented union semantics.
+
+    Scale shape: the gram shuffle carries (16-byte hash, doc_id, pos);
+    first-occurrence selection is one groupBy(g) min(struct) — an
+    aggregate, never a window over an unbounded partition.  Only
+    REMOVABLE occurrences pay the K-way span explode, and only
+    AFFECTED docs (those with at least one removed token — a small
+    fraction of a real corpus) pay the token-stream explode +
+    anti-join + reassembly; untouched docs pass through with their
+    original text, never exploded.  No driver-side state."""
+    grams = _substr_grams(docs)
+    dupg = (grams.groupBy("g")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= 2).select("g"))
+    hits = grams.join(dupg, "g")
+    first = hits.groupBy("g").agg(
+        F.min(F.struct("doc_id", "i")).alias("f"))
+    removable = (
+        hits.join(first, "g")
+        .where(~((F.col("doc_id") == F.col("f.doc_id"))
+                 & (F.col("i") == F.col("f.i"))))
+        .select("doc_id", "i"))
+    removed = (
+        removable.select("doc_id", F.explode(
+            F.sequence(F.col("i"), F.col("i") + (SUBSTR_NGRAM - 1)))
+            .alias("pos"))
+        .distinct())
+    affected = removed.select("doc_id").distinct()
+    toks = F.split("text", " ")
+    base = docs.select("doc_id", "text",
+                       F.size(toks).cast("long").alias("n_tokens"))
+    tok_stream = (
+        base.join(affected, "doc_id")
+        .select("doc_id", F.posexplode(F.split("text", " "))
+                .alias("pos", "tok")))
+    rebuilt = (
+        tok_stream.join(removed, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"]),
+                " ").alias("text_dedup"),
+            F.count("*").cast("long").alias("n_tokens_kept"),
+        ))
+    touched = (
+        base.join(affected, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            # every token removed -> no rebuilt row -> empty doc
+            F.coalesce("n_tokens_kept", F.lit(0).cast("long"))
+             .alias("n_tokens_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        ))
+    untouched = (
+        base.join(affected, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens",
+                F.col("n_tokens").alias("n_tokens_kept"),
+                F.col("text").alias("text_dedup")))
+    return touched.unionByName(untouched)
+
+
+def q_substring_dedup_apply(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Registered (narrow-output) form of substring_dedup_apply: the
+    deduplicated text rides as an md5 so the compare never ships full
+    documents (the q_line_dedup kept_md5 discipline)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return substring_dedup_apply(docs).select(
+        "doc_id", "n_tokens", "n_tokens_kept",
+        F.md5("text_dedup").alias("dedup_md5"))
+
+
+def q_substring_dedup_apply_sql() -> str:
+    k = SUBSTR_NGRAM
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i+{k - 1}], ' ')) AS g
+      FROM t, LATERAL (SELECT unnest(range(1,
+           greatest(len(t) - {k - 1}, 0) + 1)) AS i)
+    ),
+    dupg AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    occ AS (
+      SELECT grams.doc_id, grams.i,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY doc_id, i) AS rn
+      FROM grams JOIN dupg USING (g)
+    ),
+    removed AS (
+      SELECT DISTINCT doc_id, p
+      FROM (SELECT doc_id, i FROM occ WHERE rn > 1),
+           LATERAL (SELECT unnest(range(i, i + {k})) AS p)
+    ),
+    affected AS (SELECT DISTINCT doc_id FROM removed),
+    kept AS (
+      SELECT s.doc_id,
+             string_agg(s.tok, ' ' ORDER BY s.p) AS text_dedup,
+             count(*) AS n_kept
+      FROM (SELECT t.doc_id, ps.p, t.t[ps.p] AS tok
+            FROM t JOIN affected USING (doc_id),
+                 LATERAL (SELECT unnest(range(1, len(t) + 1)) AS p)
+                   AS ps
+            -- ps.p MUST be qualified: an unqualified p inside the
+            -- EXISTS resolves to removed.p (always-true self-compare)
+            WHERE NOT EXISTS (SELECT 1 FROM removed r
+                              WHERE r.doc_id = t.doc_id
+                                AND r.p = ps.p))
+           AS s
+      GROUP BY s.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN a.doc_id IS NULL THEN len(t.t)
+                     ELSE COALESCE(kept.n_kept, 0) END AS BIGINT)
+             AS n_tokens_kept,
+           md5(CASE WHEN a.doc_id IS NULL
+                    THEN array_to_string(t.t, ' ')
+                    ELSE COALESCE(kept.text_dedup, '') END) AS dedup_md5
+    FROM t LEFT JOIN affected a USING (doc_id)
+           LEFT JOIN kept USING (doc_id)
+    """
+
+
 QSKETCH_BIN_W = 8       # histogram bin width (tokens)
 QSKETCH_BINS = 32       # overflow clamps into the last bin
 QSKETCH_PERMILLE = (500, 900, 990)
@@ -4485,4 +4635,90 @@ def q_quality_cut_sql() -> str:
            thr.thr AS thr,
            len(string_split(d.text, ' ')) >= thr.thr AS keep
     FROM documents d CROSS JOIN thr
+    """
+
+
+LR_TRAIN_ITERS = 20   # full-batch steps for the TRAINED quality cut
+
+
+def q_quality_cut_trained(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """The LR loop CLOSED (round-5 verdict item 6): lr_train's learned
+    coefficients drive a registered per-doc keep/drop decision — the
+    trained twin of q_quality_cut (which stays as the cold-start
+    sketch-median path).
+
+    Shape: training is LR_TRAIN_ITERS one-aggregation passes (the
+    model stays driver-resident, 3 numbers per step); scoring is a
+    pure narrow projection — the weights ride into the plan as
+    literals (the "4-ish broadcast scalars" form), so the cut itself
+    is scan -> project with zero shuffles at any corpus size.
+
+    Cross-engine determinism: the weights are rounded to 6 decimals
+    BEFORE scoring on both engines.  Spark's distributed avg and the
+    oracle's sequential avg accumulate in different orders, so the
+    raw trained weights differ by ~1 ulp (measured 1.1e-16 after 20
+    steps at sf0.01); rounding collapses that to bit-identical
+    doubles, after which z, sigmoid, and the keep compare are the
+    same IEEE ops in the same order on both engines."""
+    w = lr_train(spark, sf_dir, iters=LR_TRAIN_ITERS)
+    wr = [round(x, 6) for x in w]
+    docs = _tbl(spark, sf_dir, "documents")
+    xs, _y = _lr_features()
+    feat = docs.select("doc_id", *xs)
+    z = (F.lit(wr[0]) * F.col("x0") + F.lit(wr[1]) * F.col("x1")
+         + F.lit(wr[2]) * F.col("x2"))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feat.select(
+        "doc_id",
+        F.round(p, 6).alias("score"),
+        (p >= 0.5).alias("keep"),
+    )
+
+
+def q_quality_cut_trained_sql() -> str:
+    """The oracle RE-DERIVES the trained weights relationally: a
+    recursive CTE runs the same LR_TRAIN_ITERS full-batch steps from
+    LR_INIT_W over the same features (each recursive step is three
+    correlated scalar aggregates over feat), rounds to 6 like the
+    engine, and scores with the identical expression order."""
+    w0 = LR_INIT_W
+    feats = f"""
+      SELECT doc_id, 1.0 AS x0,
+             least(len(string_split(text, ' ')), 200) / 200.0 AS x1,
+             COALESCE(round(len(list_distinct(string_split(text, ' ')))
+                   * 1.0
+                   / nullif(len(string_split(text, ' ')), 0), 6), 0.0)
+               AS x2,
+             CAST(list_contains(string_split(text, ' '), 'the')
+                  AS INT) AS y
+      FROM documents
+    """
+
+    def g(j: int) -> str:
+        return ("(SELECT avg((1.0/(1.0+exp(-(s.w0*x0 + s.w1*x1 "
+                f"+ s.w2*x2))) - y) * x{j}) FROM feat)")
+
+    return f"""
+    WITH RECURSIVE feat AS ({feats}),
+    steps(it, w0, w1, w2) AS (
+      SELECT 0, CAST({w0[0]} AS DOUBLE), CAST({w0[1]} AS DOUBLE),
+             CAST({w0[2]} AS DOUBLE)
+      UNION ALL
+      SELECT s.it + 1,
+             s.w0 - {LR_RATE} * {g(0)},
+             s.w1 - {LR_RATE} * {g(1)},
+             s.w2 - {LR_RATE} * {g(2)}
+      FROM steps s WHERE s.it < {LR_TRAIN_ITERS}
+    ),
+    final AS (
+      SELECT round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2
+      FROM steps WHERE it = {LR_TRAIN_ITERS}
+    )
+    SELECT feat.doc_id,
+           round(1.0 / (1.0 + exp(-(f.w0*x0 + f.w1*x1 + f.w2*x2))), 6)
+             AS score,
+           1.0 / (1.0 + exp(-(f.w0*x0 + f.w1*x1 + f.w2*x2))) >= 0.5
+             AS keep
+    FROM feat CROSS JOIN final f
     """

@@ -177,3 +177,107 @@ def test_quality_cut_threshold_is_the_sketch_median(spark):
     kept = sum(r["keep"] for r in rows)
     assert all((r["n_tokens"] >= thr) == r["keep"] for r in rows)
     assert 0 < kept < len(rows)
+
+
+def test_substring_apply_keeps_first_occurrence_only(spark, tmp_path):
+    """The APPLY step on the exact-coverage fixture: doc 1 holds the
+    corpus-first occurrence of the shared span (doc_id order) so its
+    text is untouched; doc 2's copy of the span is cut, leaving its
+    private tokens in order; unique/short docs pass through
+    verbatim."""
+    span = " ".join(f"s{i}" for i in range(K))
+    rows = [
+        (1, "a b c " + span + " x y z"),
+        (2, span + " q r"),
+        (3, " ".join(f"u{i}" for i in range(K + 10))),
+        (4, "too short"),
+    ]
+    out = _docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(out + "/documents.parquet")
+    got = {r["doc_id"]: r for r in
+           dq.substring_dedup_apply(docs).collect()}
+    assert got[1]["text_dedup"] == rows[0][1]          # first copy kept
+    assert got[1]["n_tokens_kept"] == got[1]["n_tokens"]
+    assert got[2]["text_dedup"] == "q r"               # span cut
+    assert got[2]["n_tokens_kept"] == 2
+    assert got[3]["text_dedup"] == rows[2][1]
+    assert got[4]["text_dedup"] == "too short"
+
+
+def test_substring_apply_union_cut_and_empty_doc(spark, tmp_path):
+    """Overlapping removable spans interval-union before the cut, and
+    a doc whose every token is covered comes back EMPTY (not absent):
+    doc 2 is an exact K+5-token copy of doc 1's whole text, so all its
+    6 dup grams are non-first and their union covers everything."""
+    shared = " ".join(f"s{i}" for i in range(K + 5))
+    rows = [(1, shared), (2, shared)]
+    out = _docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(out + "/documents.parquet")
+    got = {r["doc_id"]: r for r in
+           dq.substring_dedup_apply(docs).collect()}
+    assert got[1]["text_dedup"] == shared
+    assert got[2]["text_dedup"] == "" and got[2]["n_tokens_kept"] == 0
+    assert set(got) == {1, 2}                          # row preserved
+
+
+def test_substring_apply_is_idempotent_on_corpus(spark, tmp_path):
+    """apply(apply(corpus)) == apply(corpus): re-running the dedup on
+    its own output changes nothing — every non-first duplicated-gram
+    occurrence was already cut, and (pinned here on the fixture
+    corpus) no cut juxtaposes tokens into a NEW cross-doc duplicate.
+    Also conservation vs the census: apply never removes more tokens
+    than the census declared covered, and every doc apply changed had
+    census coverage > 0."""
+    SF = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    once = dq.substring_dedup_apply(docs)
+    out2 = str(tmp_path / "pass2")
+    (once.select("doc_id", F.col("text_dedup").alias("text"))
+     .write.parquet(out2 + "/documents.parquet"))
+    docs2 = spark.read.parquet(out2 + "/documents.parquet")
+    twice = dq.substring_dedup_apply(docs2)
+    a = {r["doc_id"]: r["text_dedup"] for r in once.collect()}
+    b = {r["doc_id"]: r["text_dedup"] for r in twice.collect()}
+    assert a == b
+
+    census = {r["doc_id"]: r for r in
+              dq.q_substring_dedup(spark, SF).collect()}
+    rows = {r["doc_id"]: r for r in once.collect()}
+    changed = 0
+    for d, r in rows.items():
+        removed = r["n_tokens"] - r["n_tokens_kept"]
+        assert removed <= census[d]["covered_tokens"]
+        if removed:
+            changed += 1
+            assert census[d]["covered_tokens"] > 0
+    assert changed > 0           # the corpus does contain duplicates
+
+
+def test_trained_quality_cut_discriminates(spark, tmp_path):
+    """The LR loop closed (round-5 verdict item 6): on a balanced
+    corpus (fluent long diverse docs with 'the' vs short repetitive
+    salad without), q_quality_cut_trained's learned decision keeps
+    every fluent doc and drops every salad doc — the keep column is a
+    real classifier output, not a constant.  (On the imbalanced
+    synthetic corpus the 0.5 rule keeps everything — intercept-driven,
+    the honest logistic behavior; this fixture pins the discriminating
+    regime.)  Scores must equal the sigmoid of the 6-dp-rounded
+    trained weights exactly."""
+    import math
+
+    pos = [(i, "the " + " ".join(f"w{i}t{j}" for j in range(150)))
+           for i in range(10)]
+    neg = [(100 + i, "spam spam spam spam") for i in range(10)]
+    out = _docs(spark, tmp_path, pos + neg)
+    rows = {r["doc_id"]: r for r in
+            dq.q_quality_cut_trained(spark, out).collect()}
+    assert all(rows[i]["keep"] for i in range(10))
+    assert not any(rows[100 + i]["keep"] for i in range(10))
+
+    # spot-check the score formula against the driver-side trainer
+    w = [round(x, 6) for x in
+         dq.lr_train(spark, out, iters=dq.LR_TRAIN_ITERS)]
+    x1 = min(4, 200) / 200.0          # neg doc: 4 tokens
+    x2 = round(1 / 4, 6)              # 1 distinct token of 4
+    z = w[0] * 1.0 + w[1] * x1 + w[2] * x2
+    assert rows[100]["score"] == round(1.0 / (1.0 + math.exp(-z)), 6)
