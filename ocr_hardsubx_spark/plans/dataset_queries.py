@@ -1082,13 +1082,17 @@ def q_ann_ivf_census_sql() -> str:
 
 
 def _ivf_probe_ids(spark: SparkSession, sf_dir: str,
-                   nprobe: int) -> list[int]:
+                   nprobe: int,
+                   cents: list[list[float]] | None = None) -> list[int]:
     """The `nprobe` list ids closest to the query vector, computed
     driver-side from the cached codebook fetch — the same numbers the
-    oracle derives relationally (ORDER BY sim DESC, cid ASC)."""
+    oracle derives relationally (ORDER BY sim DESC, cid ASC).  Pass
+    ``cents`` to probe against a trained codebook instead of the
+    seed."""
     import numpy as np
 
-    cents = _ivf_centroids(spark, sf_dir)
+    if cents is None:
+        cents = _ivf_centroids(spark, sf_dir)
     qv = np.asarray(_ivf_seed_vectors(spark, sf_dir)[0], dtype=np.float64)
     qsims = np.asarray(cents, dtype=np.float64) @ (qv / np.linalg.norm(qv))
     # HALF_UP to 4 decimals, matching F.round / DuckDB round
@@ -1097,13 +1101,15 @@ def _ivf_probe_ids(spark: SparkSession, sf_dir: str,
     return [k + 1 for k in order[:nprobe]]
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int,
+              cents: list[list[float]] | None = None) -> DataFrame:
     """IVF search: assign every vector (projection), keep the `nprobe`
     lists closest to the query vector, exact cosine on the survivors,
-    ranked top-10."""
+    ranked top-10.  Pass ``cents`` to search a trained codebook."""
     emb = _tbl(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(spark, sf_dir)
-    probe_ids = _ivf_probe_ids(spark, sf_dir, nprobe)
+    if cents is None:
+        cents = _ivf_centroids(spark, sf_dir)
+    probe_ids = _ivf_probe_ids(spark, sf_dir, nprobe, cents)
 
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"))
@@ -1377,13 +1383,30 @@ def q_ivf_train_step_sql() -> str:
     """
 
 
+def _round_half_up(a, decimals: int):
+    """HALF_UP (away from zero) rounding — matches F.round / DuckDB
+    round; np.round is HALF_EVEN and would diverge on exact .5
+    boundaries."""
+    import numpy as np
+
+    p = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * p + 0.5) / p
+
+
 def ivf_lloyd(spark: SparkSession, sf_dir: str,
-              iters: int = 2) -> list[list[float]]:
+              iters: int = 2,
+              round_to: int | None = None) -> list[list[float]]:
     """Full spherical-k-means refinement: `iters` Lloyd steps from the
     deterministic seed codebook, re-normalizing each mean.  Returns the
     trained codebook (position k <-> list id k+1).  Not a registered
     query (iterative; the single step above is the oracle-checked unit),
-    but the trainer a production IVF build would loop."""
+    but the trainer a production IVF build would loop.
+
+    ``round_to`` HALF_UP-rounds each normalized centroid coordinate
+    after every step — the cross-engine determinism dial the TRAINED
+    recall census uses (Spark's distributed avg and the oracle's
+    sequential avg differ by ulps per step; rounding collapses the
+    drift before it can flip a downstream assignment)."""
     import numpy as np
 
     cents = _ivf_centroids(spark, sf_dir)
@@ -1401,7 +1424,10 @@ def ivf_lloyd(spark: SparkSession, sf_dir: str,
         for k in range(1, IVF_K + 1):
             if k in rows:
                 v = np.asarray(rows[k], dtype=np.float64)
-                nxt.append((v / np.linalg.norm(v)).tolist())
+                v = v / np.linalg.norm(v)
+                if round_to is not None:
+                    v = _round_half_up(v, round_to)
+                nxt.append(v.tolist())
             else:                      # empty list keeps its centroid
                 nxt.append(cents[k - 1])
         cents = nxt
@@ -3353,10 +3379,18 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps one association order so the oracle's identically-ordered sum
     is bit-equal, and rounding lands on exact-decimal sums (never a
     half boundary).  Top-10 ascending by (adc_dist, vec_id)."""
+    return _pq_adc_frame(spark, sf_dir, None)
+
+
+def _pq_adc_frame(spark: SparkSession, sf_dir: str, cb) -> DataFrame:
+    """q_pq_adc_topk's body with the codebook injectable (None = the
+    seed codebook) — the trained recall census searches a pq_lloyd
+    codebook through the identical plan."""
     import numpy as np
 
     emb = _tbl(spark, sf_dir, "embeddings")
-    cb = _pq_codebook(spark, sf_dir)                 # (M, K, SUB)
+    if cb is None:
+        cb = _pq_codebook(spark, sf_dir)             # (M, K, SUB)
     qv = np.asarray(_ivf_seed_vectors(spark, sf_dir)[0], dtype=np.float64)
     lut = []
     for s in range(PQ_M):
@@ -3970,12 +4004,16 @@ def q_pq_train_step_sql() -> str:
     """
 
 
-def pq_lloyd(spark: SparkSession, sf_dir: str, iters: int = 2):
+def pq_lloyd(spark: SparkSession, sf_dir: str, iters: int = 2,
+             round_to: int | None = None):
     """Full PQ codebook training: `iters` per-subspace Lloyd steps from
     the deterministic seed codebook.  Returns the trained (PQ_M, PQ_K,
     PQ_SUB) codebook.  Not a registered query (iterative; the single
     step above is the oracle-checked unit) — the driver loop collects
-    only PQ_M x PQ_K mean rows per step, never vectors."""
+    only PQ_M x PQ_K mean rows per step, never vectors.
+
+    ``round_to`` HALF_UP-rounds each updated sub-centroid coordinate
+    after every step (the ivf_lloyd cross-engine determinism dial)."""
     import numpy as np
 
     cb = np.array(_pq_codebook(spark, sf_dir), dtype=np.float64)
@@ -3987,7 +4025,11 @@ def pq_lloyd(spark: SparkSession, sf_dir: str, iters: int = 2):
         rows = _pq_mean_agg(_pq_subspace_pairs(coded)).collect()
         nxt = cb.copy()                  # empty cells keep their centroid
         for r in rows:
-            nxt[r["s"], r["code"]] = [r[f"m{j}"] for j in range(PQ_SUB)]
+            m = np.asarray([r[f"m{j}"] for j in range(PQ_SUB)],
+                           dtype=np.float64)
+            if round_to is not None:
+                m = _round_half_up(m, round_to)
+            nxt[r["s"], r["code"]] = m
         cb = nxt
     return cb
 
@@ -4041,6 +4083,242 @@ def q_ann_recall_census_sql() -> str:
                           THEN 1 ELSE 0 END) / 10.0, 4) AS recall_at_10
     FROM tagged tg LEFT JOIN truth tr ON tr.vec_id = tg.vec_id
     GROUP BY tg.method
+    """
+
+
+ANN_TRAIN_ITERS = 2   # Lloyd steps for the TRAINED recall census
+
+
+def q_ann_recall_census_trained(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Seed-vs-TRAINED retrieval quality, side by side (round-5
+    verdict item 4): recall@10 of the IVF and PQ-ADC searches under
+    (a) the deterministic seed codebooks and (b) ANN_TRAIN_ITERS
+    Lloyd steps of in-engine training (ivf_lloyd / pq_lloyd with the
+    round_to=6 cross-engine dial), against brute-force cosine truth.
+
+    Measured honest finding (BENCH/PLANS.md): on this corpus training
+    lifts PQ-ADC recall (the quantization tightens around the data)
+    but CANNOT lift IVF recall at fixed nprobe — the synthetic
+    embeddings are uniform on the sphere (mean pairwise cos ~ -0.002,
+    max 0.51), so there are no clusters for the coarse quantizer to
+    align with and probe coverage (nprobe/IVF_K of the corpus) is the
+    binding constraint.  On clustered real embeddings the same
+    operator is where the trained-IVF gain appears.
+
+    Cross-engine: every Lloyd step rounds centroids to 6 decimals and
+    every assignment rounds sims/distances to 4 (HALF_UP), so the
+    oracle re-deriving the full training relationally lands on
+    identical codebooks and identical retrieved sets."""
+    truth = (q_ann_cosine_topk(spark, sf_dir)
+             .select("vec_id").withColumn("hit", F.lit(1)))
+    cents_t = ivf_lloyd(spark, sf_dir, iters=ANN_TRAIN_ITERS,
+                        round_to=6)
+    cb_t = pq_lloyd(spark, sf_dir, iters=ANN_TRAIN_ITERS, round_to=6)
+    parts = [
+        ("ivf", "seed", q_ann_ivf_topk(spark, sf_dir)),
+        ("pq_adc", "seed", q_pq_adc_topk(spark, sf_dir)),
+        ("ivf", "trained", _ivf_topk(spark, sf_dir, IVF_NPROBE,
+                                     cents_t)),
+        ("pq_adc", "trained", _pq_adc_frame(spark, sf_dir, cb_t)),
+    ]
+    tagged = None
+    for m, ph, df in parts:
+        part = df.select(F.lit(m).alias("method"),
+                         F.lit(ph).alias("phase"), "vec_id")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return (
+        tagged.join(F.broadcast(truth), "vec_id", "left")
+        .groupBy("method", "phase")
+        .agg(F.round(F.sum(F.coalesce("hit", F.lit(0))) / 10.0, 4)
+              .alias("recall_at_10"))
+    )
+
+
+def _ivf_lloyd_sql_ctes(iters: int) -> str:
+    """CTE chain re-deriving ivf_lloyd(iters, round_to=6) relationally:
+    per step — round-4 cosine assignment (kernel parity), 64 per-list
+    avgs, L2 normalize, round-6.  Empty lists keep their centroid."""
+    dims = range(EMB_DIM)
+    avgs = ", ".join(f"avg(e.x[{d + 1}]) AS m{d}" for d in dims)
+    nrm = " + ".join(f"m.m{d}*m.m{d}" for d in dims)
+    newc = ", ".join(f"round(m.m{d} / sqrt({nrm}), 6)" for d in dims)
+    parts = [f"""
+    icents0 AS (
+      SELECT vec_id AS cid,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               v -> v / sqrt(list_dot_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS c
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {IVF_K}
+    )"""]
+    for i in range(iters):
+        parts.append(f"""
+    isims{i} AS (
+      SELECT e.vec_id, c.cid,
+             round(list_dot_product(e.x, c.c)
+                   / sqrt(list_dot_product(e.x, e.x)), 4) AS sim
+      FROM e CROSS JOIN icents{i} c
+      WHERE list_dot_product(e.x, e.x) <> 0
+    ),
+    iassign{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid ASC) AS rn
+        FROM isims{i}) WHERE rn = 1
+    ),
+    imeans{i} AS (
+      SELECT a.cid, {avgs}
+      FROM iassign{i} a JOIN e ON e.vec_id = a.vec_id
+      GROUP BY a.cid
+    ),
+    icents{i + 1} AS (
+      SELECT p.cid,
+             CASE WHEN m.cid IS NULL THEN p.c
+                  ELSE [{newc}] END AS c
+      FROM icents{i} p LEFT JOIN imeans{i} m USING (cid)
+    )""")
+    return ",".join(parts)
+
+
+def _pq_lloyd_sql_ctes(iters: int) -> str:
+    """CTE chain re-deriving pq_lloyd(iters, round_to=6) relationally:
+    per step — round-4 squared-L2 sub-assignment (kernel parity),
+    PQ_SUB per-cell avgs, round-6.  Empty cells keep their
+    sub-centroid."""
+    subs = ", ".join(f"({s})" for s in range(PQ_M))
+    avgs = ", ".join(
+        f"avg(e.x[a.s * {PQ_SUB} + {j + 1}]) AS m{j}"
+        for j in range(PQ_SUB))
+    newc = ", ".join(f"round(m.m{j}, 6)" for j in range(PQ_SUB))
+    parts = [f"""
+    pcb0 AS (
+      SELECT sp.s, e.vec_id - 1 AS code,
+             e.x[sp.s * {PQ_SUB} + 1 : sp.s * {PQ_SUB} + {PQ_SUB}] AS c
+      FROM e CROSS JOIN (VALUES {subs}) sp(s)
+      WHERE e.vec_id BETWEEN 1 AND {PQ_K}
+    )"""]
+    for i in range(iters):
+        parts.append(f"""
+    psub{i} AS (
+      SELECT e.vec_id, cb.s, cb.code,
+             round(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                   j -> pow(e.x[cb.s * {PQ_SUB} + j] - cb.c[j], 2))), 4)
+               AS d2
+      FROM e CROSS JOIN pcb{i} cb
+    ),
+    passign{i} AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, code) AS rn
+        FROM psub{i}) WHERE rn = 1
+    ),
+    pmeans{i} AS (
+      SELECT a.s, a.code, {avgs}
+      FROM passign{i} a JOIN e ON e.vec_id = a.vec_id
+      GROUP BY a.s, a.code
+    ),
+    pcb{i + 1} AS (
+      SELECT p.s, p.code,
+             CASE WHEN m.code IS NULL THEN p.c
+                  ELSE [{newc}] END AS c
+      FROM pcb{i} p LEFT JOIN pmeans{i} m
+           ON m.s = p.s AND m.code = p.code
+    )""")
+    return ",".join(parts)
+
+
+def q_ann_recall_census_trained_sql() -> str:
+    it = ANN_TRAIN_ITERS
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    {_ivf_lloyd_sql_ctes(it)},
+    {_pq_lloyd_sql_ctes(it)},
+    tsims AS (
+      SELECT e.vec_id, c.cid,
+             round(list_dot_product(e.x, c.c)
+                   / sqrt(list_dot_product(e.x, e.x)), 4) AS sim
+      FROM e CROSS JOIN icents{it} c
+      WHERE list_dot_product(e.x, e.x) <> 0
+    ),
+    tassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid ASC) AS rn
+        FROM tsims) WHERE rn = 1
+    ),
+    tprobes AS (
+      SELECT cid FROM tsims WHERE vec_id = 0
+      ORDER BY sim DESC, cid ASC LIMIT {IVF_NPROBE}
+    ),
+    tq AS (SELECT x AS qv FROM e WHERE vec_id = 0),
+    tscored AS (
+      SELECT ee.vec_id,
+             round(list_dot_product(ee.x, tq.qv)
+                   / (sqrt(list_dot_product(ee.x, ee.x))
+                      * sqrt(list_dot_product(tq.qv, tq.qv))), 4)
+               AS cos_sim
+      FROM e ee
+      JOIN tassign a ON a.vec_id = ee.vec_id
+      JOIN tprobes p ON a.cid = p.cid
+      CROSS JOIN tq
+      WHERE ee.vec_id <> 0
+    ),
+    ivf_trained AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY cos_sim DESC,
+                                          vec_id ASC) AS rk
+        FROM tscored) WHERE rk <= 10
+    ),
+    tsub AS (
+      SELECT e.vec_id, cb.s, cb.code,
+             round(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                   j -> pow(e.x[cb.s * {PQ_SUB} + j] - cb.c[j], 2))), 4)
+               AS d2
+      FROM e CROSS JOIN pcb{it} cb
+    ),
+    tchosen AS (
+      SELECT vec_id, s, code,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rn
+      FROM tsub
+    ),
+    tadc AS (
+      SELECT ch.vec_id,
+             round(list_sum(list(q.d2 ORDER BY ch.s)), 4) AS adc_dist
+      FROM tchosen ch
+      JOIN tsub q ON q.vec_id = 0 AND q.s = ch.s AND q.code = ch.code
+      WHERE ch.rn = 1 AND ch.vec_id <> 0
+      GROUP BY ch.vec_id
+    ),
+    pq_trained AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY adc_dist ASC,
+                                          vec_id ASC) AS rk
+        FROM tadc) WHERE rk <= 10
+    ),
+    truth AS (SELECT vec_id FROM ({q_ann_cosine_topk_sql()}) b),
+    tagged AS (
+      SELECT 'ivf' AS method, 'seed' AS phase, vec_id
+      FROM ({q_ann_ivf_topk_sql()}) s_ivf
+      UNION ALL
+      SELECT 'pq_adc', 'seed', vec_id FROM ({q_pq_adc_topk_sql()}) s_pq
+      UNION ALL
+      SELECT 'ivf', 'trained', vec_id FROM ivf_trained
+      UNION ALL
+      SELECT 'pq_adc', 'trained', vec_id FROM pq_trained
+    )
+    SELECT tg.method, tg.phase,
+           round(sum(CASE WHEN tr.vec_id IS NOT NULL
+                          THEN 1 ELSE 0 END) / 10.0, 4) AS recall_at_10
+    FROM tagged tg LEFT JOIN truth tr ON tr.vec_id = tg.vec_id
+    GROUP BY tg.method, tg.phase
     """
 
 
