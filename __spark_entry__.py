@@ -55,43 +55,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Ordered registry: (name, query_fn, oracle_sql_fn).  The driver's
 # correctness harness checks the FIRST 50 entries of queries() in
-# registration order, so the ordering here is deliberate: the two
-# always-on anchors first, then the 19 round-4 queries that had never
-# received a driver-green row (judge-verified green in round 4), then
-# this round's new queries, then the remaining already-driver-green
-# entries.  queries() and oracle_sql() both derive from this list so
-# they cannot drift out of sync.
+# registration order; queries() and oracle_sql() both derive from this
+# list so they cannot drift out of sync.
+#
+# ROTATION RULE (round-6 verdict item 3): after the two always-on
+# anchors, the window is filled in priority order —
+#   1. entries that have never received a driver-green row;
+#   2. entries NEW this round;
+#   3. entries whose code (query or oracle) changed since their last
+#      driver-green row;
+#   4. entries with the OLDEST driver-green row (so every entry lands
+#      a driver-green row at least once every two rounds).
+# Everything else follows after position 50 and rotates forward next
+# round.  This round: 3 never-green (pack/line-dedup oracle casts), 3
+# new (substring apply, trained quality cut, trained recall census),
+# the minhash/simhash-derived dedup family (shingle-trim + kernel
+# fixes touched their signatures), then the 28 entries last green in
+# round 4; the 31 entries after position 50 were all green in round 5.
 _REGISTRY = [
+    # -- anchors -----------------------------------------------------------
     ("extract_pipeline", q.extract_pipeline, q.extract_pipeline_sql),
     ("partition_prune", q.partition_prune, q.partition_prune_sql),
-    ("q_vocab_df", dq.q_vocab_df, dq.q_vocab_df_sql),
-    ("q_lang_id", dq.q_lang_id, dq.q_lang_id_sql),
-    ("q_pii_scrub", dq.q_pii_scrub, dq.q_pii_scrub_sql),
-    ("q_lm_perplexity", dq.q_lm_perplexity, dq.q_lm_perplexity_sql),
-    ("q_stratified_sample", dq.q_stratified_sample, dq.q_stratified_sample_sql),
-    ("q_mixture_plan", dq.q_mixture_plan, dq.q_mixture_plan_sql),
+    # -- never driver-green (oracle casts landed this round) ---------------
     ("q_pack_plan", dq.q_pack_plan, dq.q_pack_plan_sql),
     ("q_pack_plan_global", dq.q_pack_plan_global, dq.q_pack_plan_global_sql),
-    ("q_hll_distinct", dq.q_hll_distinct, dq.q_hll_distinct_sql),
-    ("q_pq_codes", dq.q_pq_codes, dq.q_pq_codes_sql),
-    ("q_pq_adc_topk", dq.q_pq_adc_topk, dq.q_pq_adc_topk_sql),
-    ("q_ivfpq_topk", dq.q_ivfpq_topk, dq.q_ivfpq_topk_sql),
-    ("q_bm25_topk", dq.q_bm25_topk, dq.q_bm25_topk_sql),
-    ("q_dedup_keep_list", dq.q_dedup_keep_list, dq.q_dedup_keep_list_sql),
-    ("q_embed_quantize", dq.q_embed_quantize, dq.q_embed_quantize_sql),
-    ("q_event_window_rate", dq.q_event_window_rate, dq.q_event_window_rate_sql),
     ("q_line_dedup", dq.q_line_dedup, dq.q_line_dedup_sql),
-    ("q_decontaminate", dq.q_decontaminate, dq.q_decontaminate_sql),
-    ("q_decon_bloom", dq.q_decon_bloom, dq.q_decon_bloom_sql),
-    ("q_pq_train_step", dq.q_pq_train_step, dq.q_pq_train_step_sql),
-    ("q_ann_recall_census", dq.q_ann_recall_census, dq.q_ann_recall_census_sql),
-    ("q_pack_assemble", dq.q_pack_assemble, dq.q_pack_assemble_sql),
-    ("q_substring_dedup", dq.q_substring_dedup, dq.q_substring_dedup_sql),
-    ("q_quantile_sketch", dq.q_quantile_sketch, dq.q_quantile_sketch_sql),
-    ("q_dedup_incremental", dq.q_dedup_incremental, dq.q_dedup_incremental_sql),
-    ("q_quality_lr_step", dq.q_quality_lr_step, dq.q_quality_lr_step_sql),
-    ("q_dup_cluster_census", dq.q_dup_cluster_census, dq.q_dup_cluster_census_sql),
-    ("q_quality_cut", dq.q_quality_cut, dq.q_quality_cut_sql),
+    # -- new this round ----------------------------------------------------
+    ("q_substring_dedup_apply", dq.q_substring_dedup_apply, dq.q_substring_dedup_apply_sql),
+    ("q_quality_cut_trained", dq.q_quality_cut_trained, dq.q_quality_cut_trained_sql),
+    ("q_ann_recall_census_trained", dq.q_ann_recall_census_trained, dq.q_ann_recall_census_trained_sql),
+    # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),
     ("q_minhash_bands", dq.q_minhash_bands, dq.q_minhash_bands_sql),
@@ -99,19 +92,15 @@ _REGISTRY = [
     ("q_jaccard_candidates", dq.q_jaccard_candidates, dq.q_jaccard_candidates_sql),
     ("q_dup_clusters", dq.q_dup_clusters, dq.q_dup_clusters_sql),
     ("q_dup_clusters_unified", dq.q_dup_clusters_unified, dq.q_dup_clusters_unified_sql),
-    ("q_regions_by_channel", q.q_regions_by_channel, q.q_regions_by_channel_sql),
-    ("q1_pricing_summary", q.q1_pricing_summary, q.q1_pricing_summary_sql),
-    ("q3_shipping_priority", q.q3_shipping_priority, q.q3_shipping_priority_sql),
-    ("q5_local_supplier_volume", q.q5_local_supplier_volume, q.q5_local_supplier_volume_sql),
-    ("q18_large_volume_customer", q.q18_large_volume_customer, q.q18_large_volume_customer_sql),
-    ("q_customers_without_orders", q.q_customers_without_orders, q.q_customers_without_orders_sql),
-    ("q_order_priority_rollup", q.q_order_priority_rollup, q.q_order_priority_rollup_sql),
-    ("q4_order_priority", q.q4_order_priority, q.q4_order_priority_sql),
-    ("q7_volume_shipping", q.q7_volume_shipping, q.q7_volume_shipping_sql),
-    ("q14_promo_revenue", q.q14_promo_revenue, q.q14_promo_revenue_sql),
-    ("q_stump_scoring", q.q_stump_scoring, q.q_stump_scoring_sql),
-    ("q_stump_scoring_ref", q.q_stump_scoring_ref, q.q_stump_scoring_ref_sql),
-    ("q_window_dedup", q.q_window_dedup, q.q_window_dedup_sql),
+    ("q_dedup_keep_list", dq.q_dedup_keep_list, dq.q_dedup_keep_list_sql),
+    ("q_dedup_incremental", dq.q_dedup_incremental, dq.q_dedup_incremental_sql),
+    ("q_dup_cluster_census", dq.q_dup_cluster_census, dq.q_dup_cluster_census_sql),
+    # -- siblings of this round's changes ----------------------------------
+    ("q_substring_dedup", dq.q_substring_dedup, dq.q_substring_dedup_sql),
+    ("q_quality_cut", dq.q_quality_cut, dq.q_quality_cut_sql),
+    ("q_quality_lr_step", dq.q_quality_lr_step, dq.q_quality_lr_step_sql),
+    ("q_ann_recall_census", dq.q_ann_recall_census, dq.q_ann_recall_census_sql),
+    # -- oldest driver-green (last green round 4) --------------------------
     ("q_top1_per_group", q.q_top1_per_group, q.q_top1_per_group_sql),
     ("q_pair_range_join", q.q_pair_range_join, q.q_pair_range_join_sql),
     ("q_triplet_consistency", q.q_triplet_consistency, q.q_triplet_consistency_sql),
@@ -140,6 +129,38 @@ _REGISTRY = [
     ("q_char_whitelist", dq.q_char_whitelist, dq.q_char_whitelist_sql),
     ("q_repetition_stats", dq.q_repetition_stats, dq.q_repetition_stats_sql),
     ("q_curation_funnel", dq.q_curation_funnel, dq.q_curation_funnel_sql),
+    # ---- position 51+: all driver-green in round 5, rotate next round ----
+    ("q_vocab_df", dq.q_vocab_df, dq.q_vocab_df_sql),
+    ("q_lang_id", dq.q_lang_id, dq.q_lang_id_sql),
+    ("q_pii_scrub", dq.q_pii_scrub, dq.q_pii_scrub_sql),
+    ("q_lm_perplexity", dq.q_lm_perplexity, dq.q_lm_perplexity_sql),
+    ("q_stratified_sample", dq.q_stratified_sample, dq.q_stratified_sample_sql),
+    ("q_mixture_plan", dq.q_mixture_plan, dq.q_mixture_plan_sql),
+    ("q_hll_distinct", dq.q_hll_distinct, dq.q_hll_distinct_sql),
+    ("q_pq_codes", dq.q_pq_codes, dq.q_pq_codes_sql),
+    ("q_pq_adc_topk", dq.q_pq_adc_topk, dq.q_pq_adc_topk_sql),
+    ("q_ivfpq_topk", dq.q_ivfpq_topk, dq.q_ivfpq_topk_sql),
+    ("q_bm25_topk", dq.q_bm25_topk, dq.q_bm25_topk_sql),
+    ("q_embed_quantize", dq.q_embed_quantize, dq.q_embed_quantize_sql),
+    ("q_event_window_rate", dq.q_event_window_rate, dq.q_event_window_rate_sql),
+    ("q_decontaminate", dq.q_decontaminate, dq.q_decontaminate_sql),
+    ("q_decon_bloom", dq.q_decon_bloom, dq.q_decon_bloom_sql),
+    ("q_pq_train_step", dq.q_pq_train_step, dq.q_pq_train_step_sql),
+    ("q_pack_assemble", dq.q_pack_assemble, dq.q_pack_assemble_sql),
+    ("q_quantile_sketch", dq.q_quantile_sketch, dq.q_quantile_sketch_sql),
+    ("q_regions_by_channel", q.q_regions_by_channel, q.q_regions_by_channel_sql),
+    ("q1_pricing_summary", q.q1_pricing_summary, q.q1_pricing_summary_sql),
+    ("q3_shipping_priority", q.q3_shipping_priority, q.q3_shipping_priority_sql),
+    ("q5_local_supplier_volume", q.q5_local_supplier_volume, q.q5_local_supplier_volume_sql),
+    ("q18_large_volume_customer", q.q18_large_volume_customer, q.q18_large_volume_customer_sql),
+    ("q_customers_without_orders", q.q_customers_without_orders, q.q_customers_without_orders_sql),
+    ("q_order_priority_rollup", q.q_order_priority_rollup, q.q_order_priority_rollup_sql),
+    ("q4_order_priority", q.q4_order_priority, q.q4_order_priority_sql),
+    ("q7_volume_shipping", q.q7_volume_shipping, q.q7_volume_shipping_sql),
+    ("q14_promo_revenue", q.q14_promo_revenue, q.q14_promo_revenue_sql),
+    ("q_stump_scoring", q.q_stump_scoring, q.q_stump_scoring_sql),
+    ("q_stump_scoring_ref", q.q_stump_scoring_ref, q.q_stump_scoring_ref_sql),
+    ("q_window_dedup", q.q_window_dedup, q.q_window_dedup_sql),
 ]
 
 

@@ -36,6 +36,11 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 BENCH_CORPUS = f"/root/repo/data/bench/documents_{BENCH_DOCS}"
 SCRATCH = "/root/repo/data/bench/out"
 
+# idle-box reference for the single-threaded parse guard (median of
+# judge + builder idle measurements, rounds 2-5); the contended flag
+# trips below 70% of this
+PARSE_GUARD_REF_MB_S = 6.5
+
 HEADLINE_QUERIES = (
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q_broadcast_dim_join", "q_top1_per_group",
@@ -98,19 +103,26 @@ def ensure_bench_corpus() -> str:
     return BENCH_CORPUS
 
 
-def run_extraction(cores: int, reps: int = 5) -> tuple[float, int]:
+def run_extraction(cores: int, reps: int = 5,
+                   control_fn=None) -> tuple[float, int, list]:
     """Fresh session at the given parallelism; returns (median_wall_sec,
-    n_docs).  Each rep is the whole job — read -> extract -> write +
-    manifest commit — on a fresh output dir; session startup and Python
-    worker spin-up are excluded per the BASELINE.md protocol (warm page
-    cache, median of reps)."""
+    n_docs, control_values).  Each rep is the whole job — read ->
+    extract -> write + manifest commit — on a fresh output dir; session
+    startup and Python worker spin-up are excluded per the BASELINE.md
+    protocol (warm page cache, median of reps).
+
+    ``control_fn`` (round-6 verdict item 2) runs INTERLEAVED after each
+    timed rep: a short single-threaded workload over code the round did
+    not touch (the parse guard) whose own throughput moves only with
+    box load — its per-rep values let the reader separate a code
+    regression from a contended box (the r05 headline artifact)."""
     from ocr_hardsubx_spark.plans.pipeline import run_extraction_job
 
     corpus = ensure_bench_corpus()
     spark = get_spark(app_name=f"bench-extract-{cores}", cores=cores)
     try:
         _warm_python_workers(spark, cores)
-        walls, rows = [], 0
+        walls, rows, controls = [], 0, []
         # one untimed warm run amortizes page-cache/JIT before the reps
         warm_out = f"{SCRATCH}/warm_{cores}"
         shutil.rmtree(warm_out, ignore_errors=True)
@@ -125,7 +137,9 @@ def run_extraction(cores: int, reps: int = 5) -> tuple[float, int]:
             walls.append(time.time() - t0)
             rows = res["rows"]
             shutil.rmtree(out, ignore_errors=True)
-        return sorted(walls)[len(walls) // 2], rows
+            if control_fn is not None:
+                controls.append(control_fn())
+        return sorted(walls)[len(walls) // 2], rows, controls
     finally:
         spark.stop()
 
@@ -209,7 +223,7 @@ def main() -> None:
         n = 0
         for _round in range(3):
             for cores in (2, 8, 32):
-                wall, n = run_extraction(cores, reps=1)
+                wall, n, _ = run_extraction(cores, reps=1)
                 samples[cores].append(wall)
         results = {}
         for cores, walls in samples.items():
@@ -232,13 +246,25 @@ def main() -> None:
                           "detail": results}))
         return
 
-    wall, n = run_extraction(CPUS)
+    load_start = os.getloadavg()[0]
+    wall, n, parse_ctrl = run_extraction(CPUS,
+                                         control_fn=run_parse_throughput)
     spark = get_spark(app_name="bench-queries", cores=CPUS)
     try:
         qtimes = run_queries(spark)
         mismatches = _post_bench_correctness(spark)
     finally:
         spark.stop()
+    load_end = os.getloadavg()[0]
+    # contention flag (round-6 verdict item 2): the parse guard runs
+    # single-threaded over code untouched by query work — its median
+    # falling well below the idle-box reference means the HEADLINE
+    # number was taken on a loaded box and must not be read as a code
+    # regression (the r05 6,082 docs/s artifact; judge re-measured
+    # 13,361 idle while the guard sat at 4.4 vs its 6.5 reference)
+    ctrl_med = (sorted(parse_ctrl)[len(parse_ctrl) // 2]
+                if parse_ctrl else run_parse_throughput())
+    contended = ctrl_med < PARSE_GUARD_REF_MB_S * 0.7
     print(json.dumps({
         "metric": "extraction_throughput",
         "value": round(n / wall, 1),
@@ -247,7 +273,11 @@ def main() -> None:
         "bench_docs": n,
         "cores": CPUS,
         "byte_identity_mismatches": mismatches,
-        "parse_mb_per_sec": run_parse_throughput(),
+        "parse_mb_per_sec": ctrl_med,
+        "parse_ctrl_per_rep": parse_ctrl,
+        "parse_guard_ref_mb_per_sec": PARSE_GUARD_REF_MB_S,
+        "load_avg_1m": [round(load_start, 2), round(load_end, 2)],
+        "contended": contended,
         "queries": qtimes,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
     }))

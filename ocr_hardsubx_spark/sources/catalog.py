@@ -15,7 +15,9 @@ Either way the downstream job sees the same DataFrame schema.
 
 Enabling the affirmative path (documented environmental blocker: the
 sandbox has no network, so the jar cannot be vendored — verified by a
-maven-central GET returning no route in round 5):
+maven-central GET returning no route in round 5 and re-verified in
+round 6: DNS for repo1.maven.org unresolvable, no ~/.ivy2 / ~/.m2
+cache, and a filesystem-wide search finds no iceberg jar to commit):
 
 * jar: ``org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:<latest>``
   for this PySpark (4.1.x, Scala 2.13); for Spark 4.0 use

@@ -175,3 +175,130 @@ def build_cdx(spark: "SparkSession", path: str) -> "DataFrame":
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
     return files.mapInPandas(index_files, schema=CDX_SCHEMA)
+
+
+# -- intra-file split reader (round-5 verdict item 8) ----------------------
+
+_SPLIT_TAIL = _MAX_RECORD_BYTES + (64 << 10)   # a record starting just
+# inside a split can extend at most one max-record past the boundary
+
+
+def _anchor_record_start(blob: bytes, pos: int, abs_base: int) -> int:
+    """First byte offset >= pos that is a REAL record start: ``WARC/``
+    at absolute file offset 0 or preceded by ``\\r\\n\\r\\n``, AND whose
+    header block carries WARC-Date + Content-Length (the
+    record-separator anchor production WARC InputFormats use — a bare
+    ``find(b"WARC/")`` would bite on archived pages whose BODY contains
+    a fake WARC header).  A byte-exact embedded full record (a WARC
+    archived inside a WARC) can still fool any content anchor — the
+    airtight production split is per-record gzip member boundaries;
+    this reader targets plain oversized archives.  Returns -1 if
+    none."""
+    while True:
+        cand = blob.find(b"WARC/", pos)
+        if cand < 0:
+            return -1
+        if (abs_base + cand == 0) or blob[max(0, cand - 4):cand] == \
+                b"\r\n\r\n":
+            hdr_end = blob.find(b"\r\n\r\n", cand)
+            if hdr_end >= 0:
+                hdr = blob[cand:hdr_end].lower()
+                if b"warc-date:" in hdr and b"content-length:" in hdr:
+                    return cand
+        pos = cand + 5
+
+
+def read_documents_warc_split(spark: "SparkSession", path: str,
+                              split_bytes: int = 64 << 20) -> "DataFrame":
+    """Record-boundary-aware SPLIT reader for archives that exceed one
+    task's appetite: each uncompressed ``.warc`` file fans out as
+    ceil(size / split_bytes) byte-range splits, and a record belongs to
+    the split containing its START (the task reads past its range end
+    to finish a straddling record — classic InputFormat semantics, the
+    read-ahead bounded by the max-record guard).  Gzip members are not
+    seekable, so ``.gz`` archives stay file-per-task (Common Crawl's
+    ~1 GB files make that the standard shape; this reader is the
+    robustness path for oversized plain archives).
+
+    Output is identical to read_documents_warc on the same directory —
+    pinned by test, including a record straddling a split boundary and
+    a decoy ``WARC/`` header inside a record body (the anchor requires
+    the ``\\r\\n\\r\\n`` separator, not a bare match)."""
+    import os
+
+    import pandas as pd
+
+    from ..plans.packaging import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+
+    listing = (spark.read.format("binaryFile").load(path)
+               .select("path", "length").collect())
+    splits = []
+    for r in listing:
+        local = r["path"]
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+        if local.endswith(".gz") or r["length"] <= split_bytes:
+            splits.append((local, 0, int(r["length"]), True))
+        else:
+            for s in range(0, int(r["length"]), split_bytes):
+                splits.append(
+                    (local, s, min(s + split_bytes, int(r["length"])),
+                     False))
+    if not splits:
+        return spark.createDataFrame([], WARC_PAGE_SCHEMA)
+    sdf = spark.createDataFrame(
+        splits, "path string, start long, end long, whole boolean"
+    ).repartition(min(len(splits),
+                      spark.sparkContext.defaultParallelism * 2))
+
+    def read_splits(it):
+        from ocr_hardsubx_spark.sources.warc import (
+            _SPLIT_TAIL,
+            _anchor_record_start,
+            parse_warc_records,
+            parse_warc_records_indexed,
+        )
+
+        for pdf in it:
+            rows = []
+            for p, start, end, whole in zip(pdf["path"], pdf["start"],
+                                            pdf["end"], pdf["whole"]):
+                try:
+                    with open(p, "rb") as f:
+                        if whole:
+                            recs = ((u, t, b) for u, t, b in
+                                    parse_warc_records(f.read()))
+                            base = anchored = 0
+                            buf = None
+                        else:
+                            pre = 4 if start > 0 else 0
+                            f.seek(int(start) - pre)
+                            buf = f.read(int(end - start) + pre
+                                         + _SPLIT_TAIL)
+                            base = int(start) - pre
+                            anchored = _anchor_record_start(
+                                buf, pre, base)
+                            if anchored < 0:
+                                continue
+                            recs = (
+                                (u, t, b)
+                                for u, t, b, off, _ln in
+                                parse_warc_records_indexed(
+                                    buf[anchored:])
+                                # a record is THIS split's iff its
+                                # start lies inside [start, end)
+                                if base + anchored + off < end)
+                except OSError:
+                    continue           # vanished/unreadable: not fatal
+                for url, ts, html in recs:
+                    try:
+                        when = pd.Timestamp(ts)
+                    except ValueError:
+                        continue
+                    rows.append((url, when, html, None))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "lang"])
+
+    return sdf.mapInPandas(read_splits, schema=WARC_PAGE_SCHEMA)

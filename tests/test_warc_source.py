@@ -152,3 +152,54 @@ def test_cdx_index_offsets_address_records(spark, tmp_path):
         sliced = blob[r["offset"]: r["offset"] + r["length"]]
         got = list(parse_warc_records(sliced))
         assert len(got) == 1 and got[0][0] == url
+
+
+def test_split_reader_matches_file_per_task_across_tasks(spark,
+                                                         tmp_path):
+    """Round-5 verdict item 8: an oversized plain archive read with a
+    small split_bytes must (a) fan out across >= 2 tasks and (b)
+    produce EXACTLY the file-per-task reader's rows — including a
+    record that straddles a split boundary, a decoy ``WARC/`` header
+    inside a record body (the anchor demands the \\r\\n\\r\\n separator
+    + WARC-Date/Content-Length headers, so it must not bite), and a
+    gzip sibling file that stays unsplit."""
+    from pyspark.sql import functions as F
+
+    from ocr_hardsubx_spark.sources.warc import (
+        read_documents_warc,
+        read_documents_warc_split,
+    )
+
+    decoy_body = _http(
+        b"<html><body>archived warc snippet: \r\n\r\nWARC/1.0\r\n"
+        b"WARC-Type: response\r\nWARC-Date: 2020-01-01T00:00:00Z\r\n"
+        b"fake but no content-length terminator here</body></html>")
+    recs = [_record(b"warcinfo", b"", b"2025-01-01T00:00:00Z",
+                    b"software: x")]
+    for i in range(40):
+        body = _http(b"<html><body>doc %d " % i + b"x" * 700
+                     + b"</body></html>")
+        recs.append(_record(
+            b"response", b"https://big.example/%d" % i,
+            b"2025-01-02T03:04:%02dZ" % (i % 60), body))
+    recs.insert(20, _record(b"response", b"https://decoy.example/d",
+                            b"2025-01-02T09:00:00Z", decoy_body))
+    big = b"".join(recs)
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "big.warc").write_bytes(big)
+    (d / "side.warc.gz").write_bytes(gzip.compress(_warc_blob()))
+
+    whole = read_documents_warc(spark, str(d))
+    # split every ~4 KB -> dozens of ranges over the ~40 KB archive
+    split = read_documents_warc_split(spark, str(d), split_bytes=4096)
+
+    key = lambda r: (r["url"], r["warc_ts"], bytes(r["html"]))  # noqa: E731
+    a = sorted(map(key, whole.collect()))
+    b = sorted(map(key, split.collect()))
+    assert a == b and len(a) == 40 + 1 + 2   # 40 + decoy + gz pair
+
+    # the split frame genuinely fans out: rows come from >= 2 tasks
+    parts = (split.withColumn("pid", F.spark_partition_id())
+             .groupBy("pid").count().collect())
+    assert len(parts) >= 2
