@@ -84,6 +84,7 @@ _REGISTRY = [
     ("q_substring_dedup_apply", dq.q_substring_dedup_apply, dq.q_substring_dedup_apply_sql),
     ("q_quality_cut_trained", dq.q_quality_cut_trained, dq.q_quality_cut_trained_sql),
     ("q_ann_recall_census_trained", dq.q_ann_recall_census_trained, dq.q_ann_recall_census_trained_sql),
+    ("q_curation_funnel_full", dq.q_curation_funnel_full, dq.q_curation_funnel_full_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),
@@ -98,7 +99,6 @@ _REGISTRY = [
     # -- siblings of this round's changes ----------------------------------
     ("q_substring_dedup", dq.q_substring_dedup, dq.q_substring_dedup_sql),
     ("q_quality_cut", dq.q_quality_cut, dq.q_quality_cut_sql),
-    ("q_quality_lr_step", dq.q_quality_lr_step, dq.q_quality_lr_step_sql),
     ("q_ann_recall_census", dq.q_ann_recall_census, dq.q_ann_recall_census_sql),
     # -- oldest driver-green (last green round 4) --------------------------
     ("q_top1_per_group", q.q_top1_per_group, q.q_top1_per_group_sql),
@@ -130,6 +130,7 @@ _REGISTRY = [
     ("q_repetition_stats", dq.q_repetition_stats, dq.q_repetition_stats_sql),
     ("q_curation_funnel", dq.q_curation_funnel, dq.q_curation_funnel_sql),
     # ---- position 51+: all driver-green in round 5, rotate next round ----
+    ("q_quality_lr_step", dq.q_quality_lr_step, dq.q_quality_lr_step_sql),
     ("q_vocab_df", dq.q_vocab_df, dq.q_vocab_df_sql),
     ("q_lang_id", dq.q_lang_id, dq.q_lang_id_sql),
     ("q_pii_scrub", dq.q_pii_scrub, dq.q_pii_scrub_sql),

@@ -4086,6 +4086,91 @@ def q_ann_recall_census_sql() -> str:
     """
 
 
+def q_curation_funnel_full(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """The round-6 operators COMPOSED as the token-accounting funnel a
+    100 TB curation run reads before shipping anything: per stage, how
+    many documents and how many TOKENS survive.
+
+      1_raw            the corpus as scanned
+      2_near_dedup     unified near-dup keep list applied (cluster
+                       losers dropped, unclustered docs pass)
+      3_substring_cut  exact-substring APPLY on the survivors (docs
+                       persist, duplicated spans' tokens leave)
+      4_quality        LR-trained keep decision on the survivors
+
+    Every stage reuses the registered operator it names — this query
+    adds four single-row aggregations and two hash joins on doc_id,
+    nothing else; at scale its cost is the cost of its inputs (which a
+    real pipeline materializes anyway) plus a token sum."""
+    docs = _tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long")
+        .alias("n_tokens"))
+    dropped = (q_dedup_keep_list(spark, sf_dir)
+               .where(~F.col("keep")).select("doc_id"))
+    surv = base.join(dropped, "doc_id", "left_anti")
+    cut = substring_dedup_apply(docs).select("doc_id", "n_tokens_kept")
+    qual = q_quality_cut_trained(spark, sf_dir).select("doc_id", "keep")
+    j = surv.join(cut, "doc_id").join(qual, "doc_id")
+
+    def stage(name, df, tok_col):
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(tok_col), F.lit(0)).cast("long")
+             .alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    return (
+        stage("1_raw", base, "n_tokens")
+        .unionByName(stage("2_near_dedup", surv, "n_tokens"))
+        .unionByName(stage("3_substring_cut", j, "n_tokens_kept"))
+        .unionByName(stage("4_quality", j.where(F.col("keep")),
+                           "n_tokens_kept"))
+    )
+
+
+def q_curation_funnel_full_sql() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    dropped AS (
+      SELECT doc_id FROM ({q_dedup_keep_list_sql()}) kl WHERE NOT keep
+    ),
+    surv AS (
+      SELECT * FROM base
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    cut AS (
+      SELECT doc_id, n_tokens_kept
+      FROM ({q_substring_dedup_apply_sql()}) c
+    ),
+    qual AS (
+      SELECT doc_id, keep FROM ({q_quality_cut_trained_sql()}) q
+    ),
+    j AS (
+      SELECT surv.doc_id, surv.n_tokens, cut.n_tokens_kept, qual.keep
+      FROM surv JOIN cut USING (doc_id) JOIN qual USING (doc_id)
+    )
+    SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+    FROM base
+    UNION ALL
+    SELECT '2_near_dedup', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM surv
+    UNION ALL
+    SELECT '3_substring_cut', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum(n_tokens_kept), 0) AS BIGINT) FROM j
+    UNION ALL
+    SELECT '4_quality', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum(n_tokens_kept), 0) AS BIGINT)
+    FROM j WHERE keep
+    """
+
+
 ANN_TRAIN_ITERS = 2   # Lloyd steps for the TRAINED recall census
 
 

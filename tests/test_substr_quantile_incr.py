@@ -281,3 +281,35 @@ def test_trained_quality_cut_discriminates(spark, tmp_path):
     x2 = round(1 / 4, 6)              # 1 distinct token of 4
     z = w[0] * 1.0 + w[1] * x1 + w[2] * x2
     assert rows[100]["score"] == round(1.0 / (1.0 + math.exp(-z)), 6)
+
+
+def test_curation_funnel_full_conservation(spark):
+    """The capstone funnel's invariants on the sf0.001 corpus: stages
+    are present exactly once; docs and tokens are monotone
+    non-increasing down the funnel; stage 1 equals the raw corpus
+    exactly; stage 3 keeps the same doc set as stage 2 (substring
+    apply cuts SPANS, never whole docs); and every stage-3 token
+    survives from stage 2 (n_tokens_kept <= n_tokens per doc is
+    pinned elsewhere — here the aggregate must agree)."""
+    rows = {r["stage"]: r for r in
+            dq.q_curation_funnel_full(spark, SF).collect()}
+    assert sorted(rows) == [
+        "1_raw", "2_near_dedup", "3_substring_cut", "4_quality"]
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    n_raw = docs.count()
+    t_raw = (docs.select(F.sum(F.size(F.split("text", " ")))
+                         .alias("t")).collect()[0]["t"])
+    assert rows["1_raw"]["n_docs"] == n_raw
+    assert rows["1_raw"]["n_tokens"] == t_raw
+
+    seq = ["1_raw", "2_near_dedup", "3_substring_cut", "4_quality"]
+    for a, b in zip(seq, seq[1:]):
+        assert rows[b]["n_docs"] <= rows[a]["n_docs"]
+        assert rows[b]["n_tokens"] <= rows[a]["n_tokens"]
+    # substring apply never drops a doc, only tokens
+    assert rows["3_substring_cut"]["n_docs"] == \
+        rows["2_near_dedup"]["n_docs"]
+    # the funnel actually removes something on this corpus
+    assert rows["4_quality"]["n_tokens"] < rows["1_raw"]["n_tokens"] \
+        or rows["2_near_dedup"]["n_docs"] < n_raw
