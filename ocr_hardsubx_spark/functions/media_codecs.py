@@ -29,8 +29,10 @@ them instead of stubbed:
   bitstream in sync.  LOSSLESS (SOF3) decodes via the Annex-H DPCM
   predictors (2-16 bit, MSB-aligned; 3-component RGB through the Q14
   grey form), and 12-bit DCT precision decodes with the 2^11 level
-  shift + MSB alignment.  Arithmetic coding and hierarchical SOFs
-  raise UnsupportedMedia.
+  shift + MSB alignment.  ARITHMETIC-coded DCT modes (SOF9 sequential,
+  SOF10 progressive) decode natively via a T.81 Annex-D QM-coder with
+  the F.1.4 DC/AC decision trees and DAC conditioning; only the
+  hierarchical SOFs raise UnsupportedMedia.
 
 * **GIF (87a/89a)** — LZW decode (variable-width codes, CLEAR/END,
   the KwKwK rule), global/local palettes, first frame (interlaced rows
@@ -40,11 +42,11 @@ them instead of stubbed:
   sample census + ``mdhd`` timescale give (n_frames, fps) without
   decoding any sample data (the only facts frame sampling needs).
 
-Every sniffable format now decodes for real; only unsupported subsets
-(arithmetic and hierarchical JPEG) fall back to Pillow when
-importable, else to the declared deterministic stub in
-operators/multimodal.py — and the multimodal schemas carry a
-``decoded_real`` provenance flag so fallback rows are distinguishable.
+Every sniffable format now decodes for real; only the one unsupported
+subset (hierarchical JPEG) falls back to Pillow when importable, else
+to the declared deterministic stub in operators/multimodal.py — and
+the multimodal schemas carry a ``decoded_real`` provenance flag so
+fallback rows are distinguishable.
 """
 
 from __future__ import annotations
@@ -386,6 +388,360 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (ITU T.81 Annex D QM-coder + F.1.4 decision trees)
+# ---------------------------------------------------------------------------
+
+# T.81 Table D.3 probability-estimation state machine: one row per
+# state, (Qe, next-state-after-LPS, next-state-after-MPS, MPS-switch).
+# The values are the published spec table (transcribed and pinned
+# against the system libjpeg's export of the same table in
+# tests/test_arith_jpeg.py when that library is present).  Entry 113
+# is the non-adapting Qe~0.5 bin used for AC signs and refinement
+# bits (F.1.4.4.1.3): it transitions to itself, so it never adapts.
+_QM_QE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _QMDecoder:
+    """T.81 Annex D arithmetic (QM-coder) decoder over one
+    entropy-coded segment.
+
+    Registers follow the software conventions of D.2: A holds the
+    16-bit probability interval, C is a 32-bit register whose top 16
+    bits (Chigh) are compared against the MPS subinterval; fresh data
+    bytes enter at bits 8-15 and surface into Chigh as renormalization
+    shifts them up.  Byte stuffing per D.1.6: a 0x00 following a 0xFF
+    data byte is skipped; 0xFF followed by anything else is a marker —
+    the segment is over and the decoder pads with ZERO bytes from then
+    on (the pad the encoder's flush removed; matches libjpeg's
+    convention, against which this decoder is oracle-tested).
+
+    Each context is one byte in a caller-owned bytearray: bit 7 is the
+    current MPS sense, bits 0-6 the Table D.3 state index."""
+
+    __slots__ = ("data", "pos", "c", "a", "ct", "_pad")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self._init_at(pos)
+
+    def _init_at(self, pos: int) -> None:
+        """INITDEC (T.81 D.2.7): load two bytes, pre-shift 7 bits."""
+        self.pos = pos
+        self._pad = False
+        self.c = self._next_byte() << 16
+        self.c = (self.c + (self._next_byte() << 8)) & 0xFFFFFFFF
+        self.ct = 8
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _next_byte(self) -> int:
+        if self._pad:
+            return 0
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            self._pad = True
+            return 0
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:
+                self.pos = p + 2          # stuffed: 0xFF is data
+                return 0xFF
+            self._pad = True              # marker: leave pos at the 0xFF
+            return 0
+        self.pos = p + 1
+        return b
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        """DECODE (T.81 D.2.2) one binary decision in context
+        stats[i], updating the context's state per D.2.4/D.2.5."""
+        sv = stats[i]
+        qe, nlps, nmps, sw = _QM_QE[sv & 0x7F]
+        mps = sv >> 7
+        a = self.a - qe
+        if (self.c >> 16) < a:
+            if a & 0x8000:                # MPS without renormalization
+                self.a = a
+                return mps
+            if a < qe:                    # conditional exchange: LPS
+                bit = mps ^ 1
+                stats[i] = ((mps ^ sw) << 7) | nlps
+            else:
+                bit = mps
+                stats[i] = (mps << 7) | nmps
+        else:                             # top (Qe-sized) subinterval
+            self.c -= a << 16
+            if a < qe:                    # conditional exchange: MPS
+                bit = mps
+                stats[i] = (mps << 7) | nmps
+            else:
+                bit = mps ^ 1
+                stats[i] = ((mps ^ sw) << 7) | nlps
+            a = qe
+        c, ct = self.c, self.ct           # RENORMD (D.2.6)
+        while True:
+            if ct == 0:
+                c = (c + (self._next_byte() << 8)) & 0xFFFFFFFF
+                ct = 8
+            a <<= 1
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                break
+        self.a, self.c, self.ct = a, c, ct
+        return bit
+
+    def resync_restart(self) -> None:
+        """Skip to just past the next RSTn and re-run INITDEC (the
+        arithmetic coder restarts from scratch at every restart
+        interval, F.1.4.3)."""
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self._init_at(p + 2)
+                return
+            p += 1
+        self._init_at(len(d))
+
+
+def _arith_dc_diff(dec, st, ctx, L, U):
+    """Decode one DC difference (T.81 F.1.4.1, Figures F.22-F.24).
+
+    Context layout per Table F.4: the conditioning category `ctx`
+    (0/4/8/12/16, classified from the PREVIOUS diff against the DAC
+    L/U bounds) selects a 4-bin group (S0, SS, SP, SN); magnitude
+    categories X2+ live at offset 20 and the magnitude bit bins 14
+    past wherever the category walk ended.  Returns (diff, next
+    conditioning category)."""
+    if dec.decode(st, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(st, ctx + 1)
+    p = ctx + 2 + sign
+    m = dec.decode(st, p)
+    if m:
+        p = 20
+        while dec.decode(st, p):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("JPEG arithmetic DC magnitude overflow")
+            p += 1
+    if m < (1 << L) >> 1:
+        nctx = 0
+    elif m > (1 << U) >> 1:
+        nctx = 12 + 4 * sign
+    else:
+        nctx = 4 + 4 * sign
+    v = m
+    p += 14
+    m >>= 1
+    while m:
+        if dec.decode(st, p):
+            v |= m
+        m >>= 1
+    v += 1
+    return (-v if sign else v), nctx
+
+
+def _arith_ac_band(dec, st, fixed, block, ss, se, kx, al):
+    """Decode one block's AC band (T.81 F.1.4.2): per zigzag index k a
+    3-bin group (EOB, nonzero, X1/X2) at 3*(k-1); signs ride the
+    non-adapting fixed bin; magnitude categories X3+ share the
+    low-frequency (k<=Kx, offset 189) or high-frequency (offset 217)
+    region per the DAC Kx conditioning."""
+    k = ss
+    while k <= se:
+        p = 3 * (k - 1)
+        if dec.decode(st, p):
+            return                         # EOB
+        while dec.decode(st, p + 1) == 0:
+            k += 1
+            p += 3
+            if k > se:
+                raise ValueError("JPEG arithmetic AC run past band end")
+        sign = dec.decode(fixed, 0)
+        p += 2
+        m = dec.decode(st, p)
+        if m and dec.decode(st, p):        # X1 then X2 share one bin
+            m = 2
+            p = 189 if k <= kx else 217
+            while dec.decode(st, p):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError(
+                        "JPEG arithmetic AC magnitude overflow")
+                p += 1
+        v = m
+        p += 14
+        m >>= 1
+        while m:
+            if dec.decode(st, p):
+                v |= m
+            m >>= 1
+        v += 1
+        block[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_ac_refine(dec, st, fixed, block, ss, se, al):
+    """Successive-approximation AC refinement (T.81 G.2 arithmetic
+    form): previously-nonzero coefficients decode one correction bit
+    in their group's third bin; zero-history positions decode the
+    newly-nonzero decision, with the sign on the fixed bin.  The EOB
+    decision is only coded beyond the block's prior nonzero extent."""
+    p1, m1 = 1 << al, -(1 << al)
+    kex = se
+    while kex > 0 and block[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        p = 3 * (k - 1)
+        if k > kex and dec.decode(st, p):
+            return                         # EOB
+        while True:
+            if block[k]:
+                if dec.decode(st, p + 2):
+                    block[k] += m1 if block[k] < 0 else p1
+                break
+            if dec.decode(st, p + 1):
+                block[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            k += 1
+            p += 3
+            if k > se:
+                raise ValueError(
+                    "JPEG arithmetic AC refinement past band end")
+        k += 1
+
+
+def _scan_units(frame, scan):
+    """(component, block-row, block-col) decode order of a scan: the
+    component's own raster grid when non-interleaved (T.81 A.2.2),
+    MCU-interleaved otherwise.  Returns (units, data units per MCU)."""
+    hmax, vmax, mcux, mcuy = _prog_geometry(frame)
+    if len(scan) == 1:
+        bh, bw = _prog_scan_blocks(frame, scan[0])
+        return ([(scan[0], by, bx) for by in range(bh)
+                 for bx in range(bw)], 1)
+    units = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        units.append((c, my * c["v"] + by,
+                                      mx * c["h"] + bx))
+    return units, sum(c["v"] * c["h"] for c in scan)
+
+
+def _arith_decode_scan(data, pos, frame, scan, state, dc_cond, ac_cond,
+                       ss, se, ah, al, restart_interval):
+    """Decode one arithmetic-coded scan (sequential SOF9 or
+    progressive SOF10) into the zigzag coefficient state; returns the
+    payload offset of the next marker.  Statistics are fresh per scan
+    and fully reset at every restart interval (F.1.4.3), where the
+    QM decoder also re-runs INITDEC past the RSTn."""
+    dec = _QMDecoder(data, pos)
+    dc_stats = {c["dc"]: bytearray(64) for c in scan}
+    ac_stats = {c["ac"]: bytearray(256) for c in scan}
+    fixed = bytearray([113])
+    dc_ctx = {c["id"]: 0 for c in scan}
+    last_dc = {c["id"]: 0 for c in scan}
+    prog = frame.get("prog", False)
+    if prog and ss == 0 and se != 0:
+        raise ValueError("JPEG progressive DC scan with Se != 0")
+    if prog and ss != 0 and len(scan) != 1:
+        raise ValueError("JPEG progressive AC scan must be"
+                         " non-interleaved")
+    units, per_mcu = _scan_units(frame, scan)
+    mcu = 0
+    for i, (c, by, bx) in enumerate(units):
+        if restart_interval and i % per_mcu == 0:
+            if mcu and mcu % restart_interval == 0:
+                dec.resync_restart()
+                for s in dc_stats.values():
+                    s[:] = bytes(len(s))
+                for s in ac_stats.values():
+                    s[:] = bytes(len(s))
+                for k in dc_ctx:
+                    dc_ctx[k] = 0
+                for k in last_dc:
+                    last_dc[k] = 0
+            mcu += 1
+        block = state[c["id"]][by, bx]
+        L, U = dc_cond.get(c["dc"], (0, 1))
+        kx = ac_cond.get(c["ac"], 5)
+        if not prog:                       # sequential: DC + full band
+            diff, dc_ctx[c["id"]] = _arith_dc_diff(
+                dec, dc_stats[c["dc"]], dc_ctx[c["id"]], L, U)
+            last_dc[c["id"]] += diff
+            block[0] = last_dc[c["id"]]
+            _arith_ac_band(dec, ac_stats[c["ac"]], fixed, block,
+                           1, 63, kx, 0)
+        elif ss == 0:
+            if ah == 0:                    # DC first
+                diff, dc_ctx[c["id"]] = _arith_dc_diff(
+                    dec, dc_stats[c["dc"]], dc_ctx[c["id"]], L, U)
+                last_dc[c["id"]] += diff
+                block[0] = last_dc[c["id"]] << al
+            elif dec.decode(fixed, 0):     # DC refinement bit
+                block[0] |= 1 << al
+        elif ah == 0:                      # AC first
+            _arith_ac_band(dec, ac_stats[c["ac"]], fixed, block,
+                           ss, se, kx, al)
+        else:                              # AC refinement
+            _arith_ac_refine(dec, ac_stats[c["ac"]], fixed, block,
+                             ss, se, al)
+    p = max(dec.pos, pos)                  # walk to the next marker
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and \
+                not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(data)
+
+
 def decode_jpeg(payload: bytes) -> "np.ndarray":
     """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (H, W) uint8
     LUMINANCE.
@@ -397,7 +753,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     successive approximation) and the IDCT runs once at EOI.  Lossless
     (SOF3) decodes via the Annex-H DPCM predictors (2-16 bit precision,
     MSB-aligned to 8); 12-bit DCT modes level-shift at 2^11 and
-    MSB-align.  Arithmetic coding and hierarchical SOFs raise
+    MSB-align.  Arithmetic-coded DCT modes (SOF9/SOF10) decode via the
+    Annex-D QM-coder with DAC conditioning; hierarchical SOFs raise
     UnsupportedMedia."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -406,6 +763,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
     restart_interval = 0
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     pos = 2
     n = len(payload)
     while pos + 4 <= n:
@@ -444,7 +803,24 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
                     counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # baseline/prog/lossless
+        elif marker == 0xCC:  # DAC (B.2.4.3): arithmetic conditioning
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0xF
+                cs = seg[i + 1]
+                if tc == 0:
+                    low, up = cs & 0xF, cs >> 4
+                    if low > up:
+                        raise ValueError("JPEG DAC with L > U")
+                    dc_cond[tb] = (low, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("JPEG DAC Kx out of range")
+                    ac_cond[tb] = cs
+                i += 2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # baseline / extended / progressive / lossless, plus the
+            # arithmetic-coded twins (SOF9 sequential, SOF10 progressive)
             precision = seg[0]
             if marker == 0xC3:
                 if not (2 <= precision <= 16):
@@ -460,7 +836,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = {"w": width, "h": height, "comps": comps,
-                     "prog": marker == 0xC2,
+                     "prog": marker in (0xC2, 0xCA),
+                     "arith": marker in (0xC9, 0xCA),
                      "lossless": marker == 0xC3, "precision": precision}
             if frame["lossless"]:
                 if any(c["h"] != 1 or c["v"] != 1 for c in comps):
@@ -477,13 +854,14 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             vmax = max(c["v"] for c in comps)
             if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
                 raise UnsupportedMedia("JPEG with subsampled luma")
-            if frame["prog"]:
+            if frame["prog"] or frame["arith"]:
+                # both accumulate zigzag coefficients and IDCT at the
+                # end (sequential arithmetic = one full-band pass)
                 coef_state = _prog_init_state(frame)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMedia(
                 f"JPEG SOF{marker - 0xC0} not baseline/progressive/"
-                "lossless")
+                "lossless/arithmetic-DCT")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -511,6 +889,15 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 return _decode_lossless_scan(
                     payload, pos + 2 + seglen, frame, scan, huff_dc,
                     pred_sel, pt)
+            if frame.get("arith"):
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+                end = _arith_decode_scan(
+                    payload, pos + 2 + seglen, frame, scan, coef_state,
+                    dc_cond, ac_cond, ss, se, ah, al, restart_interval)
+                frame["saw_scan"] = True
+                pos = end
+                continue
             if not frame["prog"]:
                 return _decode_scan(payload, pos + 2 + seglen, frame, scan,
                                     qt, huff_dc, huff_ac, restart_interval)
@@ -523,7 +910,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             pos = end
             continue
         pos += 2 + seglen
-    if frame is not None and frame["prog"] and frame.get("saw_scan"):
+    if frame is not None and (frame["prog"] or frame.get("arith")) \
+            and frame.get("saw_scan"):
         return _prog_finish(frame, coef_state, qt)
     raise ValueError("JPEG: no scan data found")
 
