@@ -67,11 +67,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. entries with the OLDEST driver-green row (so every entry lands
 #      a driver-green row at least once every two rounds).
 # Everything else follows after position 50 and rotates forward next
-# round.  This round: 3 never-green (pack/line-dedup oracle casts), 3
-# new (substring apply, trained quality cut, trained recall census),
-# the minhash/simhash-derived dedup family (shingle-trim + kernel
-# fixes touched their signatures), then the 28 entries last green in
-# round 4; the 31 entries after position 50 were all green in round 5.
+# round.  This round: 3 never-green (pack/line-dedup oracle casts), 6
+# new (substring apply, trained quality cut, trained recall census,
+# capstone funnel, DSIR, SemDeDup), the minhash/simhash-derived dedup
+# family (shingle-trim + kernel fixes touched their signatures), then
+# the 28 entries last green in round 4; everything after position 50
+# was green in round 5 (incl. q_quality_cut / q_ann_recall_census,
+# displaced AST-unchanged).
 _REGISTRY = [
     # -- anchors -----------------------------------------------------------
     ("extract_pipeline", q.extract_pipeline, q.extract_pipeline_sql),
@@ -85,6 +87,8 @@ _REGISTRY = [
     ("q_quality_cut_trained", dq.q_quality_cut_trained, dq.q_quality_cut_trained_sql),
     ("q_ann_recall_census_trained", dq.q_ann_recall_census_trained, dq.q_ann_recall_census_trained_sql),
     ("q_curation_funnel_full", dq.q_curation_funnel_full, dq.q_curation_funnel_full_sql),
+    ("q_dsir", dq.q_dsir, dq.q_dsir_sql),
+    ("q_semdedup", dq.q_semdedup, dq.q_semdedup_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),
@@ -98,8 +102,6 @@ _REGISTRY = [
     ("q_dup_cluster_census", dq.q_dup_cluster_census, dq.q_dup_cluster_census_sql),
     # -- siblings of this round's changes ----------------------------------
     ("q_substring_dedup", dq.q_substring_dedup, dq.q_substring_dedup_sql),
-    ("q_quality_cut", dq.q_quality_cut, dq.q_quality_cut_sql),
-    ("q_ann_recall_census", dq.q_ann_recall_census, dq.q_ann_recall_census_sql),
     # -- oldest driver-green (last green round 4) --------------------------
     ("q_top1_per_group", q.q_top1_per_group, q.q_top1_per_group_sql),
     ("q_pair_range_join", q.q_pair_range_join, q.q_pair_range_join_sql),
@@ -130,6 +132,11 @@ _REGISTRY = [
     ("q_repetition_stats", dq.q_repetition_stats, dq.q_repetition_stats_sql),
     ("q_curation_funnel", dq.q_curation_funnel, dq.q_curation_funnel_sql),
     # ---- position 51+: all driver-green in round 5, rotate next round ----
+    # (q_quality_cut / q_ann_recall_census displaced here by the two
+    # queries new this session — their code is AST-identical to their
+    # round-5 driver-green state, so the green still binds)
+    ("q_quality_cut", dq.q_quality_cut, dq.q_quality_cut_sql),
+    ("q_ann_recall_census", dq.q_ann_recall_census, dq.q_ann_recall_census_sql),
     ("q_quality_lr_step", dq.q_quality_lr_step, dq.q_quality_lr_step_sql),
     ("q_vocab_df", dq.q_vocab_df, dq.q_vocab_df_sql),
     ("q_lang_id", dq.q_lang_id, dq.q_lang_id_sql),

@@ -5085,3 +5085,283 @@ def q_quality_cut_trained_sql() -> str:
              AS keep
     FROM feat CROSS JOIN final f
     """
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256        # hashed-bigram feature space (broadcastable)
+DSIR_KEEP_K = 100         # Gumbel top-k sample size
+DSIR_TARGET_LANG = "en"   # the "target domain" stand-in on the fixture
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: score every document by the log importance ratio of a
+    hashed-bigram bag-of-words model fit on a target subset (lang=en
+    stands in for the paper's high-quality target corpus) vs the raw
+    corpus, then draw a deterministic Gumbel top-k sample (adding
+    standard Gumbel noise to log-weights and taking the top k IS
+    sampling without replacement proportional to the weights — the
+    paper's resampling step, made reproducible by deriving the Gumbel
+    uniform from a salted content hash instead of an RNG).
+
+    Scale shape: the bigram stream never shuffles raw — it is
+    pre-aggregated map-side to (doc_id, bucket, n) with bucket bounded
+    at DSIR_BUCKETS, so a document contributes at most 256 rows no
+    matter its length.  The two feature-distribution aggregations
+    produce 256-row tables; the log-ratio model joins back as a
+    BROADCAST (2 KB), so per-doc scoring is one map-side-combinable
+    groupBy(doc_id).  The keep decision avoids a global sort window:
+    the rank-k boundary row is a TakeOrdered(k) 1-row broadcast and
+    `keep` is a pure filter predicate against it — the same plan at
+    10^12 documents.  Cross-engine float discipline: ln() on both
+    engines, one round(4) at the end, boundary comparison on the
+    ROUNDED score."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    # size<2 must yield NO bigrams (sequence(1,0) == [1,0] trap)
+    idx = F.when(F.size("t") > 1, F.sequence(F.lit(1), F.size("t") - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    bi = toks.select(
+        "doc_id", "lang",
+        F.explode(F.transform(
+            idx,
+            lambda i: F.concat(F.element_at("t", i), F.lit(" "),
+                               F.element_at("t", i + 1)),
+        )).alias("bg"),
+    )
+    feat = bi.select(
+        "doc_id", "lang",
+        (F.conv(F.substring(F.md5("bg"), 1, 7), 16, 10).cast("long")
+         % DSIR_BUCKETS).alias("bucket"),
+    )
+    db = feat.groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("n"), F.max("lang").alias("lang"))
+    tgt = (db.where(F.col("lang") == DSIR_TARGET_LANG)
+           .groupBy("bucket").agg(F.sum("n").alias("t_cnt")))
+    raw = db.groupBy("bucket").agg(F.sum("n").alias("r_cnt"))
+    totals = (db.agg(
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("n"))
+              .otherwise(F.lit(0))).alias("tt"),
+        F.sum("n").alias("rt")))
+    ratio = (raw.join(tgt, "bucket", "left")
+             .crossJoin(F.broadcast(totals))
+             .select(
+                 "bucket",
+                 (F.log((F.coalesce("t_cnt", F.lit(0)) + 1)
+                        / (F.col("tt") + F.lit(float(DSIR_BUCKETS))))
+                  - F.log((F.col("r_cnt") + 1)
+                          / (F.col("rt") + F.lit(float(DSIR_BUCKETS)))))
+                 .alias("lr")))
+    w = (db.join(F.broadcast(ratio), "bucket")
+         .groupBy("doc_id").agg(F.sum(F.col("n") * F.col("lr"))
+                                .alias("wr")))
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 1000 + 0.5) / 1000.0
+    scored = (docs.select("doc_id").join(w, "doc_id", "left")
+              .select(
+                  "doc_id",
+                  F.coalesce("wr", F.lit(0.0)).alias("wr"),
+                  (-F.log(-F.log(u))).alias("gb"))
+              .select(
+                  "doc_id",
+                  F.round("wr", 4).alias("dsir_weight"),
+                  F.round(F.col("wr") + F.col("gb"), 4)
+                  .alias("gumbel_score"))
+              # both the boundary branch and the final projection read
+              # `scored`; without this the whole bigram pipeline runs
+              # twice (no subtree reuse across the crossJoin) — same
+              # idiom as q_pack_plan_global
+              .localCheckpoint())
+    # rank-k boundary as a 1-row broadcast: (k-th score, k-th doc_id)
+    # under ORDER BY score DESC, doc_id ASC; keep = strictly above the
+    # boundary, or equal score with doc_id at-or-before the boundary's
+    boundary = (scored
+                .orderBy(F.desc("gumbel_score"), F.asc("doc_id"))
+                .limit(DSIR_KEEP_K)
+                .agg(F.min(F.struct(
+                    F.col("gumbel_score").alias("bs"),
+                    (-F.col("doc_id")).alias("nid"))).alias("b"))
+                .select(F.col("b.bs").alias("bs"),
+                        (-F.col("b.nid")).alias("bid")))
+    return (scored.crossJoin(F.broadcast(boundary))
+            .select(
+                "doc_id", "dsir_weight", "gumbel_score",
+                ((F.col("gumbel_score") > F.col("bs"))
+                 | ((F.col("gumbel_score") == F.col("bs"))
+                    & (F.col("doc_id") <= F.col("bid"))))
+                .alias("keep")))
+
+
+def q_dsir_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(t) > 1
+                    THEN list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END) AS bg
+      FROM toks
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5(bg), 1, 7)) AS BIGINT)
+               % {DSIR_BUCKETS} AS bucket
+      FROM bi
+    ),
+    db AS (
+      SELECT doc_id, bucket, count(*) AS n, max(lang) AS lang
+      FROM feat GROUP BY 1, 2
+    ),
+    tgt AS (
+      SELECT bucket, sum(n) AS t_cnt FROM db
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+    ),
+    raw AS (SELECT bucket, sum(n) AS r_cnt FROM db GROUP BY 1),
+    tot AS (
+      SELECT sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN n
+                 ELSE 0 END) AS tt,
+             sum(n) AS rt
+      FROM db
+    ),
+    ratio AS (
+      SELECT raw.bucket,
+             ln((coalesce(t_cnt, 0) + 1) / (tt + {DSIR_BUCKETS}.0))
+             - ln((r_cnt + 1) / (rt + {DSIR_BUCKETS}.0)) AS lr
+      FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    ),
+    w AS (
+      SELECT db.doc_id, sum(db.n * ratio.lr) AS wr
+      FROM db JOIN ratio USING (bucket) GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             round(coalesce(wr, 0.0), 4) AS dsir_weight,
+             round(coalesce(wr, 0.0)
+                   - ln(-ln((CAST(concat('0x',
+                         substring(md5('dsir:' || CAST(d.doc_id
+                                   AS VARCHAR)), 1, 8)) AS UBIGINT)
+                       % 1000 + 0.5) / 1000.0)), 4) AS gumbel_score
+      FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+    )
+    SELECT doc_id, dsir_weight, gumbel_score,
+           row_number() OVER (ORDER BY gumbel_score DESC, doc_id ASC)
+             <= {DSIR_KEEP_K} AS keep
+    FROM scored
+    """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup inside embedding clusters
+# --------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35  # intra-cluster cosine duplicate threshold
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: assign embeddings to their IVF centroid, then inside
+    each cluster mark as dropped every member that has a semantic
+    duplicate (rounded pairwise cosine >= SEMDEDUP_TAU) which is MORE
+    extreme under the paper's keep rule — SemDeDup keeps, per duplicate
+    group, the example with the LOWEST cosine to its centroid (ties by
+    vec_id).  So `i` is dropped iff some in-cluster `j` with
+    pair_cos(i,j) >= tau has (cent_sim_j, vec_id_j) < (cent_sim_i,
+    vec_id_i) lexicographically.
+
+    Scale shape: never all-pairs — the O(n^2) is confined to one
+    cluster (clusters are bounded by the IVF balance; q_ann_ivf_census
+    is the observability view for that bound, the same census a probe
+    planner reads).  Plan: one Arrow-batched projection (the SHARED
+    _ivf_assign_udf matmul kernel, list_id only — the centroid
+    similarity is recomputed inside the per-cluster kernel from the
+    broadcast codebook, so the assignment UDF is evaluated exactly
+    once) -> ONE shuffle on list_id -> per-cluster Arrow kernel (BLAS
+    gram matrix + vectorized dominance test).  No JVM-interpreted
+    per-element folds in the hot path; the relational form lives in
+    the DuckDB oracle.  Cross-engine float discipline: HALF_UP
+    round(4) on centroid and pairwise cosines BEFORE any comparison,
+    on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    C = np.asarray(cents, dtype=np.float64)
+
+    def _r4(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+
+    # no .where(list_id.isNotNull()) here: a Filter on the UDF column
+    # makes ExtractPythonUDFs evaluate the kernel TWICE (once for the
+    # filter, once for the projection — no CSE across operators).  The
+    # NULL group (unassignable zero-norm vectors) is dropped inside
+    # the per-cluster kernel instead, keeping exactly one
+    # ArrowEvalPython in the plan.
+    assigned = emb.select("vec_id", "embedding",
+                          _ivf_assign_udf(cents)("embedding")
+                          .alias("list_id"))
+
+    def sem_kernel(pdf):
+        if pd.isna(pdf["list_id"].iloc[0]):
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "list_id": pd.Series([], dtype="int32"),
+                "cent_sim": pd.Series([], dtype="float64"),
+                "is_dropped": pd.Series([], dtype="bool")})
+        M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        U = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = _r4(U @ U.T)
+        lid = int(pdf["list_id"].iloc[0])
+        cs = _r4(U @ C[lid - 1])
+        ids = pdf["vec_id"].to_numpy()
+        dup = S >= SEMDEDUP_TAU
+        np.fill_diagonal(dup, False)
+        beats = ((cs[None, :] < cs[:, None])
+                 | ((cs[None, :] == cs[:, None])
+                    & (ids[None, :] < ids[:, None])))
+        return pd.DataFrame({
+            "vec_id": ids,
+            "list_id": pdf["list_id"].to_numpy(),
+            "cent_sim": cs,
+            "is_dropped": (dup & beats).any(axis=1),
+        })
+
+    return (assigned.groupBy("list_id").applyInPandas(
+        sem_kernel,
+        "vec_id long, list_id int, cent_sim double, is_dropped boolean"))
+
+
+def q_semdedup_sql() -> str:
+    return f"""
+    WITH {_IVF_SIMS_SQL.replace("assign AS (", "assign0 AS (")},
+    assign AS (
+      SELECT s.vec_id, s.cid, s.sim AS cent_sim
+      FROM sims s JOIN assign0 a
+        ON a.vec_id = s.vec_id AND a.cid = s.cid
+    ),
+    dup_pairs AS (
+      SELECT a.vec_id AS i
+      FROM assign a
+      JOIN assign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(ea.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])))),
+              4) >= {SEMDEDUP_TAU}
+        AND (b.cent_sim < a.cent_sim
+             OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+    )
+    SELECT a.vec_id, a.cid AS list_id, a.cent_sim,
+           a.vec_id IN (SELECT i FROM dup_pairs) AS is_dropped
+    FROM assign a
+    """
