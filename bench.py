@@ -52,7 +52,7 @@ HEADLINE_QUERIES = (
     "q_url_canonicalize", "q_token_stats", "q_lang_id",
     "q_hll_distinct", "q_pq_adc_topk", "q_ivfpq_topk", "q_lm_perplexity",
     "q_pq_train_step", "q_pack_plan_global", "q_pack_assemble",
-    "q_bm25_topk",
+    "q_bm25_topk", "q_dsir", "q_semdedup",
 )
 
 

@@ -5365,3 +5365,463 @@ def q_semdedup_sql() -> str:
            a.vec_id IN (SELECT i FROM dup_pairs) AS is_dropped
     FROM assign a
     """
+
+
+# --------------------------------------------------------------------------
+# Webtext rule filters: Gopher (Rae et al. 2021) and C4 (Raffel et al. 2020)
+# --------------------------------------------------------------------------
+
+PAGE_LINE_TOKS = 12     # tokens per synthesized page line
+GOPHER_MIN_WORDS = 50   # Rae et al. 2021, table A1
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+C4_MIN_LINES = 3        # C4 keeps docs with >= 3 surviving sentences
+
+
+def _page_lines_col():
+    """Deterministic line-structured page synthesized from (doc_id, text):
+    the testdata text is a flat token stream, so both engines rebuild the
+    IDENTICAL multi-line page (the `_messy_url_col` pattern) —
+    PAGE_LINE_TOKS-token lines with (doc_id + line_no)-keyed decorations
+    a crawl actually contains: bullet prefixes, ellipsis endings, a
+    '{ enable javascript }' boilerplate line, a stopword-bearing
+    sentence, and terminal periods on the rest.  Each arm exercises a
+    different Gopher/C4 rule."""
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / PAGE_LINE_TOKS).cast("int")
+
+    def mk(j):
+        b = F.array_join(
+            F.slice(toks, j * PAGE_LINE_TOKS + 1, PAGE_LINE_TOKS), " ")
+        m = (F.col("doc_id") + j) % 7
+        return (
+            F.when(m == 0, F.concat(F.lit("- "), b))
+            .when(m == 1, F.concat(b, F.lit(" ...")))
+            .when(m == 2, F.concat(b, F.lit(" { enable javascript and cookies }")))
+            .when(m == 3, F.concat(F.lit("note that the "), b, F.lit(".")))
+            .otherwise(F.concat(b, F.lit("."))))
+
+    return F.transform(F.sequence(F.lit(0), n_lines - 1), mk)
+
+
+_PAGE_LINES_SQL = f"""
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(t) / {PAGE_LINE_TOKS}.0) AS INT)),
+               j -> CASE
+                 WHEN (doc_id + j) % 7 = 0 THEN
+                   '- ' || array_to_string(
+                     list_slice(t, j*{PAGE_LINE_TOKS}+1,
+                                j*{PAGE_LINE_TOKS}+{PAGE_LINE_TOKS}), ' ')
+                 WHEN (doc_id + j) % 7 = 1 THEN
+                   array_to_string(
+                     list_slice(t, j*{PAGE_LINE_TOKS}+1,
+                                j*{PAGE_LINE_TOKS}+{PAGE_LINE_TOKS}), ' ')
+                   || ' ...'
+                 WHEN (doc_id + j) % 7 = 2 THEN
+                   array_to_string(
+                     list_slice(t, j*{PAGE_LINE_TOKS}+1,
+                                j*{PAGE_LINE_TOKS}+{PAGE_LINE_TOKS}), ' ')
+                   || ' {{ enable javascript and cookies }}'
+                 WHEN (doc_id + j) % 7 = 3 THEN
+                   'note that the ' || array_to_string(
+                     list_slice(t, j*{PAGE_LINE_TOKS}+1,
+                                j*{PAGE_LINE_TOKS}+{PAGE_LINE_TOKS}), ' ')
+                   || '.'
+                 ELSE
+                   array_to_string(
+                     list_slice(t, j*{PAGE_LINE_TOKS}+1,
+                                j*{PAGE_LINE_TOKS}+{PAGE_LINE_TOKS}), ' ')
+                   || '.' END) AS lines
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, table A1) over the
+    synthesized page: word count in [50, 100k], mean word length in
+    [3, 10], symbol-word fraction ('#'/'...') <= 0.1, bullet-line
+    fraction <= 0.9, ellipsis-line fraction <= 0.3, alphabetic-word
+    fraction >= 0.8, and >= 2 of the 8 required stopwords present.
+
+    Scale shape: one narrow projection — every rule is a per-row JVM
+    array expression over the line/word arrays, zero shuffle, zero
+    Python.  The keep predicate compares ROUNDED fractions (round-4,
+    both engines) per the cross-engine float discipline."""
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _page_lines_col().alias("lines"))
+    d = d.select(
+        "doc_id", "lines",
+        F.flatten(F.transform("lines", lambda l: F.split(l, " ")))
+         .alias("ws"))
+    n_words = F.size("ws")
+    mean_wl = F.round(
+        F.aggregate("ws", F.lit(0), lambda a, w: a + F.length(w))
+        / n_words, 4)
+    fr_sym = F.round(
+        F.size(F.filter("ws", lambda w: w.contains("#")
+                        | w.contains("..."))) / n_words, 4)
+    fr_alpha = F.round(
+        F.size(F.filter("ws", lambda w: w.rlike("[A-Za-z]")))
+        / n_words, 4)
+    n_stops = F.size(F.array_intersect(
+        F.array_distinct("ws"),
+        F.array(*[F.lit(w) for w in GOPHER_STOPS])))
+    n_lines = F.size("lines")
+    fr_bullet = F.round(
+        F.size(F.filter("lines", lambda l: F.substring(l, 1, 2) == "- "))
+        / n_lines, 4)
+    fr_ellipsis = F.round(
+        F.size(F.filter("lines",
+                        lambda l: F.substring(l, -3, 3) == "..."))
+        / n_lines, 4)
+    d = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        fr_sym.alias("frac_symbol_words"),
+        fr_bullet.alias("frac_bullet_lines"),
+        fr_ellipsis.alias("frac_ellipsis_lines"),
+        fr_alpha.alias("frac_alpha_words"),
+        n_stops.cast("long").alias("n_req_stopwords"),
+    )
+    return d.withColumn(
+        "keep",
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("frac_symbol_words") <= 0.1)
+        & (F.col("frac_bullet_lines") <= 0.9)
+        & (F.col("frac_ellipsis_lines") <= 0.3)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("n_req_stopwords") >= 2))
+
+
+def q_gopher_rules_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    return f"""
+    WITH pages AS (
+{_PAGE_LINES_SQL}
+    ),
+    feat AS (
+      SELECT doc_id, lines,
+             flatten(list_transform(lines,
+                                    l -> string_split(l, ' '))) AS ws
+      FROM pages
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(ws, w -> length(w)))
+                        AS DOUBLE) / len(ws), 4) AS mean_word_len,
+             round(CAST(len(list_filter(ws,
+                     w -> contains(w, '#') OR contains(w, '...')))
+                   AS DOUBLE) / len(ws), 4) AS frac_symbol_words,
+             round(CAST(len(list_filter(lines,
+                     l -> substring(l, 1, 2) = '- '))
+                   AS DOUBLE) / len(lines), 4) AS frac_bullet_lines,
+             round(CAST(len(list_filter(lines,
+                     l -> right(l, 3) = '...'))
+                   AS DOUBLE) / len(lines), 4) AS frac_ellipsis_lines,
+             round(CAST(len(list_filter(ws,
+                     w -> regexp_matches(w, '[A-Za-z]')))
+                   AS DOUBLE) / len(ws), 4) AS frac_alpha_words,
+             CAST(len(list_intersect(list_distinct(ws), [{stops}]))
+                  AS BIGINT) AS n_req_stopwords
+      FROM feat
+    )
+    SELECT *,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND frac_symbol_words <= 0.1
+            AND frac_bullet_lines <= 0.9
+            AND frac_ellipsis_lines <= 0.3
+            AND frac_alpha_words >= 0.8
+            AND n_req_stopwords >= 2) AS keep
+    FROM stats
+    """
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleanup (Raffel et al. 2020): keep only lines that
+    end in terminal punctuation, have >= 3 words, and contain no
+    'javascript' / '{' / 'lorem ipsum'; keep the doc if >= C4_MIN_LINES
+    lines survive; emit the cleaned text.
+
+    Scale shape: one narrow projection — the line filter is a JVM
+    array_filter over the per-row line array, zero shuffle.  At 100 TB
+    this runs as a map-only stage fused into whatever scan feeds it."""
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _page_lines_col().alias("lines"))
+
+    def ok(line):
+        return (
+            F.substring(line, -1, 1).isin(".", "!", "?")
+            & (F.size(F.split(line, " ")) >= 3)
+            & ~line.contains("javascript")
+            & ~line.contains("{")
+            & ~line.contains("lorem ipsum"))
+
+    d = d.select("doc_id", "lines", F.filter("lines", ok).alias("kept"))
+    return d.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept_lines"),
+        (F.size("kept") >= C4_MIN_LINES).alias("keep"),
+        F.array_join("kept", "\n").alias("clean_text"),
+    )
+
+
+def q_c4_clean_sql() -> str:
+    return f"""
+    WITH pages AS (
+{_PAGE_LINES_SQL}
+    ),
+    f AS (
+      SELECT doc_id, lines,
+             list_filter(lines,
+               l -> right(l, 1) IN ('.', '!', '?')
+                    AND len(string_split(l, ' ')) >= 3
+                    AND NOT contains(l, 'javascript')
+                    AND NOT contains(l, '{{')
+                    AND NOT contains(l, 'lorem ipsum')) AS kept
+      FROM pages
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           len(kept) >= {C4_MIN_LINES} AS keep,
+           -- DuckDB's array_to_string is NULL on an empty list where
+           -- Spark's array_join is '' — coalesce to match Spark.
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+    FROM f
+    """
+
+
+# --------------------------------------------------------------------------
+# Deterministic shard shuffle: training-data writer layout
+# --------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards — the layout
+    step a pretraining writer runs after curation: every doc gets a
+    content-independent pseudo-random (shard, position) from a salted
+    md5 of its id, so the examples a model sees in sequence are
+    decorrelated from crawl order, and the assignment is recomputable
+    from the row alone (re-running the writer after a crash yields the
+    identical layout — same discipline as `q_stratified_sample`).
+
+    Scale shape: ONE hash shuffle on `shard` + a per-shard sort.  No
+    global sort, no global window: each shard sorts independently (the
+    classic Spark external sort, spilling as needed), and N_SHARDS is
+    chosen so a shard is a few GB at the target corpus — at 100 TB you
+    raise N_SHARDS, never the per-shard sort size.  The per-shard
+    row_number IS the byte offset table a data loader indexes."""
+    docs = _tbl(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit("shuffle:"),
+                          F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(skey, 1, 7), 16, 10).cast("long")
+             % N_SHARDS).cast("int")
+    d = docs.select("doc_id", skey.alias("skey"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return d.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("long").alias("pos"))
+
+
+def q_shard_shuffle_sql() -> str:
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substring(skey, 1, 7)) AS BIGINT)
+                % {N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY CAST(concat('0x', substring(skey, 1, 7))
+                                    AS BIGINT) % {N_SHARDS}
+                  ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training: pair counting + merge steps on the vocab table
+# --------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+def _bpe_vocab(docs: DataFrame) -> DataFrame:
+    """(word, freq, syms): the corpus folded to its distinct-word table —
+    the classic BPE trick (Sennrich et al. 2016): after ONE corpus-wide
+    word count, training never touches the corpus again; every merge
+    step runs on the vocab table, which is bounded by the vocabulary
+    (millions of rows at 100 TB, not trillions).  `syms` is the word's
+    symbol sequence as a space-joined string ('hello' -> 'h e l l o')."""
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
+    syms = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.substring(F.col("word"), i, F.lit(1))),
+        " ")
+    return vocab.select("word", "freq", syms.alias("syms"))
+
+
+def _bpe_pairs(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs per vocab word, weighted by word freq:
+    (pair, cnt) where pair is 'a b'.  One vocab-bounded shuffle."""
+    s = F.split(F.col("syms"), " ")
+    idx = F.when(F.size(s) > 1, F.sequence(F.lit(1), F.size(s) - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    pairs = vocab.select(
+        "freq",
+        F.explode(F.transform(
+            idx,
+            lambda i: F.concat(F.element_at(s, i), F.lit(" "),
+                               F.element_at(s, i + 1)))).alias("pair"))
+    return pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("cnt"))
+
+
+def _bpe_apply_col(syms_col, pair_col):
+    """Apply one merge to a space-joined symbol string with the two-pass
+    anchored-replace trick: wrap in spaces, replace ' a b ' -> ' ab '
+    twice (pass 1 merges the odd occurrences of a consecutive run —
+    each replacement consumes the separator the next occurrence needs —
+    pass 2 the rest; blocked occurrences are never adjacent, so two
+    passes always complete).  Equivalent to greedy left-to-right BPE
+    except the alignment inside odd-length runs of self-pairs
+    ('a a a a a' merges as [aa, a, aa] not [aa, aa, a]) — deterministic
+    and ENGINE-IDENTICAL, which is the contract here; the oracle and
+    the pinned pure-Python reference apply the same two passes."""
+    merged = F.replace(pair_col, F.lit(" "), F.lit(""))
+    pat = F.concat(F.lit(" "), pair_col, F.lit(" "))
+    rep = F.concat(F.lit(" "), merged, F.lit(" "))
+    wrapped = F.concat(F.lit(" "), syms_col, F.lit(" "))
+    return F.trim(F.replace(F.replace(wrapped, pat, rep), pat, rep))
+
+
+_BPE_VOCAB_SQL = """
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substring(word, i, 1)), ' ') AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY word
+"""
+
+_BPE_PAIRS_SQL = """
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               unnest(CASE WHEN len(s) > 1
+                      THEN list_transform(range(1, len(s)),
+                                          i -> s[i] || ' ' || s[i+1])
+                      ELSE CAST([] AS VARCHAR[]) END) AS pair
+        FROM (SELECT freq, string_split(syms, ' ') AS s FROM vocab)
+      )
+      GROUP BY pair
+"""
+
+
+def q_bpe_pair_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pair statistics: the top BPE_TOP_PAIRS adjacent symbol pairs
+    by corpus frequency from the initial character vocabulary — the
+    exact quantity a BPE trainer maximizes at each step.
+
+    Scale shape: corpus -> (word, freq) is one map-side-combinable
+    groupBy; pair counting explodes the VOCAB (bounded), not the
+    corpus; top-k is a TakeOrdered, never a global sort."""
+    vocab = _bpe_vocab(_tbl(spark, sf_dir, "documents"))
+    return (_bpe_pairs(vocab)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(BPE_TOP_PAIRS))
+
+
+def q_bpe_pair_count_sql() -> str:
+    return f"""
+    WITH vocab AS (
+{_BPE_VOCAB_SQL}
+    ),
+    pairs AS (
+{_BPE_PAIRS_SQL}
+    )
+    SELECT pair, cnt FROM pairs
+    ORDER BY cnt DESC, pair ASC LIMIT {BPE_TOP_PAIRS}
+    """
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step end to end: find the most frequent pair
+    (ties by pair string — deterministic), apply the merge to every
+    vocab word, and emit the post-merge vocab.  The iterated form is
+    `bpe_train`.
+
+    Scale shape: the winning pair is a TakeOrdered(1) 1-row BROADCAST
+    (never a global sort), and the merge apply is a narrow projection
+    over the vocab table.  Two vocab-bounded shuffles total (word
+    count + pair count)."""
+    vocab = _bpe_vocab(_tbl(spark, sf_dir, "documents"))
+    top = (_bpe_pairs(vocab)
+           .orderBy(F.desc("cnt"), F.asc("pair"))
+           .limit(1)
+           .select(F.col("pair").alias("best_pair"),
+                   F.col("cnt").alias("best_cnt")))
+    return (vocab.crossJoin(F.broadcast(top))
+            .select(
+                "word", "freq", "best_pair", "best_cnt",
+                _bpe_apply_col(F.col("syms"), F.col("best_pair"))
+                .alias("syms_after")))
+
+
+def q_bpe_merge_step_sql() -> str:
+    return f"""
+    WITH vocab AS (
+{_BPE_VOCAB_SQL}
+    ),
+    pairs AS (
+{_BPE_PAIRS_SQL}
+    ),
+    top AS (
+      SELECT pair AS best_pair, cnt AS best_cnt FROM pairs
+      ORDER BY cnt DESC, pair ASC LIMIT 1
+    )
+    SELECT word, freq, best_pair, best_cnt,
+           trim(replace(replace(' ' || syms || ' ',
+                                ' ' || best_pair || ' ',
+                                ' ' || replace(best_pair, ' ', '') || ' '),
+                        ' ' || best_pair || ' ',
+                        ' ' || replace(best_pair, ' ', '') || ' '))
+             AS syms_after
+    FROM vocab CROSS JOIN top
+    """
+
+
+def bpe_train(spark: SparkSession, sf_dir: str,
+              n_merges: int = 8) -> tuple[list[str], DataFrame]:
+    """Full BPE training loop: n_merges iterations of (count pairs ->
+    take the winner -> apply).  Driver holds ONE (pair, cnt) row per
+    iteration — never the vocab; the vocab stays distributed and is
+    localCheckpoint-ed each step to truncate the replace-chain lineage
+    (the `ivf_lloyd` discipline).  Returns (merges, final vocab)."""
+    vocab = _bpe_vocab(_tbl(spark, sf_dir, "documents")).localCheckpoint()
+    merges: list[str] = []
+    for _ in range(n_merges):
+        top = (_bpe_pairs(vocab)
+               .orderBy(F.desc("cnt"), F.asc("pair"))
+               .limit(1).collect())
+        if not top or top[0]["cnt"] < 2:
+            break
+        pair = top[0]["pair"]
+        merges.append(pair)
+        vocab = vocab.select(
+            "word", "freq",
+            _bpe_apply_col(F.col("syms"), F.lit(pair)).alias("syms"),
+        ).localCheckpoint()
+    return merges, vocab

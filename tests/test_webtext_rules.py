@@ -1,0 +1,314 @@
+"""Webtext rule filters (Gopher / C4), the deterministic shard shuffle,
+and BPE tokenizer training — round-6 additions.  A pure-Python mirror of
+the synthesized page + both rule sets pins the semantics independently
+of the DuckDB oracle; BPE's two-pass anchored replace is pinned against
+a pure-Python reference including the self-pair-run edge case; oracle
+parity at sf0.01 rides the entry-contract gate like every other
+registered query."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from ocr_hardsubx_spark.plans import dataset_queries as dq
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python mirror of the synthesized page (the cross-engine contract)
+# ---------------------------------------------------------------------------
+
+
+def _r4(x: float) -> float:
+    """Spark/DuckDB round() is HALF_UP; Python's round() is banker's."""
+    return math.floor(x * 10000 + 0.5) / 10000
+
+
+def _page_lines(doc_id: int, text: str) -> list[str]:
+    toks = text.split(" ")
+    n_lines = math.ceil(len(toks) / dq.PAGE_LINE_TOKS)
+    out = []
+    for j in range(n_lines):
+        b = " ".join(toks[j * dq.PAGE_LINE_TOKS:(j + 1) * dq.PAGE_LINE_TOKS])
+        m = (doc_id + j) % 7
+        if m == 0:
+            out.append("- " + b)
+        elif m == 1:
+            out.append(b + " ...")
+        elif m == 2:
+            out.append(b + " { enable javascript and cookies }")
+        elif m == 3:
+            out.append("note that the " + b + ".")
+        else:
+            out.append(b + ".")
+    return out
+
+
+def _docs_rows(spark):
+    return spark.read.parquet(SF + "/documents.parquet") \
+        .select("doc_id", "text").collect()
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_matches_pure_python_mirror(spark):
+    """Every stat and the keep decision match a from-scratch Python
+    reimplementation of Rae et al. table A1 over the synthesized page,
+    for the full sf0.001 corpus."""
+    got = {r["doc_id"]: r for r in dq.q_gopher_rules(spark, SF).collect()}
+    rows = _docs_rows(spark)
+    assert len(got) == len(rows)
+    for r in rows:
+        lines = _page_lines(r["doc_id"], r["text"])
+        ws = [w for line in lines for w in line.split(" ")]
+        n_words = len(ws)
+        mean_wl = _r4(sum(len(w) for w in ws) / n_words)
+        fr_sym = _r4(
+            sum(1 for w in ws if "#" in w or "..." in w) / n_words)
+        fr_alpha = _r4(
+            sum(1 for w in ws if re.search("[A-Za-z]", w)) / n_words)
+        n_stops = len(set(ws) & set(dq.GOPHER_STOPS))
+        fr_bullet = _r4(
+            sum(1 for l in lines if l.startswith("- ")) / len(lines))
+        fr_ell = _r4(
+            sum(1 for l in lines if l.endswith("...")) / len(lines))
+        keep = (dq.GOPHER_MIN_WORDS <= n_words <= dq.GOPHER_MAX_WORDS
+                and 3.0 <= mean_wl <= 10.0 and fr_sym <= 0.1
+                and fr_bullet <= 0.9 and fr_ell <= 0.3
+                and fr_alpha >= 0.8 and n_stops >= 2)
+        g = got[r["doc_id"]]
+        assert g["n_words"] == n_words
+        assert g["mean_word_len"] == pytest.approx(mean_wl, abs=1e-9)
+        assert g["frac_symbol_words"] == pytest.approx(fr_sym, abs=1e-9)
+        assert g["frac_bullet_lines"] == pytest.approx(fr_bullet, abs=1e-9)
+        assert g["frac_ellipsis_lines"] == pytest.approx(fr_ell, abs=1e-9)
+        assert g["frac_alpha_words"] == pytest.approx(fr_alpha, abs=1e-9)
+        assert g["n_req_stopwords"] == n_stops
+        assert g["keep"] == keep
+
+
+def _write_docs(spark, tmp_path, rows):
+    out = str(tmp_path)
+    (spark.createDataFrame(rows, "doc_id long, text string, lang string")
+     .write.parquet(out + "/documents.parquet"))
+    return out
+
+
+def test_gopher_individual_rules_reject(spark, tmp_path):
+    """Each rule rejects on its own: too few words; no required
+    stopwords; symbol-word fraction over 0.1.  doc_id 4 puts the whole
+    single line on the plain-period arm (m=4), so the decorations don't
+    mask the rule under test."""
+    short = "the of and to"  # 4+1 words after the '.' decoration: < 50
+    nostop = " ".join(["alpha beta gamma delta"] * 15)
+    sym = " ".join(["the of and to have with"] * 9 + ["### ### ### ###"] * 2)
+    rows = [(4, short, "en"), (11, nostop, "en"), (18, sym, "en")]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in dq.q_gopher_rules(spark, out).collect()}
+    assert not got[4]["keep"] and got[4]["n_words"] < dq.GOPHER_MIN_WORDS
+    assert not got[11]["keep"] and got[11]["n_req_stopwords"] < 2
+    assert not got[18]["keep"] and got[18]["frac_symbol_words"] > 0.1
+
+
+def test_gopher_clean_doc_keeps(spark, tmp_path):
+    """A long stopword-bearing doc on the plain arms passes all rules."""
+    text = " ".join(["the cat sat on the mat and the dog ran off"] * 8)
+    out = _write_docs(spark, tmp_path, [(4, text, "en")])
+    got = dq.q_gopher_rules(spark, out).collect()[0]
+    assert got["keep"]
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleanup
+# ---------------------------------------------------------------------------
+
+
+def _c4_ok(line: str) -> bool:
+    return (line[-1:] in (".", "!", "?") and len(line.split(" ")) >= 3
+            and "javascript" not in line and "{" not in line
+            and "lorem ipsum" not in line)
+
+
+def test_c4_matches_pure_python_mirror(spark):
+    got = {r["doc_id"]: r for r in dq.q_c4_clean(spark, SF).collect()}
+    for r in _docs_rows(spark):
+        lines = _page_lines(r["doc_id"], r["text"])
+        kept = [l for l in lines if _c4_ok(l)]
+        g = got[r["doc_id"]]
+        assert g["n_lines"] == len(lines)
+        assert g["n_kept_lines"] == len(kept)
+        assert g["keep"] == (len(kept) >= dq.C4_MIN_LINES)
+        assert g["clean_text"] == "\n".join(kept)
+
+
+def test_c4_drops_each_boilerplate_arm(spark, tmp_path):
+    """With 7+ lines the page cycles through every decoration arm:
+    bullet lines (no terminal punct) and javascript/{ lines are
+    dropped; plain/note/ellipsis lines survive."""
+    text = " ".join(f"tok{i}" for i in range(7 * dq.PAGE_LINE_TOKS))
+    out = _write_docs(spark, tmp_path, [(0, text, "en")])
+    g = dq.q_c4_clean(spark, out).collect()[0]
+    assert g["n_lines"] == 7
+    # arms 0 (bullet) and 2 (javascript boilerplate) drop; 1, 3, 4-6 keep
+    assert g["n_kept_lines"] == 5
+    assert g["keep"]
+    for line in g["clean_text"].split("\n"):
+        assert _c4_ok(line)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_shard_shuffle_layout(spark):
+    """Every doc lands in exactly one shard, per-shard positions are a
+    contiguous 1..n ranking, and the layout is bit-identical across
+    independent runs (crash-recomputable, the q_stratified_sample
+    discipline)."""
+    a = dq.q_shard_shuffle(spark, SF).collect()
+    b = dq.q_shard_shuffle(spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    docs = {r["doc_id"] for r in a}
+    assert len(docs) == len(a) == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r["shard"] < dq.N_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert len(by_shard) == dq.N_SHARDS
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # md5 keying spreads uniformly: no shard is grossly over-loaded
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] <= 3 * sizes[0]
+
+
+def test_shard_shuffle_decorrelates_crawl_order(spark):
+    """Neighboring doc_ids (crawl order) are torn apart: within a
+    shard, consecutive positions are rarely consecutive doc_ids."""
+    rows = dq.q_shard_shuffle(spark, SF).collect()
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["doc_id"]))
+    adjacent = 0
+    total = 0
+    for prs in by_shard.values():
+        prs.sort()
+        for (p1, d1), (p2, d2) in zip(prs, prs[1:]):
+            total += 1
+            if abs(d2 - d1) == 1:
+                adjacent += 1
+    assert adjacent / total < 0.05
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+
+def _two_pass_apply(syms: str, pair: str) -> str:
+    """The pinned pure-Python reference for the engine-side two-pass
+    anchored replace."""
+    merged = pair.replace(" ", "")
+    wrapped = " " + syms + " "
+    pat, rep = " " + pair + " ", " " + merged + " "
+    return wrapped.replace(pat, rep).replace(pat, rep).strip()
+
+
+@pytest.mark.parametrize("syms,pair,expected", [
+    ("h e l l o", "l l", "h e ll o"),
+    ("a b a b a b", "a b", "ab ab ab"),
+    # odd-length self-pair run: two-pass contract merges [aa, a, aa]
+    ("a a a a a", "a a", "aa a aa"),
+    ("a a a a", "a a", "aa aa"),
+    ("x a b", "a b", "x ab"),
+    ("a b", "a b", "ab"),
+    ("q", "a b", "q"),
+])
+def test_two_pass_reference(syms, pair, expected):
+    assert _two_pass_apply(syms, pair) == expected
+
+
+def test_two_passes_always_complete():
+    """After two passes no un-merged occurrence of the pair remains —
+    the invariant that makes the engine form exactly two replaces."""
+    import itertools
+    for n in range(1, 9):
+        for word in itertools.product("ab", repeat=n):
+            syms = " ".join(word)
+            out = _two_pass_apply(syms, "a b")
+            assert " a b " not in " " + out + " ", (syms, out)
+
+
+def test_bpe_apply_col_matches_reference(spark):
+    """The Spark column expression equals the pure-Python two-pass
+    reference on every (syms, pair) edge case, including self-pair
+    runs and absent pairs."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("h e l l o", "l l"), ("a a a a a", "a a"), ("a a a a", "a a"),
+        ("a b a b a b", "a b"), ("x y z", "a b"), ("a b", "a b"),
+        ("q", "a b"), ("t h e t h e", "t h"), ("a a b a a b", "a a"),
+    ]
+    df = spark.createDataFrame(cases, "syms string, pair string") \
+        .select("syms", "pair",
+                dq._bpe_apply_col(F.col("syms"), F.col("pair"))
+                .alias("out"))
+    for r in df.collect():
+        assert r["out"] == _two_pass_apply(r["syms"], r["pair"]), \
+            (r["syms"], r["pair"])
+
+
+def test_bpe_pair_count_matches_brute_force(spark):
+    """Top pairs equal a from-scratch Python count over the corpus."""
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    vocab: Counter[str] = Counter()
+    for r in _docs_rows(spark):
+        vocab.update(r["text"].split(" "))
+    for word, freq in vocab.items():
+        for x, y in zip(word, word[1:]):
+            counts[f"{x} {y}"] += freq
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [(r["pair"], r["cnt"])
+           for r in dq.q_bpe_pair_count(spark, SF).collect()]
+    assert got == expect[:dq.BPE_TOP_PAIRS]
+
+
+def test_bpe_train_loop(spark):
+    """bpe_train: merges are deterministic across runs, each merge is
+    the argmax of the pair counts at its step (ties by pair string),
+    and replaying the merge list through the pure-Python reference
+    reproduces the engine's final vocab exactly."""
+    from collections import Counter
+
+    merges, vocab_df = dq.bpe_train(spark, SF, n_merges=6)
+    merges2, _ = dq.bpe_train(spark, SF, n_merges=6)
+    assert merges == merges2 and len(merges) == 6
+    assert len(set(merges)) == len(merges)
+
+    base: Counter[str] = Counter()
+    for r in _docs_rows(spark):
+        base.update(r["text"].split(" "))
+    state = {w: " ".join(w) for w in base}
+    for m in merges:
+        counts: Counter[str] = Counter()
+        for w, syms in state.items():
+            s = syms.split(" ")
+            for x, y in zip(s, s[1:]):
+                counts[f"{x} {y}"] += base[w]
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert m == best[0] and best[1] >= 2
+        state = {w: _two_pass_apply(syms, m) for w, syms in state.items()}
+
+    got = {r["word"]: r["syms"] for r in vocab_df.collect()}
+    assert got == state
