@@ -5825,3 +5825,179 @@ def bpe_train(spark: SparkSession, sf_dir: str,
             _bpe_apply_col(F.col("syms"), F.lit(pair)).alias("syms"),
         ).localCheckpoint()
     return merges, vocab
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition battery (Rae et al. 2021, table A1 / section A1.1)
+# --------------------------------------------------------------------------
+
+#: most-frequent-n-gram char-fraction ceilings (Rae et al. table A1)
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+#: duplicate-n-gram char-fraction ceilings (5..10 in the paper; the two
+#: boundary sizes carry the whole family's plan shape)
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 10: 0.10}
+GOPHER_DUP_LINE_MAX = 0.30        # fraction of lines that repeat
+GOPHER_DUP_LINE_CHAR_MAX = 0.20   # fraction of chars in repeated lines
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition removal (Rae et al. 2021, A1.1) — the other
+    half of table A1 next to `q_gopher_rules`: per doc, the fraction of
+    duplicate lines and of characters in duplicate lines (occurrences
+    beyond the first), the character fraction of the MOST FREQUENT
+    n-gram for n=2,3,4, and the character fraction of ALL duplicated
+    n-grams for n=5,10 (occurrence-weighted — overlaps not collapsed,
+    the census convention both engines share); keep iff every fraction
+    is under its table-A1 ceiling.
+
+    Scale shape: the line stats are pure per-row array expressions
+    (zero shuffle).  The n-gram census shuffles (doc_id, n, md5(gram),
+    gram_len) — 16-byte hashes, never gram text (the line-dedup
+    discipline) — with map-side partial counts; the per-(doc,n) rollup
+    and per-doc pivot re-shuffle, but only rows already collapsed to
+    distinct grams (then to one row per (doc, n)), so the raw gram
+    volume pays exactly one exchange.  Ties for the most frequent
+    gram break on (count, count*len) struct-max, deterministic in both
+    engines.  All fractions round-4 per the cross-engine discipline."""
+    docs = _tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("toks"),
+        F.length("text").alias("n_chars"),
+        _page_lines_col().alias("lines"))
+
+    line_chars = F.aggregate("lines", F.lit(0),
+                             lambda a, l: a + F.length(l))
+    dist_chars = F.aggregate(F.array_distinct("lines"), F.lit(0),
+                             lambda a, l: a + F.length(l))
+    line_stats = base.select(
+        "doc_id", "toks", "n_chars",
+        F.round((F.size("lines") - F.size(F.array_distinct("lines")))
+                / F.size("lines"), 4).alias("frac_dup_lines"),
+        F.round((line_chars - dist_chars) / line_chars, 4)
+         .alias("frac_dup_line_chars"))
+
+    ns = sorted(set(GOPHER_TOP_NGRAM_MAX) | set(GOPHER_DUP_NGRAM_MAX))
+    exploded = base.select(
+        "doc_id", "toks",
+        F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"))
+    gram = F.array_join(F.slice("toks", F.col("i") + 1, F.col("n")), " ")
+    grams = exploded.select(
+        "doc_id", "n",
+        F.explode(F.when(
+            F.size("toks") >= F.col("n"),
+            F.sequence(F.lit(0), F.size("toks") - F.col("n")))
+            .otherwise(F.array().cast("array<int>"))).alias("i"),
+        "toks",
+    ).select("doc_id", "n", F.md5(gram).alias("h"),
+             F.length(gram).alias("len"))
+    counts = (grams.groupBy("doc_id", "n", "h", "len")
+              .agg(F.count("*").alias("cnt")))
+    pern = counts.groupBy("doc_id", "n").agg(
+        F.max(F.struct(F.col("cnt"),
+                       (F.col("cnt") * F.col("len")).alias("chars")))
+         ["chars"].alias("top_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("len")))
+         .alias("dup_chars"))
+    perdoc = pern.groupBy("doc_id").agg(
+        *[F.max(F.when(F.col("n") == n, F.col("top_chars")))
+           .alias(f"top{n}_chars") for n in GOPHER_TOP_NGRAM_MAX],
+        *[F.max(F.when(F.col("n") == n, F.col("dup_chars")))
+           .alias(f"dup{n}_chars") for n in GOPHER_DUP_NGRAM_MAX])
+
+    d = line_stats.join(perdoc, "doc_id", "left")
+    frac = {}
+    for n in GOPHER_TOP_NGRAM_MAX:
+        frac[f"top{n}_char_frac"] = F.round(
+            F.coalesce(F.col(f"top{n}_chars"), F.lit(0)) / F.col("n_chars"),
+            4)
+    for n in GOPHER_DUP_NGRAM_MAX:
+        frac[f"dup{n}_char_frac"] = F.round(
+            F.coalesce(F.col(f"dup{n}_chars"), F.lit(0)) / F.col("n_chars"),
+            4)
+    keep = (
+        (F.col("frac_dup_lines") <= GOPHER_DUP_LINE_MAX)
+        & (F.col("frac_dup_line_chars") <= GOPHER_DUP_LINE_CHAR_MAX))
+    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
+        keep = keep & (F.col(f"top{n}_char_frac") <= mx)
+    for n, mx in GOPHER_DUP_NGRAM_MAX.items():
+        keep = keep & (F.col(f"dup{n}_char_frac") <= mx)
+    return (d.select("doc_id", "frac_dup_lines", "frac_dup_line_chars",
+                     *[c.alias(name) for name, c in frac.items()])
+            .withColumn("keep", keep))
+
+
+def q_gopher_repetition_sql() -> str:
+    ns = sorted(set(GOPHER_TOP_NGRAM_MAX) | set(GOPHER_DUP_NGRAM_MAX))
+    values = ", ".join(f"({n})" for n in ns)
+    tops = ", ".join(
+        f"max(CASE WHEN n = {n} THEN top_chars END) AS top{n}_chars"
+        for n in GOPHER_TOP_NGRAM_MAX)
+    dups = ", ".join(
+        f"max(CASE WHEN n = {n} THEN dup_chars END) AS dup{n}_chars"
+        for n in GOPHER_DUP_NGRAM_MAX)
+    top_fr = ", ".join(
+        f"round(CAST(coalesce(top{n}_chars, 0) AS DOUBLE) / n_chars, 4)"
+        f" AS top{n}_char_frac" for n in GOPHER_TOP_NGRAM_MAX)
+    dup_fr = ", ".join(
+        f"round(CAST(coalesce(dup{n}_chars, 0) AS DOUBLE) / n_chars, 4)"
+        f" AS dup{n}_char_frac" for n in GOPHER_DUP_NGRAM_MAX)
+    gates = " AND ".join(
+        [f"frac_dup_lines <= {GOPHER_DUP_LINE_MAX}",
+         f"frac_dup_line_chars <= {GOPHER_DUP_LINE_CHAR_MAX}"]
+        + [f"top{n}_char_frac <= {mx}"
+           for n, mx in GOPHER_TOP_NGRAM_MAX.items()]
+        + [f"dup{n}_char_frac <= {mx}"
+           for n, mx in GOPHER_DUP_NGRAM_MAX.items()])
+    return f"""
+    WITH pages AS (
+{_PAGE_LINES_SQL}
+    ),
+    base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    line_stats AS (
+      SELECT doc_id,
+             round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                   / len(lines), 4) AS frac_dup_lines,
+             round(CAST(list_sum(list_transform(lines, l -> length(l)))
+                        - list_sum(list_transform(list_distinct(lines),
+                                                  l -> length(l)))
+                        AS DOUBLE)
+                   / list_sum(list_transform(lines, l -> length(l))), 4)
+               AS frac_dup_line_chars
+      FROM pages
+    ),
+    bn AS (
+      SELECT doc_id, toks, n FROM base, (VALUES {values}) ns(n)
+    ),
+    g AS (
+      SELECT doc_id, n,
+             md5(array_to_string(list_slice(toks, i + 1, i + n), ' '))
+               AS h,
+             length(array_to_string(list_slice(toks, i + 1, i + n), ' '))
+               AS len
+      FROM bn, LATERAL (SELECT unnest(range(0, greatest(len(toks) - n + 1,
+                                                        0))) AS i)
+    ),
+    counts AS (
+      SELECT doc_id, n, h, len, count(*) AS cnt FROM g GROUP BY ALL
+    ),
+    pern AS (
+      SELECT doc_id, n,
+             (max(struct_pack(c := cnt, ch := cnt * len))).ch AS top_chars,
+             sum(CASE WHEN cnt > 1 THEN cnt * len END) AS dup_chars
+      FROM counts GROUP BY 1, 2
+    ),
+    perdoc AS (
+      SELECT doc_id, {tops}, {dups} FROM pern GROUP BY 1
+    ),
+    j AS (
+      SELECT b.doc_id, ls.frac_dup_lines, ls.frac_dup_line_chars,
+             {top_fr}, {dup_fr}
+      FROM base b JOIN line_stats ls USING (doc_id)
+      LEFT JOIN perdoc USING (doc_id)
+    )
+    SELECT *, ({gates}) AS keep FROM j
+    """

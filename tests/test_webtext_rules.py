@@ -312,3 +312,103 @@ def test_bpe_train_loop(spark):
 
     got = {r["word"]: r["syms"] for r in vocab_df.collect()}
     assert got == state
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition battery
+# ---------------------------------------------------------------------------
+
+
+def _rep_mirror(doc_id: int, text: str) -> dict:
+    """Pure-Python Rae et al. A1.1 over the synthesized page (lines) and
+    the raw token stream (n-grams), mirroring q_gopher_repetition."""
+    from collections import Counter
+
+    lines = _page_lines(doc_id, text)
+    total = sum(len(l) for l in lines)
+    dist = sum(len(l) for l in set(lines))
+    out = {
+        "frac_dup_lines": _r4((len(lines) - len(set(lines))) / len(lines)),
+        "frac_dup_line_chars": _r4((total - dist) / total),
+    }
+    toks = text.split(" ")
+    n_chars = len(text)
+    for n in sorted(set(dq.GOPHER_TOP_NGRAM_MAX) | set(dq.GOPHER_DUP_NGRAM_MAX)):
+        c = Counter(" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1))
+        top = max(((cnt, cnt * len(g)) for g, cnt in c.items()),
+                  default=(0, 0))
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        if n in dq.GOPHER_TOP_NGRAM_MAX:
+            out[f"top{n}_char_frac"] = _r4(top[1] / n_chars)
+        if n in dq.GOPHER_DUP_NGRAM_MAX:
+            out[f"dup{n}_char_frac"] = _r4(dup / n_chars)
+    keep = (out["frac_dup_lines"] <= dq.GOPHER_DUP_LINE_MAX
+            and out["frac_dup_line_chars"] <= dq.GOPHER_DUP_LINE_CHAR_MAX)
+    for n, mx in dq.GOPHER_TOP_NGRAM_MAX.items():
+        keep = keep and out[f"top{n}_char_frac"] <= mx
+    for n, mx in dq.GOPHER_DUP_NGRAM_MAX.items():
+        keep = keep and out[f"dup{n}_char_frac"] <= mx
+    out["keep"] = keep
+    return out
+
+
+def test_gopher_repetition_matches_pure_python_mirror(spark):
+    """Every fraction and the keep decision match a from-scratch Python
+    A1.1 implementation for the full sf0.001 corpus — including the
+    struct-max tie-break on the most-frequent-gram char count."""
+    got = {r["doc_id"]: r
+           for r in dq.q_gopher_repetition(spark, SF).collect()}
+    rows = _docs_rows(spark)
+    assert len(got) == len(rows)
+    for r in rows:
+        want = _rep_mirror(r["doc_id"], r["text"])
+        g = got[r["doc_id"]]
+        for k, v in want.items():
+            if k == "keep":
+                assert g[k] == v, (r["doc_id"], k)
+            else:
+                assert g[k] == pytest.approx(v, abs=1e-9), (r["doc_id"], k)
+
+
+def test_gopher_repetition_drops_looped_page(spark, tmp_path):
+    """14 identical 12-token lines: each decoration arm appears twice
+    (and the three plain-period arms collapse into one line), so 9 of
+    14 page lines are duplicates (0.6429 > 0.30) and the top 2-gram
+    blankets the text — both gates independently reject."""
+    body = " ".join(["ha"] * dq.PAGE_LINE_TOKS)
+    text = " ".join([body] * 14)
+    out = _write_docs(spark, tmp_path, [(4, text, "en")])
+    g = dq.q_gopher_repetition(spark, out).collect()[0]
+    assert g["frac_dup_lines"] == 0.6429 > dq.GOPHER_DUP_LINE_MAX
+    assert g["top2_char_frac"] > dq.GOPHER_TOP_NGRAM_MAX[2]
+    assert g["dup10_char_frac"] > dq.GOPHER_DUP_NGRAM_MAX[10]
+    assert not g["keep"]
+
+
+def test_gopher_repetition_keeps_varied_doc(spark, tmp_path):
+    """A doc of all-distinct tokens has zero duplicate lines and zero
+    duplicated n-grams; only the single most-frequent gram (count 1)
+    contributes, far under every ceiling."""
+    text = " ".join(f"w{i:03d}" for i in range(120))
+    out = _write_docs(spark, tmp_path, [(4, text, "en")])
+    g = dq.q_gopher_repetition(spark, out).collect()[0]
+    assert g["frac_dup_lines"] == 0.0
+    assert g["frac_dup_line_chars"] == 0.0
+    assert g["dup5_char_frac"] == 0.0 and g["dup10_char_frac"] == 0.0
+    assert g["keep"]
+
+
+def test_gopher_repetition_short_doc_no_grams(spark, tmp_path):
+    """A doc shorter than the largest n yields no grams for that n:
+    the left join coalesces the missing fractions to 0 instead of
+    dropping or nulling the row.  The doc is still rejected — its one
+    2-gram covers most of the text, which is exactly how the
+    most-frequent-gram ceiling treats near-empty docs."""
+    text = "alpha beta gamma"
+    out = _write_docs(spark, tmp_path, [(4, text, "en")])
+    g = dq.q_gopher_repetition(spark, out).collect()[0]
+    assert g["top4_char_frac"] == 0.0   # only 3 tokens: no 4-grams
+    assert g["dup5_char_frac"] == 0.0 and g["dup10_char_frac"] == 0.0
+    assert g["top2_char_frac"] > dq.GOPHER_TOP_NGRAM_MAX[2]
+    assert not g["keep"]
