@@ -31,8 +31,14 @@ them instead of stubbed:
   grey form), and 12-bit DCT precision decodes with the 2^11 level
   shift + MSB alignment.  ARITHMETIC-coded DCT modes (SOF9 sequential,
   SOF10 progressive) decode natively via a T.81 Annex-D QM-coder with
-  the F.1.4 DC/AC decision trees and DAC conditioning; only the
-  hierarchical SOFs raise UnsupportedMedia.
+  the F.1.4 DC/AC decision trees and DAC conditioning.  HIERARCHICAL
+  files (Annex J) decode when the pyramid is sequential Huffman DCT:
+  DHP, a non-differential first frame, EXP reference expansion per
+  J.1.1.2 (copy/interpolate/edge-replicate, horizontal before
+  vertical), and SOF5 differential frames whose un-level-shifted,
+  prediction-free corrections add onto the int32 reference with
+  clamping; pyramids built from progressive/lossless/arithmetic frames
+  raise UnsupportedMedia.
 
 * **GIF (87a/89a)** — LZW decode (variable-width codes, CLEAR/END,
   the KwKwK rule), global/local palettes, first frame (interlaced rows
@@ -43,10 +49,12 @@ them instead of stubbed:
   decoding any sample data (the only facts frame sampling needs).
 
 Every sniffable format now decodes for real; only the one unsupported
-subset (hierarchical JPEG) falls back to Pillow when importable, else
-to the declared deterministic stub in operators/multimodal.py — and
-the multimodal schemas carry a ``decoded_real`` provenance flag so
-fallback rows are distinguishable.
+subset (hierarchical pyramids built from progressive/lossless/
+arithmetic frames — plain sequential-Huffman pyramids decode natively)
+falls back to Pillow when importable, else to the declared
+deterministic stub in operators/multimodal.py — and the multimodal
+schemas carry a ``decoded_real`` provenance flag so fallback rows are
+distinguishable.
 """
 
 from __future__ import annotations
@@ -742,6 +750,34 @@ def _arith_decode_scan(data, pos, frame, scan, state, dc_cond, ac_cond,
     return len(data)
 
 
+def _exp_upsample(ref: "np.ndarray", eh: int, ev: int, wt: int,
+                  ht: int) -> "np.ndarray":
+    """T.81 J.1.1.2 reference-component expansion for hierarchical
+    frames: each signalled dimension doubles, output sample 2x copies
+    input x and 2x+1 interpolates ((x + x+1 + 1) >> 1) with the final
+    edge sample replicated; horizontal expansion runs before vertical.
+    (wt, ht) are the NEXT frame's dimensions — each must be 2W or 2W-1
+    of the expanded axis (odd full-resolution extents), unchanged on an
+    unsignalled axis."""
+    out = ref
+    for axis, flag, target in ((1, eh, wt), (0, ev, ht)):
+        size = out.shape[axis]
+        if not flag:
+            if target != size:
+                raise ValueError("JPEG hierarchical frame dims do not"
+                                 " match the (unexpanded) reference")
+            continue
+        if target not in (2 * size, 2 * size - 1):
+            raise ValueError("JPEG EXP target is not 2W or 2W-1")
+        moved = np.moveaxis(out, axis, 0)
+        o = np.empty((2 * size,) + moved.shape[1:], dtype=out.dtype)
+        o[0::2] = moved
+        o[1:-1:2] = (moved[:-1] + moved[1:] + 1) >> 1
+        o[-1] = moved[-1]
+        out = np.moveaxis(o[:target], 0, axis)
+    return out
+
+
 def decode_jpeg(payload: bytes) -> "np.ndarray":
     """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (H, W) uint8
     LUMINANCE.
@@ -754,8 +790,13 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     (SOF3) decodes via the Annex-H DPCM predictors (2-16 bit precision,
     MSB-aligned to 8); 12-bit DCT modes level-shift at 2^11 and
     MSB-align.  Arithmetic-coded DCT modes (SOF9/SOF10) decode via the
-    Annex-D QM-coder with DAC conditioning; hierarchical SOFs raise
-    UnsupportedMedia."""
+    Annex-D QM-coder with DAC conditioning.  HIERARCHICAL files (Annex
+    J: DHP, then a pyramid of frames) decode when every frame is
+    sequential Huffman DCT — a non-differential first frame, EXP
+    reference expansion (J.1.1.2), and SOF5 differential frames whose
+    un-level-shifted IDCT corrections accumulate onto the reference;
+    hierarchical pyramids using progressive/lossless/arithmetic frames
+    raise UnsupportedMedia."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qt: dict[int, list[int]] = {}
@@ -765,6 +806,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     restart_interval = 0
     dc_cond: dict[int, tuple[int, int]] = {}
     ac_cond: dict[int, int] = {}
+    hier = None          # DHP dims/precision when hierarchical
+    ref = None           # accumulated int32 luma plane (precision P)
+    pending_exp = None   # (Eh, Ev) from an EXP marker, applied pre-frame
     pos = 2
     n = len(payload)
     while pos + 4 <= n:
@@ -818,9 +862,25 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                         raise ValueError("JPEG DAC Kx out of range")
                     ac_cond[tb] = cs
                 i += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
-            # baseline / extended / progressive / lossless, plus the
-            # arithmetic-coded twins (SOF9 sequential, SOF10 progressive)
+        elif marker == 0xDE:  # DHP (B.3.2): hierarchical progression
+            if frame is not None or hier is not None:
+                raise ValueError("JPEG DHP after a frame or repeated")
+            height, width = struct.unpack(">HH", seg[1:5])
+            _check_dims(width, height)
+            hier = {"w": width, "h": height, "precision": seg[0]}
+        elif marker == 0xDF:  # EXP (B.3.3): expand reference components
+            if hier is None or ref is None:
+                raise ValueError("JPEG EXP outside a hierarchical"
+                                 " pyramid or before the first frame")
+            eh, ev = seg[0] >> 4, seg[0] & 0xF
+            if eh not in (0, 1) or ev not in (0, 1) or not (eh or ev):
+                raise ValueError("JPEG EXP with Eh/Ev not in {0,1}")
+            pending_exp = (eh, ev)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9, 0xCA):
+            # baseline / extended / progressive / lossless, the
+            # arithmetic-coded twins (SOF9 sequential, SOF10
+            # progressive), and — inside a DHP pyramid only — SOF5
+            # differential sequential
             precision = seg[0]
             if marker == 0xC3:
                 if not (2 <= precision <= 16):
@@ -838,7 +898,37 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             frame = {"w": width, "h": height, "comps": comps,
                      "prog": marker in (0xC2, 0xCA),
                      "arith": marker in (0xC9, 0xCA),
-                     "lossless": marker == 0xC3, "precision": precision}
+                     "lossless": marker == 0xC3, "diff": marker == 0xC5,
+                     "precision": precision}
+            if frame["diff"] and hier is None:
+                raise ValueError(
+                    "JPEG differential frame outside a DHP pyramid")
+            if hier is not None:
+                if frame["prog"] or frame["arith"] or frame["lossless"]:
+                    # the hierarchical subset is sequential-Huffman
+                    # pyramids; other frame processes inside a pyramid
+                    # are declared out of subset (provenance-flagged
+                    # fallback, same as before round 6 for all of J)
+                    raise UnsupportedMedia(
+                        "hierarchical JPEG with progressive/lossless/"
+                        "arithmetic frames")
+                if precision != hier["precision"]:
+                    raise ValueError("JPEG frame precision differs"
+                                     " from DHP")
+                if width > hier["w"] or height > hier["h"]:
+                    raise ValueError("JPEG frame larger than DHP dims")
+                if (ref is None) == frame["diff"]:
+                    raise ValueError(
+                        "JPEG pyramid order: one non-differential"
+                        " frame first, differential frames after")
+                if frame["diff"]:
+                    if pending_exp is not None:
+                        ref = _exp_upsample(ref, *pending_exp, width,
+                                            height)
+                        pending_exp = None
+                    if ref.shape != (height, width):
+                        raise ValueError("JPEG differential frame dims"
+                                         " do not match the reference")
             if frame["lossless"]:
                 if any(c["h"] != 1 or c["v"] != 1 for c in comps):
                     raise UnsupportedMedia(
@@ -858,10 +948,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 # both accumulate zigzag coefficients and IDCT at the
                 # end (sequential arithmetic = one full-band pass)
                 coef_state = _prog_init_state(frame)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMedia(
-                f"JPEG SOF{marker - 0xC0} not baseline/progressive/"
-                "lossless/arithmetic-DCT")
+                f"JPEG SOF{marker - 0xC0}: differential progressive/"
+                "lossless and arithmetic differential frames are out"
+                " of subset")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -873,6 +964,28 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 cs, tables = seg[1 + 2 * c:3 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append({**comp, "dc": tables >> 4, "ac": tables & 0xF})
+            if hier is not None:
+                # sequential pyramid frame: decode the (differential)
+                # plane, accumulate onto the reference, keep walking
+                # markers — more frames may follow
+                if frame.get("saw_scan"):
+                    # a second scan of the same frame would re-run the
+                    # luma geometry over a non-luma component and
+                    # corrupt the reference — declare the subset
+                    raise UnsupportedMedia(
+                        "multi-scan frame inside hierarchical JPEG")
+                plane, end = _decode_scan_plane(
+                    payload, pos + 2 + seglen, frame, scan, qt,
+                    huff_dc, huff_ac, restart_interval,
+                    differential=frame["diff"])
+                maxval = (1 << frame["precision"]) - 1
+                corr = np.round(plane).astype(np.int64)
+                if frame["diff"]:
+                    corr += ref
+                ref = np.clip(corr, 0, maxval).astype(np.int32)
+                frame["saw_scan"] = True
+                pos = end
+                continue
             if frame.get("lossless"):
                 pred_sel = seg[1 + 2 * ns]            # Ss = predictor
                 pt = seg[3 + 2 * ns] & 0xF            # Al = point transform
@@ -910,6 +1023,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             pos = end
             continue
         pos += 2 + seglen
+    if hier is not None and ref is not None:
+        prec = hier["precision"]
+        # MSB-align 12-bit pyramids to 8, same convention as elsewhere
+        return (ref >> (prec - 8)).astype(np.uint8) if prec > 8 \
+            else ref.astype(np.uint8)
     if frame is not None and (frame["prog"] or frame.get("arith")) \
             and frame.get("saw_scan"):
         return _prog_finish(frame, coef_state, qt)
@@ -1199,6 +1317,27 @@ def _prog_finish(frame, state, qt):
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                  restart_interval):
+    """Sequential scan -> (H, W) uint8 luminance (the whole image)."""
+    prec = frame.get("precision", 8)
+    maxval = (1 << prec) - 1
+    plane, _ = _decode_scan_plane(data, pos, frame, scan, qt, huff_dc,
+                                  huff_ac, restart_interval,
+                                  differential=False)
+    out = np.clip(np.round(plane), 0, maxval)
+    # 12-bit samples MSB-align to 8 (same convention as 16-bit PNG /
+    # lossless)
+    return (out.astype(np.int32) >> (prec - 8)).astype(np.uint8) \
+        if prec > 8 else out.astype(np.uint8)
+
+
+def _decode_scan_plane(data, pos, frame, scan, qt, huff_dc, huff_ac,
+                       restart_interval, differential):
+    """Sequential Huffman DCT scan -> (cropped float64 plane, offset of
+    the next marker).  Non-differential scans include the 2^(P-1) level
+    shift (T.81 A.3.1); differential scans (hierarchical frames, Annex
+    J) omit it AND code every DC directly — the prediction is zero and
+    never updated (F.2.1.3.1) — since the plane is a signed correction
+    to the reference, not samples."""
     w, h = frame["w"], frame["h"]
     if len(scan) == 1:
         # T.81 A.2: a one-component scan is NON-interleaved — one data
@@ -1216,8 +1355,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
     # convention); output plane in 8x8 block units
     luma = scan[0]
     prec = frame.get("precision", 8)
-    level = float(1 << (prec - 1))     # T.81 A.3.1 level shift 2^(P-1)
-    maxval = (1 << prec) - 1
+    # T.81 A.3.1 level shift 2^(P-1); differential frames carry signed
+    # corrections and are not shifted
+    level = 0.0 if differential else float(1 << (prec - 1))
     plane = np.zeros((mcuy * luma["v"] * 8, mcux * luma["h"] * 8),
                      dtype=np.float64)
     C = _idct_matrix()
@@ -1239,8 +1379,11 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                         coefs = np.zeros(64, dtype=np.float64)
                         s = reader.huff(huff_dc[comp["dc"]])
                         diff = _extend(reader.bits(s), s)
-                        pred[comp["id"]] += diff
-                        coefs[0] = pred[comp["id"]] * q[0]
+                        if differential:      # F.2.1.3.1: PRED is zero
+                            coefs[0] = diff * q[0]
+                        else:
+                            pred[comp["id"]] += diff
+                            coefs[0] = pred[comp["id"]] * q[0]
                         k = 1
                         while k < 64:
                             rs = reader.huff(huff_ac[comp["ac"]])
@@ -1269,11 +1412,17 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                             y0 = (my * luma["v"] + by) * 8
                             x0 = (mx * luma["h"] + bx) * 8
                             plane[y0:y0 + 8, x0:x0 + 8] = px
-    out = np.clip(np.round(plane[:h, :w]), 0, maxval)
-    # 12-bit samples MSB-align to 8 (same convention as 16-bit PNG /
-    # lossless)
-    return (out.astype(np.int32) >> (prec - 8)).astype(np.uint8) \
-        if prec > 8 else out.astype(np.uint8)
+    # walk to the next marker (skipping stuffing and RSTs) so
+    # hierarchical callers can continue with the following frame
+    p = max(reader.pos, pos)
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and \
+                not (0xD0 <= data[p + 1] <= 0xD7):
+            break
+        p += 1
+    else:
+        p = len(data)
+    return plane[:h, :w], p
 
 
 # ---------------------------------------------------------------------------

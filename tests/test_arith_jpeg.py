@@ -558,8 +558,16 @@ def test_operator_routes_arith_jpeg_as_real():
     assert real is True
 
 
-def test_hierarchical_still_unsupported():
+def test_arithmetic_differential_still_unsupported():
+    """Sequential-Huffman pyramids decode since round 6
+    (test_hier_jpeg.py); the ARITHMETIC differential SOFs remain the
+    declared subset, and a differential frame with no DHP is malformed
+    rather than out-of-subset."""
     body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
-    fix = b"\xff\xd8" + _seg(0xC5, body) + b"\xff\xd9"
+    dhp = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1, 1, 0x11, 0])
+    fix = (b"\xff\xd8" + _seg(0xDE, dhp) + _seg(0xCD, body) + b"\xff\xd9")
     with pytest.raises(UnsupportedMedia):
         decode_jpeg(fix)
+    bare = b"\xff\xd8" + _seg(0xC5, body) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="outside a DHP pyramid"):
+        decode_jpeg(bare)
