@@ -6001,3 +6001,100 @@ def q_gopher_repetition_sql() -> str:
     )
     SELECT *, ({gates}) AS keep FROM j
     """
+
+
+# --------------------------------------------------------------------------
+# paragraph-level global dedup (CCNet, Wenzek et al. 2020)
+# --------------------------------------------------------------------------
+
+#: packs (doc_id, pos) into one orderable BIGINT for the first-occurrence
+#: decision; positions are bounded far below this by doc length
+PARA_POS_PACK = 1_000_000
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup: across the WHOLE corpus, keep only
+    the first occurrence of each paragraph (sentence-ish unit here — the
+    synthetic corpus has no newlines), matching on the NORMALIZED form
+    (lowercase, everything outside [a-z] stripped) so case/digit/
+    punctuation variants collapse.  Unlike q_line_dedup (which drops
+    lines common to >= K documents), this is keep-first-occurrence
+    global dedup — the CCNet "dedup on normalized paragraph hash" stage.
+    Paragraphs whose normalization is empty (all digits/punctuation)
+    never dedup: there is no content to match on.
+
+    Scale shape: explode -> ONE groupBy(norm_hash) with a map-side-
+    combinable min of the packed (doc_id, pos) key (16-byte hash + one
+    BIGINT shuffle, never paragraph text) -> hash-join back -> per-doc
+    ordered reassembly.  First-occurrence is a deterministic function of
+    the row, so the keep set is recomputable after a crash — the
+    q_stratified_sample discipline."""
+    docs = _tbl(spark, sf_dir, "documents")
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\. ")).alias("pos", "para"),
+    ).where(F.col("para") != "")
+    hashed = paras.select(
+        "doc_id", "pos", "para",
+        F.md5(F.regexp_replace(F.lower("para"), "[^a-z]", ""))
+         .alias("h"),
+        (F.col("doc_id") * PARA_POS_PACK + F.col("pos")).alias("key"),
+        (F.regexp_replace(F.lower("para"), "[^a-z]", "") == "")
+         .alias("unmatchable"))
+    census = (hashed.where(~F.col("unmatchable"))
+              .groupBy("h").agg(F.min("key").alias("first_key")))
+    joined = hashed.join(census, "h", "left")
+    keep = F.col("unmatchable") | (F.col("key") == F.col("first_key"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(keep, 0).otherwise(1)).cast("bigint")
+             .alias("n_dropped"),
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.filter(
+                        F.collect_list(F.struct(
+                            "pos", "para", keep.alias("keep"))),
+                        lambda x: x["keep"])),
+                    lambda x: x["para"]),
+                ". ")).alias("kept_md5"),
+        )
+    )
+
+
+def q_paragraph_dedup_sql() -> str:
+    return f"""
+    WITH paras AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS para
+      FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS t
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+      WHERE t[i] <> ''
+    ),
+    hashed AS (
+      SELECT doc_id, pos, para,
+             md5(regexp_replace(lower(para), '[^a-z]', '', 'g')) AS h,
+             doc_id * {PARA_POS_PACK} + pos AS key,
+             regexp_replace(lower(para), '[^a-z]', '', 'g') = ''
+               AS unmatchable
+      FROM paras
+    ),
+    census AS (
+      SELECT h, min(key) AS first_key FROM hashed
+      WHERE NOT unmatchable GROUP BY h
+    ),
+    joined AS (
+      SELECT hashed.*, census.first_key,
+             (hashed.unmatchable OR hashed.key = census.first_key)
+               AS keep
+      FROM hashed LEFT JOIN census USING (h)
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           md5(COALESCE(string_agg(para, '. ' ORDER BY pos)
+                        FILTER (WHERE keep), '')) AS kept_md5
+    FROM joined GROUP BY doc_id
+    """

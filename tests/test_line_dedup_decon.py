@@ -220,3 +220,81 @@ def test_bloom_decontamination_flags_exact_hits_never_misses(spark,
     assert bloom[52]["n_bloom_hits"] >= 2
     assert bloom[53]["flagged"] is False
     assert exact[50]["contaminated"] is False  # FP possible but not here
+
+
+# ---------------------------------------------------------------------------
+# CCNet paragraph-level global dedup (keep first occurrence)
+# ---------------------------------------------------------------------------
+
+
+def _md5(t: str) -> str:
+    return hashlib.md5(t.encode()).hexdigest()
+
+
+def test_paragraph_dedup_keeps_only_first_occurrence(spark, tmp_path):
+    """The same paragraph in three docs survives only at its earliest
+    (doc_id, pos); later copies drop, and a within-doc repeat also
+    keeps only the first copy (unlike q_line_dedup's distinct-doc
+    census)."""
+    rows = [
+        (1, "shared para. unique one. shared para"),
+        (2, "shared para. unique two"),
+        (3, "unique three. shared para"),
+    ]
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r
+           for r in dq.q_paragraph_dedup(spark, out).collect()}
+    assert (got[1]["n_paras"], got[1]["n_dropped"]) == (3, 1)
+    assert (got[2]["n_paras"], got[2]["n_dropped"]) == (2, 1)
+    assert (got[3]["n_paras"], got[3]["n_dropped"]) == (2, 1)
+    assert got[1]["kept_md5"] == _md5("shared para. unique one")
+    assert got[2]["kept_md5"] == _md5("unique two")
+    assert got[3]["kept_md5"] == _md5("unique three")
+
+
+def test_paragraph_dedup_matches_on_normalized_form(spark, tmp_path):
+    """Case / digit / punctuation variants collapse (CCNet lowercases
+    and strips non-letters before hashing): the doc-2 variant of doc
+    1's paragraph drops even though the raw strings differ — but the
+    ORIGINAL text of the kept copy is what survives."""
+    rows = [
+        (1, "Breaking News 2024! hello. tail one"),
+        (2, "breaking news 2025 HELLO. tail two"),
+    ]
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r
+           for r in dq.q_paragraph_dedup(spark, out).collect()}
+    assert got[1]["n_dropped"] == 0
+    assert got[2]["n_dropped"] == 1
+    assert got[1]["kept_md5"] == _md5("Breaking News 2024! hello. tail one")
+    assert got[2]["kept_md5"] == _md5("tail two")
+
+
+def test_paragraph_dedup_unmatchable_paras_never_collapse(spark, tmp_path):
+    """Paragraphs whose normalization is empty (all digits/punct) have
+    no content to match on: identical '12345' paras in two docs BOTH
+    survive."""
+    rows = [(1, "12345. alpha words"), (2, "12345. beta words")]
+    out = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r
+           for r in dq.q_paragraph_dedup(spark, out).collect()}
+    assert got[1]["n_dropped"] == 0 and got[2]["n_dropped"] == 0
+    assert got[1]["kept_md5"] == _md5("12345. alpha words")
+    assert got[2]["kept_md5"] == _md5("12345. beta words")
+
+
+def test_paragraph_dedup_first_occurrence_is_deterministic(spark, tmp_path):
+    """Two runs produce identical keep decisions (the first-occurrence
+    key is a pure function of the row — crash-recomputable), and the
+    kept-paragraph count is conserved: every distinct normalized hash
+    survives exactly once among matchable paras."""
+    # letter-distinct fillers: digits are stripped by the normalization,
+    # so "filler 1 words" and "filler 2 words" would (correctly) collapse
+    rows = [(i, f"common para. filler {'x' * i} words")
+            for i in range(1, 6)]
+    out = _docs_dir(spark, tmp_path, rows)
+    a = sorted(map(tuple, dq.q_paragraph_dedup(spark, out).collect()))
+    b = sorted(map(tuple, dq.q_paragraph_dedup(spark, out).collect()))
+    assert a == b
+    total_dropped = sum(r[2] for r in a)
+    assert total_dropped == 4  # 5 copies of "common para" -> 1 kept
