@@ -53,6 +53,7 @@ HEADLINE_QUERIES = (
     "q_hll_distinct", "q_pq_adc_topk", "q_ivfpq_topk", "q_lm_perplexity",
     "q_pq_train_step", "q_pack_plan_global", "q_pack_assemble",
     "q_bm25_topk", "q_dsir", "q_semdedup",
+    "q_gopher_repetition", "q_paragraph_dedup", "q_substring_dedup_apply",
 )
 
 

@@ -5827,6 +5827,86 @@ def bpe_train(spark: SparkSession, sf_dir: str,
     return merges, vocab
 
 
+BPE_TOKENIZE_MERGES = 4
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with a TRAINED tokenizer — the apply step
+    that closes the BPE loop (the LR-cut / trained-recall discipline:
+    training must feed a registered decision, not just exist).  Runs
+    exactly BPE_TOKENIZE_MERGES merge steps (each the (cnt DESC, pair
+    ASC) argmax — deterministic, NO early stop, so both engines derive
+    the identical merge sequence), then tokenizes every document and
+    emits per-doc word/subword counts and the fertility ratio.
+
+    Scale shape: training runs on the vocab table (bounded by the
+    vocabulary, never the corpus) with one 1-row TakeOrdered collect
+    per merge; tokenization is explode -> hash-join on word (the vocab
+    side is corpus-vocabulary-sized — broadcastable at sandbox scale,
+    a plain shuffle join at 100 TB) -> one per-doc aggregation.  The
+    DuckDB oracle re-derives the ENTIRE training relationally as
+    chained vocab_i/top_i CTEs (the q_ann_recall_census_trained
+    pattern)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    vocab = _bpe_vocab(docs).localCheckpoint()
+    for _ in range(BPE_TOKENIZE_MERGES):
+        top = (_bpe_pairs(vocab)
+               .orderBy(F.desc("cnt"), F.asc("pair"))
+               .limit(1).collect())
+        vocab = vocab.select(
+            "word", "freq",
+            _bpe_apply_col(F.col("syms"), F.lit(top[0]["pair"]))
+            .alias("syms"),
+        ).localCheckpoint()
+    toks = docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("word"))
+    subs = vocab.select(
+        "word", F.size(F.split("syms", " ")).alias("n_sub"))
+    return (toks.join(subs, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_words"),
+                 F.sum("n_sub").cast("bigint").alias("n_subwords"))
+            .withColumn("subwords_per_word",
+                        F.round(F.col("n_subwords") / F.col("n_words"),
+                                4)))
+
+
+def q_bpe_tokenize_sql() -> str:
+    ctes = [f"vocab0 AS (\n{_BPE_VOCAB_SQL}\n    )"]
+    prev = "vocab0"
+    for i in range(1, BPE_TOKENIZE_MERGES + 1):
+        pairs_sql = _BPE_PAIRS_SQL.replace("FROM vocab", f"FROM {prev}")
+        ctes.append(
+            f"top{i} AS (\n      SELECT pair AS bp FROM (\n{pairs_sql}\n"
+            f"      ) ORDER BY cnt DESC, pair ASC LIMIT 1\n    )")
+        ctes.append(f"""vocab{i} AS (
+      SELECT word, freq,
+             trim(replace(replace(' ' || syms || ' ',
+                                  ' ' || bp || ' ',
+                                  ' ' || replace(bp, ' ', '') || ' '),
+                          ' ' || bp || ' ',
+                          ' ' || replace(bp, ' ', '') || ' ')) AS syms
+      FROM {prev} CROSS JOIN top{i}
+    )""")
+        prev = f"vocab{i}"
+    ctes.append("""tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(v.syms, ' '))) AS BIGINT)
+             AS n_subwords,
+           round(CAST(sum(len(string_split(v.syms, ' '))) AS DOUBLE)
+                 / count(*), 4) AS subwords_per_word
+    FROM tok t JOIN {prev} v USING (word)
+    GROUP BY t.doc_id
+    """
+
+
 # --------------------------------------------------------------------------
 # Gopher repetition battery (Rae et al. 2021, table A1 / section A1.1)
 # --------------------------------------------------------------------------

@@ -412,3 +412,38 @@ def test_gopher_repetition_short_doc_no_grams(spark, tmp_path):
     assert g["dup5_char_frac"] == 0.0 and g["dup10_char_frac"] == 0.0
     assert g["top2_char_frac"] > dq.GOPHER_TOP_NGRAM_MAX[2]
     assert not g["keep"]
+
+
+def test_bpe_tokenize_matches_pure_python_replay(spark):
+    """q_bpe_tokenize's per-doc subword counts equal tokenizing with a
+    pure-Python trainer: derive the exact BPE_TOKENIZE_MERGES merge
+    sequence ((cnt DESC, pair ASC) argmax, no early stop), apply it to
+    every word, then count subwords per document."""
+    from collections import Counter
+
+    rows = _docs_rows(spark)
+    base: Counter[str] = Counter()
+    for r in rows:
+        base.update(r["text"].split(" "))
+    state = {w: " ".join(w) for w in base}
+    for _ in range(dq.BPE_TOKENIZE_MERGES):
+        counts: Counter[str] = Counter()
+        for w, syms in state.items():
+            s = syms.split(" ")
+            for x, y in zip(s, s[1:]):
+                counts[f"{x} {y}"] += base[w]
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        state = {w: _two_pass_apply(syms, best) for w, syms in state.items()}
+
+    got = {r["doc_id"]: r
+           for r in dq.q_bpe_tokenize(spark, SF).collect()}
+    assert len(got) == len(rows)
+    for r in rows:
+        words = r["text"].split(" ")
+        n_sub = sum(len(state[w].split(" ")) for w in words)
+        g = got[r["doc_id"]]
+        assert g["n_words"] == len(words)
+        assert g["n_subwords"] == n_sub
+        assert g["subwords_per_word"] == pytest.approx(
+            math.floor(n_sub / len(words) * 10000 + 0.5) / 10000,
+            abs=1e-9)
