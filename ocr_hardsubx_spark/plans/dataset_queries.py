@@ -6178,3 +6178,68 @@ def q_paragraph_dedup_sql() -> str:
                         FILTER (WHERE keep), '')) AS kept_md5
     FROM joined GROUP BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# URL filtering (RefinedWeb, Penedo et al. 2023 §3.1: blocklist + word
+# scores on the raw URL)
+# --------------------------------------------------------------------------
+
+#: blocked canonical hosts — stands in for the UT1-style domain
+#: blocklist (4.6M entries in RefinedWeb; a broadcast set / broadcast
+#: join at scale, never a shuffle)
+URL_BLOCKED_DOMAINS = ("src13.example.com", "src7.example.com")
+#: (substring, weight) soft word scores on the RAW url — RefinedWeb
+#: scores banned words with strict/soft weights and thresholds the sum
+URL_WORD_WEIGHTS = (("feed", 1.0), ("campaign", 0.5), ("articles", 0.1))
+URL_SCORE_MAX = 1.0      # keep iff score < this (strict hits block)
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL filtering — the stage BEFORE any text is
+    parsed: drop documents whose canonical host is on the domain
+    blocklist or whose RAW url's weighted banned-substring score
+    reaches URL_SCORE_MAX.  (RefinedWeb runs exactly this pair — a
+    curated domain blocklist plus a strict/soft word score on the URL —
+    ahead of trafilatura extraction.)
+
+    Scale shape: zero shuffle — the blocklist is a broadcast membership
+    test (a broadcast JOIN once the list is UT1-sized) and the word
+    score is a constant-folded sum of `contains` predicates, all inside
+    the scan stage's codegen; at 100 TB this prunes documents before
+    the expensive extraction stage ever sees their bytes."""
+    docs = _tbl(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _messy_url_col().alias("raw_url"))
+    host, _ = _canon_exprs(F.col("raw_url"))
+    score = None
+    for word, weight in URL_WORD_WEIGHTS:
+        term = F.when(F.contains(F.lower("raw_url"), F.lit(word)),
+                      F.lit(weight)).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return (raw.select(
+        "doc_id", host.alias("domain"),
+        F.round(score, 4).alias("url_score"),
+        host.isin(*URL_BLOCKED_DOMAINS).alias("domain_blocked"))
+        .withColumn(
+            "keep",
+            ~F.col("domain_blocked")
+            & (F.col("url_score") < URL_SCORE_MAX)))
+
+
+def q_url_filter_sql() -> str:
+    blocked = ", ".join(f"'{d}'" for d in URL_BLOCKED_DOMAINS)
+    score = " + ".join(
+        f"CASE WHEN contains(lower(raw.raw_url), '{w}') THEN {wt} "
+        f"ELSE 0.0 END" for w, wt in URL_WORD_WEIGHTS)
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, {_messy_url_sql()} AS raw_url FROM documents
+    ),
+    {_CANON_SQL_RULES}
+    SELECT c.doc_id, c.host AS domain,
+           round({score}, 4) AS url_score,
+           c.host IN ({blocked}) AS domain_blocked,
+           (c.host NOT IN ({blocked})
+            AND round({score}, 4) < {URL_SCORE_MAX}) AS keep
+    FROM canon c JOIN raw USING (doc_id)
+    """

@@ -447,3 +447,42 @@ def test_bpe_tokenize_matches_pure_python_replay(spark):
         assert g["subwords_per_word"] == pytest.approx(
             math.floor(n_sub / len(words) * 10000 + 0.5) / 10000,
             abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb URL filter
+# ---------------------------------------------------------------------------
+
+
+def test_url_filter_matches_pure_python_mirror(spark):
+    """Domain blocklist + weighted banned-substring score over the
+    deterministic synthetic URL, mirrored from scratch in Python for
+    the full sf0.001 corpus; the fixture exercises all three outcomes
+    (domain-blocked, score-blocked, kept)."""
+    rows = spark.read.parquet(SF + "/documents.parquet") \
+        .select("doc_id", "source").collect()
+    got = {r["doc_id"]: r for r in dq.q_url_filter(spark, SF).collect()}
+    assert len(got) == len(rows)
+    n_dom, n_score, n_keep = 0, 0, 0
+    for r in rows:
+        did, src = r["doc_id"], r["source"]
+        head = (f"HTTPS://WWW.{src}.Example.COM" if did % 3 == 0
+                else f"https://{src}.example.com")
+        tail = {0: "?utm_source=feed&id=7", 1: "#section-2", 2: "/",
+                3: "?utm_source=a&id=7&utm_campaign=x"}[did % 4]
+        raw = f"{head}/articles/{did}{tail}"
+        domain = f"{src}.example.com"
+        score = _r4(sum(w for word, w in dq.URL_WORD_WEIGHTS
+                        if word in raw.lower()))
+        blocked = domain in dq.URL_BLOCKED_DOMAINS
+        keep = not blocked and score < dq.URL_SCORE_MAX
+        g = got[did]
+        assert g["domain"] == domain
+        assert g["url_score"] == pytest.approx(score, abs=1e-9)
+        assert g["domain_blocked"] == blocked
+        assert g["keep"] == keep
+        n_dom += blocked
+        n_score += (not blocked and not keep)
+        n_keep += keep
+    # every outcome must actually occur, or the mirror proves nothing
+    assert n_dom and n_score and n_keep
