@@ -67,15 +67,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. entries with the OLDEST driver-green row (so every entry lands
 #      a driver-green row at least once every two rounds).
 # Everything else follows after position 50 and rotates forward next
-# round.  This round: 3 never-green (pack/line-dedup oracle casts), 15
+# round.  This round: 3 never-green (pack/line-dedup oracle casts), 16
 # new (substring apply, trained quality cut, trained recall census,
 # capstone funnel, DSIR, SemDeDup, Gopher rules + repetition battery,
 # C4 clean, shard shuffle, BPE pair count + merge step + trained
-# tokenize, CCNet paragraph dedup, RefinedWeb URL filter), the
-# minhash/simhash-derived dedup family (shingle-trim + kernel fixes
-# touched their signatures),
-# then the entries last green in round 4 (the tail 9 of that block —
-# q_url_canonicalize..q_curation_funnel — displaced past 50 by the new
+# tokenize, CCNet paragraph dedup, RefinedWeb URL filter, rule-funnel
+# composition), the minhash/simhash-derived dedup family (shingle-trim
+# + kernel fixes touched their signatures),
+# then the entries last green in round 4 (the tail 10 of that block —
+# q_minhash_band_census..q_curation_funnel — displaced past 50 by new
 # queries, AST-unchanged since their round-5 judge verification, first
 # in line next round); everything after position 50 was green in
 # round 5 (incl. q_quality_cut / q_ann_recall_census, displaced
@@ -102,6 +102,7 @@ _REGISTRY = [
     ("q_bpe_merge_step", dq.q_bpe_merge_step, dq.q_bpe_merge_step_sql),
     ("q_bpe_tokenize", dq.q_bpe_tokenize, dq.q_bpe_tokenize_sql),
     ("q_url_filter", dq.q_url_filter, dq.q_url_filter_sql),
+    ("q_rule_funnel", dq.q_rule_funnel, dq.q_rule_funnel_sql),
     ("q_gopher_repetition", dq.q_gopher_repetition, dq.q_gopher_repetition_sql),
     ("q_paragraph_dedup", dq.q_paragraph_dedup, dq.q_paragraph_dedup_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
@@ -136,14 +137,14 @@ _REGISTRY = [
     ("q_ivf_train_step", dq.q_ivf_train_step, dq.q_ivf_train_step_sql),
     ("q_embed_neardup", dq.q_embed_neardup, dq.q_embed_neardup_sql),
     ("q_embed_neardup_census", dq.q_embed_neardup_census, dq.q_embed_neardup_census_sql),
-    ("q_minhash_band_census", dq.q_minhash_band_census, dq.q_minhash_band_census_sql),
     # ---- position 51+: rotate next round ---------------------------------
-    # First nine (q_url_canonicalize..q_curation_funnel): last driver-
+    # First ten (q_minhash_band_census..q_curation_funnel): last driver-
     # green round 4, judge-verified on round-5 code, AST-unchanged (the
     # fingerprint's shared simhash cache was verified then), displaced
     # by this round's new queries — priority-4 (oldest green) next
     # round.  Rest: driver-green round 5 (q_quality_cut /
     # q_ann_recall_census displaced AST-unchanged).
+    ("q_minhash_band_census", dq.q_minhash_band_census, dq.q_minhash_band_census_sql),
     ("q_url_canonicalize", dq.q_url_canonicalize, dq.q_url_canonicalize_sql),
     ("q_domain_stats", dq.q_domain_stats, dq.q_domain_stats_sql),
     ("q_token_stats", dq.q_token_stats, dq.q_token_stats_sql),

@@ -6243,3 +6243,110 @@ def q_url_filter_sql() -> str:
             AND round({score}, 4) < {URL_SCORE_MAX}) AS keep
     FROM canon c JOIN raw USING (doc_id)
     """
+
+
+def q_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RULE-battery funnel (the FineWeb ordering of cheap per-doc
+    filters, run before any dedup machinery): per stage, surviving
+    documents and tokens.
+
+      1_raw         the corpus as scanned
+      2_url         RefinedWeb URL filter (blocklist + word score)
+      3_gopher      Gopher table-A1 rule battery
+      4_repetition  Gopher A1.1 repetition battery
+      5_c4          C4 line cleanup (docs with >= C4_MIN_LINES clean
+                    lines; tokens counted over the CLEANED text)
+
+    Stages are cumulative — each applies to the previous stage's
+    survivors, which is the order a real pipeline runs them (cheapest
+    first: the URL stage never reads text at all).  Every stage reuses
+    the registered operator it names; this query adds doc_id hash
+    joins and five 1-row aggregations, nothing else."""
+    docs = _tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    url = q_url_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("url_keep"))
+    gop = q_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep"))
+    rep = q_gopher_repetition(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_keep"))
+    c4 = q_c4_clean(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c4_keep"),
+        F.when(F.col("clean_text") == "", F.lit(0))
+         .otherwise(F.size(F.split(F.replace(
+             F.col("clean_text"), F.lit("\n"), F.lit(" ")), " ")))
+         .cast("long").alias("clean_tokens"))
+    j = (base.join(url, "doc_id").join(gop, "doc_id")
+         .join(rep, "doc_id").join(c4, "doc_id"))
+
+    def stage(name, df, tok_col):
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(tok_col), F.lit(0)).cast("long")
+             .alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    s2 = j.where("url_keep")
+    s3 = s2.where("gopher_keep")
+    s4 = s3.where("rep_keep")
+    s5 = s4.where("c4_keep")
+    return (stage("1_raw", j, "n_tokens")
+            .unionByName(stage("2_url", s2, "n_tokens"))
+            .unionByName(stage("3_gopher", s3, "n_tokens"))
+            .unionByName(stage("4_repetition", s4, "n_tokens"))
+            .unionByName(stage("5_c4", s5, "clean_tokens")))
+
+
+def q_rule_funnel_sql() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    url AS (
+      SELECT doc_id, keep AS url_keep FROM ({q_url_filter_sql()}) u
+    ),
+    gop AS (
+      SELECT doc_id, keep AS gopher_keep FROM ({q_gopher_rules_sql()}) g
+    ),
+    rep AS (
+      SELECT doc_id, keep AS rep_keep
+      FROM ({q_gopher_repetition_sql()}) r
+    ),
+    c4 AS (
+      SELECT doc_id, keep AS c4_keep,
+             CASE WHEN clean_text = '' THEN 0
+                  ELSE CAST(len(string_split(
+                         replace(clean_text, chr(10), ' '), ' '))
+                       AS BIGINT) END AS clean_tokens
+      FROM ({q_c4_clean_sql()}) c
+    ),
+    j AS (
+      SELECT base.*, url_keep, gopher_keep, rep_keep, c4_keep,
+             clean_tokens
+      FROM base JOIN url USING (doc_id) JOIN gop USING (doc_id)
+      JOIN rep USING (doc_id) JOIN c4 USING (doc_id)
+    )
+    SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+    FROM j
+    UNION ALL
+    SELECT '2_url', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum(n_tokens), 0) AS BIGINT)
+    FROM j WHERE url_keep
+    UNION ALL
+    SELECT '3_gopher', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum(n_tokens), 0) AS BIGINT)
+    FROM j WHERE url_keep AND gopher_keep
+    UNION ALL
+    SELECT '4_repetition', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum(n_tokens), 0) AS BIGINT)
+    FROM j WHERE url_keep AND gopher_keep AND rep_keep
+    UNION ALL
+    SELECT '5_c4', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(sum(clean_tokens), 0) AS BIGINT)
+    FROM j WHERE url_keep AND gopher_keep AND rep_keep AND c4_keep
+    """

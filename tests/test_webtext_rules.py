@@ -486,3 +486,39 @@ def test_url_filter_matches_pure_python_mirror(spark):
         n_keep += keep
     # every outcome must actually occur, or the mirror proves nothing
     assert n_dom and n_score and n_keep
+
+
+def test_rule_funnel_monotone_and_consistent(spark):
+    """Stage doc/token counts are monotone non-increasing through the
+    cumulative gauntlet (the 5_c4 token count may only shrink further:
+    it counts CLEANED text), 1_raw equals the corpus, and each stage's
+    doc count equals independently AND-ing the per-operator keep
+    columns."""
+    rows = {r["stage"]: r for r in dq.q_rule_funnel(spark, SF).collect()}
+    assert set(rows) == {"1_raw", "2_url", "3_gopher", "4_repetition",
+                         "5_c4"}
+    order = ["1_raw", "2_url", "3_gopher", "4_repetition", "5_c4"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a]["n_docs"] >= rows[b]["n_docs"]
+        assert rows[a]["n_tokens"] >= rows[b]["n_tokens"]
+    docs = _docs_rows(spark)
+    assert rows["1_raw"]["n_docs"] == len(docs)
+    assert rows["1_raw"]["n_tokens"] == sum(
+        len(r["text"].split(" ")) for r in docs)
+
+    url = {r["doc_id"]: r["keep"]
+           for r in dq.q_url_filter(spark, SF).collect()}
+    gop = {r["doc_id"]: r["keep"]
+           for r in dq.q_gopher_rules(spark, SF).collect()}
+    rep = {r["doc_id"]: r["keep"]
+           for r in dq.q_gopher_repetition(spark, SF).collect()}
+    c4 = {r["doc_id"]: r["keep"]
+          for r in dq.q_c4_clean(spark, SF).collect()}
+    ids = list(url)
+    assert rows["2_url"]["n_docs"] == sum(url[i] for i in ids)
+    assert rows["3_gopher"]["n_docs"] == sum(
+        url[i] and gop[i] for i in ids)
+    assert rows["4_repetition"]["n_docs"] == sum(
+        url[i] and gop[i] and rep[i] for i in ids)
+    assert rows["5_c4"]["n_docs"] == sum(
+        url[i] and gop[i] and rep[i] and c4[i] for i in ids)
