@@ -8,6 +8,13 @@ operators (`q_url_filter`, `q_gopher_rules`, `q_gopher_repetition`,
 `q_shard_shuffle` semantics) and adds no new decision logic — just the
 doc_id joins, the shard write, and the commit protocol.
 
+Cost shape: each composed operator scans the documents table itself
+(~8 column-pruned scans end to end) — deliberate: reusing the
+registered, oracle-verified operators beats hand-fusing copies of
+their logic, scans parallelize embarrassingly, and a production run at
+100 TB would point the composed frames at a cached/materialized
+snapshot rather than re-fusing the operators.
+
 Crash-safety model: curation is a CORPUS-GLOBAL computation (the dedup
 keep list sees every document), so the extraction job's per-input-file
 resume does not apply.  Instead a run is all-or-nothing: data lands in
