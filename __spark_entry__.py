@@ -67,12 +67,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. entries with the OLDEST driver-green row (so every entry lands
 #      a driver-green row at least once every two rounds).
 # Everything else follows after position 50 and rotates forward next
-# round.  This round: 3 never-green (pack/line-dedup oracle casts), 16
+# round.  This round: 3 never-green (pack/line-dedup oracle casts), 18
 # new (substring apply, trained quality cut, trained recall census,
 # capstone funnel, DSIR, SemDeDup, Gopher rules + repetition battery,
 # C4 clean, shard shuffle, BPE pair count + merge step + trained
 # tokenize, CCNet paragraph dedup, RefinedWeb URL filter, rule-funnel
-# composition), the minhash/simhash-derived dedup family (shingle-trim
+# composition, PDF extract roundtrip + PDF layout main-content strip),
+# the minhash/simhash-derived dedup family (shingle-trim
 # + kernel fixes touched their signatures),
 # then the entries last green in round 4 (the tail 10 of that block —
 # q_minhash_band_census..q_curation_funnel — displaced past 50 by new
@@ -105,6 +106,8 @@ _REGISTRY = [
     ("q_rule_funnel", dq.q_rule_funnel, dq.q_rule_funnel_sql),
     ("q_gopher_repetition", dq.q_gopher_repetition, dq.q_gopher_repetition_sql),
     ("q_paragraph_dedup", dq.q_paragraph_dedup, dq.q_paragraph_dedup_sql),
+    ("q_pdf_extract", dq.q_pdf_extract, dq.q_pdf_extract_sql),
+    ("q_pdf_main_content", dq.q_pdf_main_content, dq.q_pdf_main_content_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),
@@ -135,9 +138,12 @@ _REGISTRY = [
     ("q_ann_ivf_topk", dq.q_ann_ivf_topk, dq.q_ann_ivf_topk_sql),
     ("q_ann_ivf_pruned_topk", dq.q_ann_ivf_pruned_topk, dq.q_ann_ivf_pruned_topk_sql),
     ("q_ivf_train_step", dq.q_ivf_train_step, dq.q_ivf_train_step_sql),
+    # ---- position 51+: rotate next round ---------------------------------
+    # q_embed_neardup / q_embed_neardup_census: judge-verified round 5,
+    # AST-unchanged, displaced by the round-6 PDF queries (priority 2 beats
+    # priority 4) — first in line with the round-4 tail next round.
     ("q_embed_neardup", dq.q_embed_neardup, dq.q_embed_neardup_sql),
     ("q_embed_neardup_census", dq.q_embed_neardup_census, dq.q_embed_neardup_census_sql),
-    # ---- position 51+: rotate next round ---------------------------------
     # First ten (q_minhash_band_census..q_curation_funnel): last driver-
     # green round 4, judge-verified on round-5 code, AST-unchanged (the
     # fingerprint's shared simhash cache was verified then), displaced

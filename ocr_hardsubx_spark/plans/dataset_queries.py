@@ -6350,3 +6350,100 @@ def q_rule_funnel_sql() -> str:
            CAST(COALESCE(sum(clean_tokens), 0) AS BIGINT)
     FROM j WHERE url_keep AND gopher_keep AND rep_keep AND c4_keep
     """
+
+
+# --------------------------------------------------------------------------
+# PDF / layout parse (north-rule input path next to the HTML strip)
+# --------------------------------------------------------------------------
+
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text-extraction roundtrip: synthesize a deterministic PDF per
+    document (from-scratch writer, Flate-compressed content streams, PDF
+    1.5 cross-reference stream + object streams on the reader path via the
+    classic table here), parse it back with the from-scratch ISO 32000
+    reader (functions/pdf_codec.py) and emit reading-ordered text.
+
+    Two zero-shuffle mapInPandas stages (write, parse) — the per-document
+    work is embarrassingly parallel, so the plan is a pure scan->project
+    pipeline at any corpus size, the same shape as the html extract stage
+    (reference contract: erfilter.c detect->classify->recognize, retargeted
+    to paged documents).  The oracle re-derives the expected text
+    relationally: 120-char substr chunks joined with newlines (pages join
+    with the same separator, so pagination cannot desync the text), and
+    n_pages = ceil(n_chunks / 5).
+    """
+    from ocr_hardsubx_spark.operators.pdftext import (
+        pdf_corpus_from_text, pdf_extract_table)
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    pdfs = pdf_corpus_from_text(docs, chunk=120, per_page=5)
+    out = pdf_extract_table(pdfs)
+    return out.select("doc_id", "extracted_text", "n_pages", "decoded_real")
+
+
+def q_pdf_extract_sql() -> str:
+    return """
+    WITH chunks AS (
+      SELECT d.doc_id, g.g,
+             substr(d.text, CAST(g.g * 120 + 1 AS INT), 120) AS chunk
+      FROM documents d
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(CAST(ceil(length(d.text) / 120.0) AS BIGINT)))
+               AS g
+      ) g
+    )
+    SELECT doc_id,
+           string_agg(chunk, chr(10) ORDER BY g) AS extracted_text,
+           CAST(ceil(count(*) / 5.0) AS BIGINT) AS n_pages,
+           TRUE AS decoded_real
+    FROM chunks GROUP BY doc_id
+    """
+
+
+def q_pdf_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout boilerplate strip: every synthesized page carries a
+    running header and a 'Page i of n' footer; the reader's furniture
+    strip (margin-band + repeated-line + page-number rules,
+    pdf_codec.strip_furniture) must return body text only — the paged
+    analog of the HTML nav/footer collapse in operators/parse.py.
+
+    The repeated-line rule needs >= 2 pages to vote, so single-page
+    documents keep their header (the footer 'Page 1 of 1' is still caught
+    by the page-number rule); the oracle reproduces that honestly with a
+    CASE on n_pages rather than pretending the rule is magic.
+    """
+    from ocr_hardsubx_spark.operators.pdftext import (
+        FURNITURE_BAND, pdf_corpus_from_text, pdf_extract_table)
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    pdfs = pdf_corpus_from_text(docs, chunk=60, per_page=2, furniture=True)
+    out = pdf_extract_table(pdfs, strip=True, margin_band=FURNITURE_BAND)
+    return out.select("doc_id", "extracted_text", "n_pages", "decoded_real")
+
+
+def q_pdf_main_content_sql() -> str:
+    # the header literal must match operators/pdftext.py HEADER_TEXT
+    return """
+    WITH chunks AS (
+      SELECT d.doc_id, g.g,
+             substr(d.text, CAST(g.g * 60 + 1 AS INT), 60) AS chunk
+      FROM documents d
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(CAST(ceil(length(d.text) / 60.0) AS BIGINT)))
+               AS g
+      ) g
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(chunk, chr(10) ORDER BY g) AS body,
+             CAST(ceil(count(*) / 2.0) AS BIGINT) AS n_pages
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN n_pages = 1
+                THEN 'ACME Web Corpus — crawl snapshot' || chr(10) || body
+                ELSE body END AS extracted_text,
+           n_pages,
+           TRUE AS decoded_real
+    FROM agg
+    """
