@@ -54,6 +54,7 @@ HEADLINE_QUERIES = (
     "q_pq_train_step", "q_pack_plan_global", "q_pack_assemble",
     "q_bm25_topk", "q_dsir", "q_semdedup",
     "q_gopher_repetition", "q_paragraph_dedup", "q_substring_dedup_apply",
+    "q_pdf_extract", "q_pdf_main_content",
 )
 
 
