@@ -67,12 +67,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. entries with the OLDEST driver-green row (so every entry lands
 #      a driver-green row at least once every two rounds).
 # Everything else follows after position 50 and rotates forward next
-# round.  This round: 3 never-green (pack/line-dedup oracle casts), 18
+# round.  This round: 3 never-green (pack/line-dedup oracle casts), 21
 # new (substring apply, trained quality cut, trained recall census,
 # capstone funnel, DSIR, SemDeDup, Gopher rules + repetition battery,
 # C4 clean, shard shuffle, BPE pair count + merge step + trained
 # tokenize, CCNet paragraph dedup, RefinedWeb URL filter, rule-funnel
-# composition, PDF extract roundtrip + PDF layout main-content strip),
+# composition, PDF extract roundtrip + PDF layout main-content strip,
+# outlink extraction + host link graph + PageRank, cross-snapshot URL
+# dedup, WET sink roundtrip),
 # the minhash/simhash-derived dedup family (shingle-trim
 # + kernel fixes touched their signatures),
 # then the entries last green in round 4 (the tail 10 of that block —
@@ -108,6 +110,11 @@ _REGISTRY = [
     ("q_paragraph_dedup", dq.q_paragraph_dedup, dq.q_paragraph_dedup_sql),
     ("q_pdf_extract", dq.q_pdf_extract, dq.q_pdf_extract_sql),
     ("q_pdf_main_content", dq.q_pdf_main_content, dq.q_pdf_main_content_sql),
+    ("q_outlinks", dq.q_outlinks, dq.q_outlinks_sql),
+    ("q_link_graph", dq.q_link_graph, dq.q_link_graph_sql),
+    ("q_pagerank", dq.q_pagerank, dq.q_pagerank_sql),
+    ("q_snapshot_dedup", dq.q_snapshot_dedup, dq.q_snapshot_dedup_sql),
+    ("q_wet_roundtrip", dq.q_wet_roundtrip, dq.q_wet_roundtrip_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

@@ -1,0 +1,210 @@
+"""Hyperlink graph extraction + host-level PageRank.
+
+A crawl curation pipeline needs the LINK structure of the corpus, not
+just its text: per-domain reputation scores (PageRank-style) feed URL
+filtering and mixture weighting (Common Crawl publishes exactly this as
+its host-level web graph), and aggregated anchor text is a classic
+relevance signal.  This module adds the three pieces:
+
+1. ``extract_outlinks`` — an Arrow-batched ``mapInPandas`` stage that
+   parses each page's html with a stdlib-``HTMLParser`` link collector
+   (NOT a regex: attributes may be single/double/un-quoted, tags span
+   lines), resolves relative hrefs against the page url, drops
+   non-http(s) schemes, and emits one narrow ``(url, src_host,
+   dst_host, anchor)`` row per link.  Same shape as the text extract
+   stage (``operators/extract.py``): column-pruned scan, zero shuffle,
+   all per-byte work batched in Python.  The heavy html column never
+   leaves the stage.
+
+2. ``link_graph`` — host->host edge aggregation with out-degree
+   normalized transition weights.  One shuffle on the (low-cardinality
+   relative to pages) ``(src_host, dst_host)`` key; the 100 TB shape is
+   a classic map-side-combinable count.
+
+3. ``pagerank_hosts`` — power iteration over the host graph.  Each
+   step is ONE shuffle (join ranks to weighted edges on src, aggregate
+   mass by dst); ranks/edges are host-level tables, orders of magnitude
+   smaller than the page corpus, and the per-step ``localCheckpoint``
+   cuts the lineage so iteration K does not replay steps 1..K-1 (the
+   standard iterative-algorithm discipline; a real cluster would use
+   ``checkpoint`` to reliable storage).  Per-step ranks are rounded to
+   ``STEP_ROUND`` decimals so a relational oracle (chained CTEs) can
+   reproduce the float trajectory exactly — the same cross-engine
+   determinism discipline as the k-means/LR training steps.
+
+Reference anchor: the reference's pipeline has no link stage (its input
+is video frames, erfilter.c:1-40); this family is part of the web-scale
+curation surface the north rule adds around the extraction core.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+OUTLINK_SCHEMA = "url string, src_host string, dst_host string, anchor string"
+
+#: deterministic fixture-graph dials (mirrored by the oracle SQL)
+LINK_HOSTS = 50
+LINKS_PER_DOC = 3
+
+#: per-step rank rounding — enough to keep the cross-engine float
+#: trajectories identical, coarse enough that summation order noise
+#: (~1e-15 per term) can never reach it
+STEP_ROUND = 10
+FINAL_ROUND = 6
+
+
+class _LinkCollector:
+    """Minimal stdlib HTML link collector: (href, visible anchor text)."""
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class _P(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__(convert_charrefs=True)
+                self.links: list[tuple[str, list[str]]] = []
+                self.depth = 0          # <a> nesting (malformed pages)
+
+            def handle_starttag(self, tag, attrs):
+                if tag != "a":
+                    return
+                href = next((v for k, v in attrs if k == "href"), None)
+                if href is not None:
+                    self.links.append((href, []))
+                self.depth += 1
+
+            def handle_endtag(self, tag):
+                if tag == "a" and self.depth > 0:
+                    self.depth -= 1
+
+            def handle_data(self, data):
+                if self.depth > 0 and self.links:
+                    self.links[-1][1].append(data)
+
+        outer._parser_cls = _P
+
+    def collect(self, html: bytes, base_url: str):
+        """-> [(abs_url, dst_host, anchor_text)]; damage is non-fatal."""
+        from urllib.parse import urljoin, urlsplit
+
+        p = self._parser_cls()
+        try:
+            p.feed(html.decode("utf-8", "replace"))
+            p.close()
+        except Exception:
+            pass                        # salvage whatever was collected
+        out = []
+        for href, texts in p.links:
+            try:
+                absu = urljoin(base_url, href.strip())
+                parts = urlsplit(absu)
+            except ValueError:
+                continue
+            if parts.scheme not in ("http", "https") or not parts.hostname:
+                continue
+            out.append((absu, parts.hostname,
+                        " ".join("".join(texts).split())))
+        return out
+
+
+def extract_outlinks(pages: "DataFrame",
+                     spark: "SparkSession" = None) -> "DataFrame":
+    """(url, html) page frame -> one (url, src_host, dst_host, anchor)
+    row per http(s) link.  Zero-shuffle mapInPandas stage."""
+    if spark is not None:
+        from ..plans.packaging import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urlsplit
+
+        from ocr_hardsubx_spark.operators.linkgraph import _LinkCollector
+
+        coll = _LinkCollector()
+        for pdf in batches:
+            urls, srcs, dsts, anchors = [], [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    src_host = urlsplit(url).hostname or ""
+                except ValueError:
+                    src_host = ""
+                for _absu, dst, anchor in coll.collect(bytes(html), url):
+                    urls.append(url)
+                    srcs.append(src_host)
+                    dsts.append(dst)
+                    anchors.append(anchor)
+            yield pd.DataFrame({"url": urls, "src_host": srcs,
+                                "dst_host": dsts, "anchor": anchors})
+
+    return pages.select("url", "html").mapInPandas(gen, OUTLINK_SCHEMA)
+
+
+def link_graph(outlinks: "DataFrame") -> "DataFrame":
+    """Outlink rows -> (src_host, dst_host, n_links, weight) edges with
+    out-degree-normalized transition weights."""
+    agg = (outlinks.groupBy("src_host", "dst_host")
+           .agg(F.count("*").alias("n_links")))
+    tot = F.sum("n_links").over(Window.partitionBy("src_host"))
+    return agg.select(
+        "src_host", "dst_host", "n_links",
+        (F.col("n_links") / tot).alias("weight"))
+
+
+def pagerank_hosts(outlinks: "DataFrame", iters: int = 5,
+                   damping: float = 0.85) -> "DataFrame":
+    """Host-level PageRank by power iteration -> (host, pr).
+
+    Hosts = every host seen as a link source or target.  Dangling hosts
+    (in-links only) contribute no mass but still receive teleport +
+    in-mass; their lost mass is redistributed uniformly each step (the
+    standard dangling-node correction), keeping sum(pr) == 1.
+    """
+    edges = link_graph(outlinks).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst"),
+        "weight")
+    hosts = (edges.select(F.col("src").alias("host"))
+             .union(edges.select(F.col("dst").alias("host")))
+             .distinct())
+    # edges + hosts + the dangling set are reused every step:
+    # materialize once
+    edges = edges.localCheckpoint()
+    hosts = hosts.localCheckpoint()
+    dangling = hosts.join(edges.select(F.col("src").alias("host"))
+                          .distinct(), "host", "left_anti"
+                          ).localCheckpoint()
+    n = hosts.count()
+    has_dangling = dangling.limit(1).count() > 0
+
+    ranks = hosts.select("host", F.lit(round(1.0 / n, STEP_ROUND))
+                         .alias("pr"))
+    for _ in range(iters):
+        # dangling mass this step — a driver SCALAR from one tiny agg
+        # over the host-level table (never the corpus)
+        dang = (ranks.join(dangling, "host", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0))).first()[0]
+                if has_dangling else 0.0)
+        contrib = (edges.join(ranks, edges.src == ranks.host)
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("pr") * F.col("weight")).alias("mass")))
+        base = (1.0 - damping) / n + damping * dang / n
+        ranks = (hosts.join(contrib, hosts.host == contrib.dst, "left")
+                 .select("host",
+                         F.round(F.lit(base)
+                                 + F.lit(damping)
+                                 * F.coalesce(F.col("mass"), F.lit(0.0)),
+                                 STEP_ROUND).alias("pr")))
+        # cut lineage: step K must not replay steps 1..K-1
+        ranks = ranks.localCheckpoint()
+    return ranks.select("host", F.round("pr", FINAL_ROUND).alias("pr"))

@@ -6447,3 +6447,281 @@ def q_pdf_main_content_sql() -> str:
            TRUE AS decoded_real
     FROM agg
     """
+
+
+# --------------------------------------------------------------------------
+# link graph + PageRank (operators/linkgraph.py)
+# --------------------------------------------------------------------------
+
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hyperlinked page corpus (writer twin of the
+    q_outlinks oracle): doc ``i`` lives on host ``i % 50`` and links to
+    3 arithmetic-derived hosts, plus one RELATIVE link (urljoin must
+    resolve it against the page url) and one mailto (the kernel must
+    drop non-http(s) schemes)."""
+    from ocr_hardsubx_spark.operators.linkgraph import LINKS_PER_DOC
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    src = (F.col("doc_id") % 50).cast("string")
+    pieces = [F.lit("<html><body><p>corpus page</p><ul>")]
+    for k in range(1, LINKS_PER_DOC + 1):
+        raw = (F.col("doc_id") * 7 + 13 * k) % 50
+        dst = F.when(raw == F.col("doc_id") % 50, (raw + 1) % 50) \
+               .otherwise(raw).cast("string")
+        pieces += [F.lit('<li><a href="https://host'), dst,
+                   F.lit(f'.example/page?k={k}">more from host'), dst,
+                   F.lit("</a></li>")]
+    pieces += [F.lit('<li><a href="/about">About</a></li>'
+                     '<li><a href="mailto:ops@example.org">contact</a>'
+                     "</li></ul></body></html>")]
+    return docs.select(
+        F.concat(F.lit("https://host"), src, F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.concat(*pieces), "UTF-8").alias("html"),
+    )
+
+
+#: relational twin of _linked_pages' link targets (DuckDB)
+_LINK_EDGE_SQL = """
+    base AS (
+      SELECT doc_id, doc_id % 50 AS src FROM documents
+    ),
+    cross_links AS (
+      SELECT b.doc_id, b.src,
+             CASE WHEN (b.doc_id * 7 + 13 * k.k) % 50 = b.src
+                  THEN ((b.doc_id * 7 + 13 * k.k) % 50 + 1) % 50
+                  ELSE (b.doc_id * 7 + 13 * k.k) % 50 END AS dst
+      FROM base b CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k
+    ),
+    link_rows AS (
+      SELECT doc_id, src, dst,
+             'more from host' || dst AS anchor
+      FROM cross_links
+      UNION ALL
+      SELECT doc_id, src, src AS dst, 'About' AS anchor FROM base
+    )
+"""
+
+
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page outlink extraction: parse each page's html with the
+    stdlib-HTMLParser link collector (attributes, not regexes), resolve
+    relative hrefs against the page url, drop non-http(s) schemes, and
+    emit one (url, src_host, dst_host, anchor) row per link.
+
+    Zero-shuffle mapInPandas stage (operators/linkgraph.py) — the html
+    column never leaves the task.  The oracle re-derives the expected
+    edge set from the synthesis arithmetic (writer/reader twin pattern,
+    same as the PDF roundtrip queries); the relative+mailto rows prove
+    urljoin resolution and scheme filtering, not just href scraping.
+    """
+    from ocr_hardsubx_spark.operators.linkgraph import extract_outlinks
+
+    return extract_outlinks(_linked_pages(spark, sf_dir), spark)
+
+
+def q_outlinks_sql() -> str:
+    return f"""
+    WITH {_LINK_EDGE_SQL}
+    SELECT 'https://host' || src || '.example/doc/' || doc_id AS url,
+           'host' || src || '.example' AS src_host,
+           'host' || dst || '.example' AS dst_host,
+           anchor
+    FROM link_rows
+    """
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host->host edge aggregation with out-degree-normalized transition
+    weights — the web-graph census (Common Crawl publishes exactly this
+    at host level).  One map-side-combinable shuffle on the edge key."""
+    from ocr_hardsubx_spark.operators.linkgraph import (
+        extract_outlinks, link_graph)
+
+    edges = link_graph(extract_outlinks(_linked_pages(spark, sf_dir),
+                                        spark))
+    return edges.select("src_host", "dst_host",
+                        F.col("n_links").cast("bigint").alias("n_links"),
+                        F.round("weight", 6).alias("weight"))
+
+
+def q_link_graph_sql() -> str:
+    return f"""
+    WITH {_LINK_EDGE_SQL},
+    agg AS (
+      SELECT 'host' || src || '.example' AS src_host,
+             'host' || dst || '.example' AS dst_host,
+             count(*) AS n_links
+      FROM link_rows GROUP BY 1, 2
+    )
+    SELECT src_host, dst_host, CAST(n_links AS BIGINT) AS n_links,
+           round(n_links / sum(n_links) OVER (PARTITION BY src_host), 6)
+             AS weight
+    FROM agg
+    """
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank, 5 power-iteration steps, damping 0.85 —
+    the domain-reputation score a URL filter / mixture planner consumes.
+
+    Each step is ONE shuffle over HOST-level tables (ranks join weighted
+    edges on src, aggregate mass by dst), with per-step localCheckpoint
+    so iteration K never replays 1..K-1; per-step ranks round to 10
+    decimals (cross-engine float-trajectory discipline, same as the
+    k-means/LR steps).  The oracle replays the identical trajectory as
+    chained pr0..pr5 CTEs (q_bpe_tokenize_sql pattern).  The fixture
+    graph has no dangling hosts (every host sources its docs' links);
+    the Spark operator still carries the dangling-mass correction,
+    pinned by a unit test on a synthetic dangling graph."""
+    from ocr_hardsubx_spark.operators.linkgraph import (
+        extract_outlinks, pagerank_hosts)
+
+    links = extract_outlinks(_linked_pages(spark, sf_dir), spark)
+    return pagerank_hosts(links, iters=5, damping=0.85)
+
+
+def q_pagerank_sql() -> str:
+    steps = []
+    for i in range(1, 6):
+        steps.append(f"""
+    pr{i} AS (
+      SELECT h.host,
+             round((1.0 - 0.85) / (SELECT n FROM nh)
+                   + 0.85 * coalesce(sum(p.pr * e.weight), 0), 10) AS pr
+      FROM hosts h
+      LEFT JOIN edges e ON e.dst_host = h.host
+      LEFT JOIN pr{i - 1} p ON p.host = e.src_host
+      GROUP BY h.host
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH {_LINK_EDGE_SQL},
+    agg AS (
+      SELECT 'host' || src || '.example' AS src_host,
+             'host' || dst || '.example' AS dst_host,
+             count(*) AS n_links
+      FROM link_rows GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src_host, dst_host,
+             n_links / sum(n_links) OVER (PARTITION BY src_host) AS weight
+      FROM agg
+    ),
+    hosts AS (
+      SELECT DISTINCT src_host AS host FROM edges
+      UNION
+      SELECT DISTINCT dst_host FROM edges
+    ),
+    nh AS (SELECT count(*) AS n FROM hosts),
+    pr0 AS (
+      SELECT host, round(1.0 / (SELECT n FROM nh), 10) AS pr FROM hosts
+    ),{chain}
+    SELECT host, round(pr, 6) AS pr FROM pr5
+    """
+
+
+# --------------------------------------------------------------------------
+# crawl-snapshot dedup + WET sink roundtrip
+# --------------------------------------------------------------------------
+
+def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot URL dedup: a crawl corpus carries the SAME url in
+    many snapshots; curation keeps the latest revision per url and
+    flags whether the content actually changed (changed pages may
+    re-enter dedup/quality downstream, unchanged ones keep cached
+    decisions).
+
+    Two deterministic snapshots are synthesized (2025-01-01 and
+    2025-02-15; every third doc gains a ' [rev 2]' suffix in the
+    second).  ONE groupBy(url) with max/max_by aggregates — no window
+    sort over the corpus, the scale-right shape for 10^12 (url,
+    snapshot) rows; content change is countDistinct over a 16-byte
+    md5, never the text itself."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(F.lit("https://synth.example/doc/"),
+                   F.col("doc_id").cast("string")).alias("url")
+    snap1 = docs.select(
+        url, F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.col("text"))
+    snap2 = docs.select(
+        url, F.to_timestamp(F.lit("2025-02-15 00:00:00")).alias("warc_ts"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" [rev 2]")))
+        .otherwise(F.col("text")).alias("text"))
+    return (snap1.unionByName(snap2)
+            .groupBy("url")
+            .agg(F.max("warc_ts").alias("kept_ts"),
+                 F.expr("max_by(text, warc_ts)").alias("text"),
+                 (F.count_distinct(F.md5("text")) > 1)
+                 .alias("content_changed"),
+                 F.count("*").cast("bigint").alias("n_versions")))
+
+
+def q_snapshot_dedup_sql() -> str:
+    return """
+    WITH snaps AS (
+      SELECT 'https://synth.example/doc/' || doc_id AS url,
+             TIMESTAMP '2025-01-01 00:00:00' AS warc_ts, text
+      FROM documents
+      UNION ALL
+      SELECT 'https://synth.example/doc/' || doc_id AS url,
+             TIMESTAMP '2025-02-15 00:00:00' AS warc_ts,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' [rev 2]'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT url, max(warc_ts) AS kept_ts,
+           arg_max(text, warc_ts) AS text,
+           count(DISTINCT md5(text)) > 1 AS content_changed,
+           CAST(count(*) AS BIGINT) AS n_versions
+    FROM snaps GROUP BY url
+    """
+
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET sink roundtrip: serialize each Arrow batch of extracted text
+    into ONE gzipped multi-record WET archive (warcinfo + one
+    conversion record per page, sources/warc.py:build_wet_blob — the
+    format Common Crawl ships extracted text in), then parse the blob
+    back with the WARC reader in conversion mode and emit the rows.
+
+    Pins the write->read contract byte-exact through a REAL multi-record
+    gzip archive per batch — Content-Length framing (text containing
+    CRLFCRLF or leading 'HTTP/' must survive), UTF-8 bodies, warcinfo
+    skipping.  Zero-shuffle mapInPandas; at 100 TB this is the shard
+    writer (one WET file per task) fused with its verification read."""
+    from ..plans.packaging import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    docs = _tbl(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://synth.example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text")
+
+    def gen(batches):
+        import pandas as pd
+
+        from ocr_hardsubx_spark.sources.warc import (
+            build_wet_blob, parse_warc_records)
+
+        for pdf in batches:
+            blob = build_wet_blob(
+                (u, "2025-01-01T00:00:00Z", t)
+                for u, t in zip(pdf["url"], pdf["text"]))
+            urls, texts = [], []
+            for u, _ts, body in parse_warc_records(
+                    blob, rec_types=(b"conversion",)):
+                urls.append(u)
+                texts.append(body.decode("utf-8"))
+            yield pd.DataFrame({"url": urls, "text": texts})
+
+    return docs.mapInPandas(gen, schema="url string, text string")
+
+
+def q_wet_roundtrip_sql() -> str:
+    return """
+    SELECT 'https://synth.example/doc/' || doc_id AS url,
+           coalesce(text, '') AS text
+    FROM documents
+    """

@@ -39,15 +39,22 @@ _MAX_RECORD_BYTES = 64 << 20   # guard: a corrupt Content-Length cannot
                                # allocate an unbounded buffer
 
 
-def parse_warc_records(blob: bytes):
-    """Yield (url, iso_ts, html_bytes) for each well-formed ``response``
-    record in a (possibly gzip'd) WARC blob.  Pure function — the
-    single-node oracle for the Spark reader, directly testable."""
-    for url, ts, body, _off, _ln in parse_warc_records_indexed(blob):
+def parse_warc_records(blob: bytes, rec_types: tuple = (b"response",)):
+    """Yield (url, iso_ts, body_bytes) for each well-formed record of a
+    wanted type in a (possibly gzip'd) WARC blob.  Pure function — the
+    single-node oracle for the Spark reader, directly testable.
+
+    ``rec_types`` selects WARC-Type values: ``response`` records carry
+    an HTTP message (headers stripped, html body returned); WET files
+    carry ``conversion`` records whose body is already the plain
+    extracted text (returned verbatim)."""
+    for url, ts, body, _off, _ln in parse_warc_records_indexed(
+            blob, rec_types=rec_types):
         yield url, ts, body
 
 
-def parse_warc_records_indexed(blob: bytes):
+def parse_warc_records_indexed(blob: bytes,
+                               rec_types: tuple = (b"response",)):
     """Like parse_warc_records but also yields each record's
     (offset, length) within the DECOMPRESSED stream — the CDX-index
     fields that make a record individually addressable (production
@@ -89,7 +96,8 @@ def parse_warc_records_indexed(blob: bytes):
             pos = body_start                  # truncated/corrupt: skip
             continue
         pos = body_end                         # next record follows \r\n\r\n
-        if headers.get(b"warc-type") != b"response":
+        rec_type = headers.get(b"warc-type")
+        if rec_type not in rec_types:
             continue
         url = headers.get(b"warc-target-uri", b"").decode(
             "utf-8", "replace")
@@ -97,10 +105,50 @@ def parse_warc_records_indexed(blob: bytes):
         if not url or not ts:
             continue
         body = blob[body_start:body_end]
-        if body[:5] in (b"HTTP/",):
+        # only response records wrap the payload in an HTTP message; a
+        # conversion (WET) body IS the payload — never strip it, even
+        # if the text happens to start with "HTTP/"
+        if rec_type == b"response" and body[:5] == b"HTTP/":
             http_end = body.find(b"\r\n\r\n")
             body = body[http_end + 4:] if http_end >= 0 else b""
         yield url, ts, body, start, body_end - start
+
+
+#: deterministic warcinfo stamp — the writer must be reproducible
+#: byte-for-byte (manifest/idempotence discipline), so no wall clock
+_WET_INFO_DATE = b"2025-01-01T00:00:00Z"
+
+
+def build_wet_blob(records, gzip_compress: bool = True) -> bytes:
+    """(url, iso_ts, text) rows -> a WET archive blob: one ``warcinfo``
+    header record followed by one ``conversion`` record per page, the
+    shape Common Crawl ships extracted text in (ISO 28500; WET is WARC
+    whose conversion bodies are the plain text).  The writer twin of
+    ``parse_warc_records(rec_types=(b"conversion",))`` — roundtrip is
+    pinned byte-exact in tests and q_wet_roundtrip."""
+    import gzip
+
+    def rec(headers: list, body: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            k + b": " + v + b"\r\n" for k, v in headers)
+        head += b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        return head + body + b"\r\n\r\n"
+
+    out = bytearray()
+    out += rec(
+        [(b"WARC-Type", b"warcinfo"), (b"WARC-Date", _WET_INFO_DATE),
+         (b"Content-Type", b"application/warc-fields")],
+        b"software: ocr-hardsubx-spark WET writer\r\n"
+        b"format: WARC File Format 1.0\r\n")
+    for url, ts, text in records:
+        out += rec(
+            [(b"WARC-Type", b"conversion"),
+             (b"WARC-Target-URI", str(url).encode("utf-8")),
+             (b"WARC-Date", str(ts).encode("ascii", "replace")),
+             (b"Content-Type", b"text/plain")],
+            ("" if text is None else str(text)).encode("utf-8"))
+    data = bytes(out)
+    return gzip.compress(data, mtime=0) if gzip_compress else data
 
 
 def read_documents_warc(spark: "SparkSession", path: str) -> "DataFrame":
