@@ -74,7 +74,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tokenize, CCNet paragraph dedup, RefinedWeb URL filter, rule-funnel
 # composition, PDF extract roundtrip + PDF layout main-content strip,
 # outlink extraction + host link graph + PageRank, cross-snapshot URL
-# dedup, WET sink roundtrip),
+# dedup, WET sink roundtrip, anchor-text term df, crawl frontier),
 # the minhash/simhash-derived dedup family (shingle-trim
 # + kernel fixes touched their signatures),
 # then the entries last green in round 4 (the tail 10 of that block —
@@ -115,6 +115,8 @@ _REGISTRY = [
     ("q_pagerank", dq.q_pagerank, dq.q_pagerank_sql),
     ("q_snapshot_dedup", dq.q_snapshot_dedup, dq.q_snapshot_dedup_sql),
     ("q_wet_roundtrip", dq.q_wet_roundtrip, dq.q_wet_roundtrip_sql),
+    ("q_anchor_text_df", dq.q_anchor_text_df, dq.q_anchor_text_df_sql),
+    ("q_crawl_frontier", dq.q_crawl_frontier, dq.q_crawl_frontier_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

@@ -55,6 +55,7 @@ HEADLINE_QUERIES = (
     "q_bm25_topk", "q_dsir", "q_semdedup",
     "q_gopher_repetition", "q_paragraph_dedup", "q_substring_dedup_apply",
     "q_pdf_extract", "q_pdf_main_content",
+    "q_outlinks", "q_pagerank", "q_snapshot_dedup",
 )
 
 

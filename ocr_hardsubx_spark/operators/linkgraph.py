@@ -49,7 +49,8 @@ from pyspark.sql.window import Window
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
-OUTLINK_SCHEMA = "url string, src_host string, dst_host string, anchor string"
+OUTLINK_SCHEMA = ("url string, src_host string, dst_host string, "
+                  "dst_url string, anchor string")
 
 #: deterministic fixture-graph dials (mirrored by the oracle SQL)
 LINK_HOSTS = 50
@@ -134,19 +135,21 @@ def extract_outlinks(pages: "DataFrame",
 
         coll = _LinkCollector()
         for pdf in batches:
-            urls, srcs, dsts, anchors = [], [], [], []
+            urls, srcs, dsts, dst_urls, anchors = [], [], [], [], []
             for url, html in zip(pdf["url"], pdf["html"]):
                 try:
                     src_host = urlsplit(url).hostname or ""
                 except ValueError:
                     src_host = ""
-                for _absu, dst, anchor in coll.collect(bytes(html), url):
+                for absu, dst, anchor in coll.collect(bytes(html), url):
                     urls.append(url)
                     srcs.append(src_host)
                     dsts.append(dst)
+                    dst_urls.append(absu)
                     anchors.append(anchor)
             yield pd.DataFrame({"url": urls, "src_host": srcs,
-                                "dst_host": dsts, "anchor": anchors})
+                                "dst_host": dsts, "dst_url": dst_urls,
+                                "anchor": anchors})
 
     return pages.select("url", "html").mapInPandas(gen, OUTLINK_SCHEMA)
 

@@ -6468,9 +6468,14 @@ def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = (F.col("doc_id") * 7 + 13 * k) % 50
         dst = F.when(raw == F.col("doc_id") % 50, (raw + 1) % 50) \
                .otherwise(raw).cast("string")
-        pieces += [F.lit('<li><a href="https://host'), dst,
-                   F.lit(f'.example/page?k={k}">more from host'), dst,
-                   F.lit("</a></li>")]
+        # the k=1 link targets a REAL page of the corpus (doc `dst`
+        # lives on host dst % 50 == dst) so frontier discovery has
+        # already-crawled targets to anti-join away; k>=2 links point
+        # at undiscovered paths
+        path = (F.concat(F.lit(".example/doc/"), dst) if k == 1
+                else F.lit(f".example/page?k={k}"))
+        pieces += [F.lit('<li><a href="https://host'), dst, path,
+                   F.lit('">more from host'), dst, F.lit("</a></li>")]
     pieces += [F.lit('<li><a href="/about">About</a></li>'
                      '<li><a href="mailto:ops@example.org">contact</a>'
                      "</li></ul></body></html>")]
@@ -6487,7 +6492,7 @@ _LINK_EDGE_SQL = """
       SELECT doc_id, doc_id % 50 AS src FROM documents
     ),
     cross_links AS (
-      SELECT b.doc_id, b.src,
+      SELECT b.doc_id, b.src, k.k,
              CASE WHEN (b.doc_id * 7 + 13 * k.k) % 50 = b.src
                   THEN ((b.doc_id * 7 + 13 * k.k) % 50 + 1) % 50
                   ELSE (b.doc_id * 7 + 13 * k.k) % 50 END AS dst
@@ -6495,10 +6500,17 @@ _LINK_EDGE_SQL = """
     ),
     link_rows AS (
       SELECT doc_id, src, dst,
+             CASE WHEN k = 1
+                  THEN 'https://host' || dst || '.example/doc/' || dst
+                  ELSE 'https://host' || dst || '.example/page?k=' || k
+             END AS dst_url,
              'more from host' || dst AS anchor
       FROM cross_links
       UNION ALL
-      SELECT doc_id, src, src AS dst, 'About' AS anchor FROM base
+      SELECT doc_id, src, src AS dst,
+             'https://host' || src || '.example/about' AS dst_url,
+             'About' AS anchor
+      FROM base
     )
 """
 
@@ -6526,7 +6538,7 @@ def q_outlinks_sql() -> str:
     SELECT 'https://host' || src || '.example/doc/' || doc_id AS url,
            'host' || src || '.example' AS src_host,
            'host' || dst || '.example' AS dst_host,
-           anchor
+           dst_url, anchor
     FROM link_rows
     """
 
@@ -6724,4 +6736,66 @@ def q_wet_roundtrip_sql() -> str:
     SELECT 'https://synth.example/doc/' || doc_id AS url,
            coalesce(text, '') AS text
     FROM documents
+    """
+
+
+def q_anchor_text_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text term frequency per TARGET host — the classic
+    relevance signal (the text other sites use to describe a host).
+    Explode the (short) anchor strings to terms, one map-side-combinable
+    shuffle on (dst_host, term); the html column never reaches the
+    aggregation (it dies inside the extract stage)."""
+    from ocr_hardsubx_spark.operators.linkgraph import extract_outlinks
+
+    links = extract_outlinks(_linked_pages(spark, sf_dir), spark)
+    return (links
+            .select("dst_host",
+                    F.explode(F.split("anchor", " ")).alias("term"))
+            .where(F.col("term") != "")
+            .groupBy("dst_host", "term")
+            .agg(F.count("*").cast("bigint").alias("n")))
+
+
+def q_anchor_text_df_sql() -> str:
+    return f"""
+    WITH {_LINK_EDGE_SQL},
+    terms AS (
+      SELECT 'host' || dst || '.example' AS dst_host,
+             unnest(string_split(anchor, ' ')) AS term
+      FROM link_rows
+    )
+    SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n
+    FROM terms WHERE term <> '' GROUP BY dst_host, term
+    """
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier discovery: distinct outlink target urls MINUS the
+    urls already in the corpus — what a crawler fetches next.  Shape:
+    one distinct on dst_url, then a LEFT ANTI join against the crawled
+    url set (both shuffles on the url hash; at 10^12 pages the crawled
+    side is the big one and the anti join is the standard
+    bloom-prunable shape).  The k=1 links target REAL corpus pages, so
+    the anti join provably removes rows (pinned by the oracle's NOT IN
+    twin), while /page?k>=2 and /about targets stay frontier."""
+    from ocr_hardsubx_spark.operators.linkgraph import extract_outlinks
+
+    pages = _linked_pages(spark, sf_dir)
+    links = extract_outlinks(pages, spark)
+    return (links.select("dst_url").distinct()
+            .join(pages.select(F.col("url").alias("dst_url")),
+                  "dst_url", "left_anti")
+            .select(F.col("dst_url").alias("frontier_url")))
+
+
+def q_crawl_frontier_sql() -> str:
+    return f"""
+    WITH {_LINK_EDGE_SQL},
+    crawled AS (
+      SELECT 'https://host' || src || '.example/doc/' || doc_id AS url
+      FROM base
+    )
+    SELECT DISTINCT dst_url AS frontier_url
+    FROM link_rows
+    WHERE dst_url NOT IN (SELECT url FROM crawled)
     """

@@ -157,3 +157,20 @@ def test_pagerank_deterministic(spark):
     r1 = {r.host: r.pr for r in pagerank_hosts(df).collect()}
     r2 = {r.host: r.pr for r in pagerank_hosts(df).collect()}
     assert r1 == r2
+
+
+def test_outlinks_plan_is_mapinpandas_only(spark):
+    pages = _pages(spark, [("https://a.example/1",
+                            '<a href="https://b.example/x">b</a>')])
+    out = extract_outlinks(pages, spark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan          # no per-row Python
+    assert plan.count("Exchange") == 0            # zero-shuffle stage
+    assert "MapInPandas" in plan
+
+
+def test_outlinks_emits_resolved_target_url(spark):
+    pages = _pages(spark, [("https://a.example/dir/page",
+                            '<a href="../up">Up</a>')])
+    rows = extract_outlinks(pages, spark).collect()
+    assert rows[0].dst_url == "https://a.example/up"
