@@ -74,15 +74,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # tokenize, CCNet paragraph dedup, RefinedWeb URL filter, rule-funnel
 # composition, PDF extract roundtrip + PDF layout main-content strip,
 # outlink extraction + host link graph + PageRank, cross-snapshot URL
-# dedup, WET sink roundtrip, anchor-text term df, crawl frontier),
+# dedup, WET sink roundtrip, anchor-text term df, crawl frontier,
+# robots-meta gate, PageRank host-reputation cut),
 # the minhash/simhash-derived dedup family (shingle-trim
 # + kernel fixes touched their signatures),
-# then the entries last green in round 4 (the tail 10 of that block —
-# q_minhash_band_census..q_curation_funnel — displaced past 50 by new
-# queries, AST-unchanged since their round-5 judge verification, first
-# in line next round); everything after position 50 was green in
-# round 5 (incl. q_quality_cut / q_ann_recall_census, displaced
-# AST-unchanged).
+# then as much of the oldest-green (round-4) block as fits — the 27
+# new entries leave room for 7 of them; the rest of that block
+# (q_dedup_exact..q_curation_funnel) is displaced past 50,
+# AST-unchanged since its round-5 judge verification, and is first in
+# line next round; everything after it was green in round 5 (incl.
+# q_quality_cut / q_ann_recall_census, displaced AST-unchanged).
 _REGISTRY = [
     # -- anchors -----------------------------------------------------------
     ("extract_pipeline", q.extract_pipeline, q.extract_pipeline_sql),
@@ -117,6 +118,9 @@ _REGISTRY = [
     ("q_wet_roundtrip", dq.q_wet_roundtrip, dq.q_wet_roundtrip_sql),
     ("q_anchor_text_df", dq.q_anchor_text_df, dq.q_anchor_text_df_sql),
     ("q_crawl_frontier", dq.q_crawl_frontier, dq.q_crawl_frontier_sql),
+    ("q_meta_robots", dq.q_meta_robots, dq.q_meta_robots_sql),
+    ("q_host_reputation_cut", dq.q_host_reputation_cut,
+     dq.q_host_reputation_cut_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

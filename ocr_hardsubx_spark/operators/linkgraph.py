@@ -50,7 +50,7 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
 
 OUTLINK_SCHEMA = ("url string, src_host string, dst_host string, "
-                  "dst_url string, anchor string")
+                  "dst_url string, anchor string, nofollow boolean")
 
 #: deterministic fixture-graph dials (mirrored by the oracle SQL)
 LINK_HOSTS = 50
@@ -74,7 +74,7 @@ class _LinkCollector:
         class _P(HTMLParser):
             def __init__(self) -> None:
                 super().__init__(convert_charrefs=True)
-                self.links: list[tuple[str, list[str]]] = []
+                self.links: list[tuple[str, list[str], bool]] = []
                 self.depth = 0          # <a> nesting (malformed pages)
 
             def handle_starttag(self, tag, attrs):
@@ -82,7 +82,9 @@ class _LinkCollector:
                     return
                 href = next((v for k, v in attrs if k == "href"), None)
                 if href is not None:
-                    self.links.append((href, []))
+                    rel = next((v for k, v in attrs if k == "rel"), "")
+                    nofollow = "nofollow" in (rel or "").lower().split()
+                    self.links.append((href, [], nofollow))
                 self.depth += 1
 
             def handle_endtag(self, tag):
@@ -96,7 +98,8 @@ class _LinkCollector:
         outer._parser_cls = _P
 
     def collect(self, html: bytes, base_url: str):
-        """-> [(abs_url, dst_host, anchor_text)]; damage is non-fatal."""
+        """-> [(abs_url, dst_host, anchor_text, nofollow)]; damage is
+        non-fatal."""
         from urllib.parse import urljoin, urlsplit
 
         p = self._parser_cls()
@@ -106,7 +109,7 @@ class _LinkCollector:
         except Exception:
             pass                        # salvage whatever was collected
         out = []
-        for href, texts in p.links:
+        for href, texts, nofollow in p.links:
             try:
                 absu = urljoin(base_url, href.strip())
                 parts = urlsplit(absu)
@@ -115,7 +118,7 @@ class _LinkCollector:
             if parts.scheme not in ("http", "https") or not parts.hostname:
                 continue
             out.append((absu, parts.hostname,
-                        " ".join("".join(texts).split())))
+                        " ".join("".join(texts).split()), nofollow))
         return out
 
 
@@ -135,28 +138,36 @@ def extract_outlinks(pages: "DataFrame",
 
         coll = _LinkCollector()
         for pdf in batches:
-            urls, srcs, dsts, dst_urls, anchors = [], [], [], [], []
+            urls, srcs, dsts, dst_urls, anchors, nofs = \
+                [], [], [], [], [], []
             for url, html in zip(pdf["url"], pdf["html"]):
                 try:
                     src_host = urlsplit(url).hostname or ""
                 except ValueError:
                     src_host = ""
-                for absu, dst, anchor in coll.collect(bytes(html), url):
+                for absu, dst, anchor, nof in coll.collect(bytes(html),
+                                                           url):
                     urls.append(url)
                     srcs.append(src_host)
                     dsts.append(dst)
                     dst_urls.append(absu)
                     anchors.append(anchor)
+                    nofs.append(nof)
             yield pd.DataFrame({"url": urls, "src_host": srcs,
                                 "dst_host": dsts, "dst_url": dst_urls,
-                                "anchor": anchors})
+                                "anchor": anchors, "nofollow": nofs})
 
     return pages.select("url", "html").mapInPandas(gen, OUTLINK_SCHEMA)
 
 
 def link_graph(outlinks: "DataFrame") -> "DataFrame":
     """Outlink rows -> (src_host, dst_host, n_links, weight) edges with
-    out-degree-normalized transition weights."""
+    out-degree-normalized transition weights.  ``rel=nofollow`` links
+    are excluded from the transition graph (the standard PageRank
+    treatment: they stay visible in the outlink table but carry no
+    endorsement)."""
+    if "nofollow" in outlinks.columns:
+        outlinks = outlinks.where(~F.col("nofollow"))
     agg = (outlinks.groupBy("src_host", "dst_host")
            .agg(F.count("*").alias("n_links")))
     tot = F.sum("n_links").over(Window.partitionBy("src_host"))
@@ -211,3 +222,63 @@ def pagerank_hosts(outlinks: "DataFrame", iters: int = 5,
         # cut lineage: step K must not replay steps 1..K-1
         ranks = ranks.localCheckpoint()
     return ranks.select("host", F.round("pr", FINAL_ROUND).alias("pr"))
+
+
+PAGE_FLAG_SCHEMA = "url string, noindex boolean, nofollow_page boolean"
+
+
+def collect_meta_robots(html: bytes) -> tuple:
+    """-> (noindex, nofollow) from ``<meta name="robots" ...>`` tags
+    (directives comma-separated per the robots-meta convention; any
+    matching tag wins).  Pure function, damage non-fatal."""
+    from html.parser import HTMLParser
+
+    flags = {"noindex": False, "nofollow": False}
+
+    class _M(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag != "meta":
+                return
+            d = dict(attrs)
+            if (d.get("name") or "").lower() != "robots":
+                return
+            directives = {t.strip().lower()
+                          for t in (d.get("content") or "").split(",")}
+            flags["noindex"] |= "noindex" in directives or \
+                "none" in directives
+            flags["nofollow"] |= "nofollow" in directives or \
+                "none" in directives
+
+    p = _M(convert_charrefs=True)
+    try:
+        p.feed(html.decode("utf-8", "replace"))
+        p.close()
+    except Exception:
+        pass
+    return flags["noindex"], flags["nofollow"]
+
+
+def extract_page_flags(pages: "DataFrame",
+                       spark: "SparkSession" = None) -> "DataFrame":
+    """(url, html) -> per-page robots-meta flags; zero-shuffle
+    mapInPandas (the indexability gate a crawl pipeline applies before
+    a page's text enters the corpus)."""
+    if spark is not None:
+        from ..plans.packaging import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_hardsubx_spark.operators.linkgraph import \
+            collect_meta_robots
+
+        for pdf in batches:
+            ni, nf = [], []
+            for html in pdf["html"]:
+                a, b = collect_meta_robots(bytes(html))
+                ni.append(a)
+                nf.append(b)
+            yield pd.DataFrame({"url": pdf["url"].values,
+                                "noindex": ni, "nofollow_page": nf})
+
+    return pages.select("url", "html").mapInPandas(gen, PAGE_FLAG_SCHEMA)

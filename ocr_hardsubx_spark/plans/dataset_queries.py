@@ -6457,13 +6457,21 @@ def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hyperlinked page corpus (writer twin of the
     q_outlinks oracle): doc ``i`` lives on host ``i % 50`` and links to
     3 arithmetic-derived hosts, plus one RELATIVE link (urljoin must
-    resolve it against the page url) and one mailto (the kernel must
-    drop non-http(s) schemes)."""
+    resolve it against the page url), one ``rel=nofollow`` sponsored
+    link (visible in the outlink table, excluded from the transition
+    graph), and one mailto (the kernel must drop non-http(s) schemes).
+    Every 7th doc carries ``<meta name="robots" content="noindex">``
+    (the q_meta_robots gate)."""
     from ocr_hardsubx_spark.operators.linkgraph import LINKS_PER_DOC
 
     docs = _tbl(spark, sf_dir, "documents").select("doc_id")
     src = (F.col("doc_id") % 50).cast("string")
-    pieces = [F.lit("<html><body><p>corpus page</p><ul>")]
+    head = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit('<head><meta name="robots" content="noindex"></head>'),
+    ).otherwise(F.lit("<head></head>"))
+    pieces = [F.lit("<html>"), head,
+              F.lit("<body><p>corpus page</p><ul>")]
     for k in range(1, LINKS_PER_DOC + 1):
         raw = (F.col("doc_id") * 7 + 13 * k) % 50
         dst = F.when(raw == F.col("doc_id") % 50, (raw + 1) % 50) \
@@ -6476,6 +6484,10 @@ def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else F.lit(f".example/page?k={k}"))
         pieces += [F.lit('<li><a href="https://host'), dst, path,
                    F.lit('">more from host'), dst, F.lit("</a></li>")]
+    nf = ((F.col("doc_id") * 3 + 41) % 50).cast("string")
+    pieces += [F.lit('<li><a href="https://host'), nf,
+               F.lit('.example/page?sponsored=1" rel="nofollow">'
+                     "sponsored host"), nf, F.lit("</a></li>")]
     pieces += [F.lit('<li><a href="/about">About</a></li>'
                      '<li><a href="mailto:ops@example.org">contact</a>'
                      "</li></ul></body></html>")]
@@ -6504,12 +6516,21 @@ _LINK_EDGE_SQL = """
                   THEN 'https://host' || dst || '.example/doc/' || dst
                   ELSE 'https://host' || dst || '.example/page?k=' || k
              END AS dst_url,
-             'more from host' || dst AS anchor
+             'more from host' || dst AS anchor,
+             FALSE AS nofollow
       FROM cross_links
+      UNION ALL
+      SELECT doc_id, src, (doc_id * 3 + 41) % 50 AS dst,
+             'https://host' || (doc_id * 3 + 41) % 50
+               || '.example/page?sponsored=1' AS dst_url,
+             'sponsored host' || (doc_id * 3 + 41) % 50 AS anchor,
+             TRUE AS nofollow
+      FROM base
       UNION ALL
       SELECT doc_id, src, src AS dst,
              'https://host' || src || '.example/about' AS dst_url,
-             'About' AS anchor
+             'About' AS anchor,
+             FALSE AS nofollow
       FROM base
     )
 """
@@ -6538,7 +6559,7 @@ def q_outlinks_sql() -> str:
     SELECT 'https://host' || src || '.example/doc/' || doc_id AS url,
            'host' || src || '.example' AS src_host,
            'host' || dst || '.example' AS dst_host,
-           dst_url, anchor
+           dst_url, anchor, nofollow
     FROM link_rows
     """
 
@@ -6564,7 +6585,7 @@ def q_link_graph_sql() -> str:
       SELECT 'host' || src || '.example' AS src_host,
              'host' || dst || '.example' AS dst_host,
              count(*) AS n_links
-      FROM link_rows GROUP BY 1, 2
+      FROM link_rows WHERE NOT nofollow GROUP BY 1, 2
     )
     SELECT src_host, dst_host, CAST(n_links AS BIGINT) AS n_links,
            round(n_links / sum(n_links) OVER (PARTITION BY src_host), 6)
@@ -6613,7 +6634,7 @@ def q_pagerank_sql() -> str:
       SELECT 'host' || src || '.example' AS src_host,
              'host' || dst || '.example' AS dst_host,
              count(*) AS n_links
-      FROM link_rows GROUP BY 1, 2
+      FROM link_rows WHERE NOT nofollow GROUP BY 1, 2
     ),
     edges AS (
       SELECT src_host, dst_host,
@@ -6798,4 +6819,73 @@ def q_crawl_frontier_sql() -> str:
     SELECT DISTINCT dst_url AS frontier_url
     FROM link_rows
     WHERE dst_url NOT IN (SELECT url FROM crawled)
+    """
+
+
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta indexability gate: per-page ``noindex`` /
+    ``nofollow`` flags parsed from ``<meta name="robots">`` (directives
+    comma-separated, ``none`` implies both), and the keep decision a
+    crawl pipeline applies before a page's text enters the corpus.
+    Zero-shuffle mapInPandas (operators/linkgraph.extract_page_flags);
+    the oracle re-derives the flags from the synthesis arithmetic
+    (every 7th doc is noindex)."""
+    from ocr_hardsubx_spark.operators.linkgraph import extract_page_flags
+
+    flags = extract_page_flags(_linked_pages(spark, sf_dir), spark)
+    return flags.select("url", "noindex", "nofollow_page",
+                        (~F.col("noindex")).alias("keep"))
+
+
+def q_meta_robots_sql() -> str:
+    return """
+    SELECT 'https://host' || doc_id % 50 || '.example/doc/' || doc_id
+             AS url,
+           doc_id % 7 = 0 AS noindex,
+           FALSE AS nofollow_page,
+           doc_id % 7 <> 0 AS keep
+    FROM documents
+    """
+
+
+def q_host_reputation_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank feeding a curation decision (the graph twin of the
+    LR-trained quality cut): keep pages whose host ranks at or above
+    the uniform score 1/n_hosts.  The 50-row rank table joins back
+    BROADCAST against the corpus — at 10^8 hosts this becomes an
+    ordinary shuffle join on host, still corpus-sized, never all-pairs.
+    Scores are the registered q_pagerank values (6-dp rounded), so the
+    keep boundary is deterministic cross-engine."""
+    from ocr_hardsubx_spark.operators.linkgraph import (
+        extract_outlinks, pagerank_hosts)
+
+    pages = _linked_pages(spark, sf_dir)
+    ranks = pagerank_hosts(extract_outlinks(pages, spark),
+                           iters=5, damping=0.85)
+    n = ranks.count()
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("host"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example")).alias("host"))
+    return (docs.join(F.broadcast(ranks),
+                      docs.host == ranks.host)
+            .select("doc_id", docs.host.alias("host"), "pr",
+                    (F.col("pr") >= 1.0 / n).alias("keep")))
+
+
+def q_host_reputation_cut_sql() -> str:
+    # reuse the exact q_pagerank trajectory, then join the corpus
+    pr_chain = q_pagerank_sql().strip()
+    assert pr_chain.startswith("WITH ")
+    body = pr_chain[len("WITH "):]
+    head, _sep, _final = body.rpartition("SELECT host, round(pr, 6)")
+    return f"""
+    WITH {head},
+    ranked AS (SELECT host, round(pr, 6) AS pr FROM pr5)
+    SELECT d.doc_id,
+           'host' || d.doc_id % 50 || '.example' AS host,
+           r.pr,
+           r.pr >= 1.0 / (SELECT n FROM nh) AS keep
+    FROM documents d
+    JOIN ranked r ON r.host = 'host' || d.doc_id % 50 || '.example'
     """

@@ -21,23 +21,25 @@ def _collect(html: bytes, base: str = "https://a.example/p"):
 
 def test_collector_basic_and_anchor_text():
     out = _collect(b'<a href="https://b.example/x">go <b>deep</b> now</a>')
-    assert out == [("https://b.example/x", "b.example", "go deep now")]
+    assert out == [("https://b.example/x", "b.example", "go deep now",
+                    False)]
 
 
 def test_collector_unquoted_and_singlequoted_attrs():
     out = _collect(b"<a href=https://b.example/u>u</a>"
                    b"<a href='https://c.example/s'>s</a>")
-    assert [(h, a) for _, h, a in out] == [("b.example", "u"),
-                                           ("c.example", "s")]
+    assert [(h, a) for _, h, a, _nf in out] == [("b.example", "u"),
+                                                ("c.example", "s")]
 
 
 def test_collector_relative_resolved_against_base():
     out = _collect(b'<a href="/about">About</a>'
                    b'<a href="sibling.html">Sib</a>',
                    base="https://a.example/dir/page.html")
-    assert out[0] == ("https://a.example/about", "a.example", "About")
+    assert out[0] == ("https://a.example/about", "a.example", "About",
+                      False)
     assert out[1] == ("https://a.example/dir/sibling.html", "a.example",
-                      "Sib")
+                      "Sib", False)
 
 
 def test_collector_drops_non_http_schemes():
@@ -45,7 +47,7 @@ def test_collector_drops_non_http_schemes():
                    b'<a href="javascript:void(0)">js</a>'
                    b'<a href="ftp://f.example/a">ftp</a>'
                    b'<a href="https://ok.example/">ok</a>')
-    assert [h for _, h, _ in out] == ["ok.example"]
+    assert [h for _, h, _, _nf in out] == ["ok.example"]
 
 
 def test_collector_charrefs_and_nested_anchor_damage():
@@ -174,3 +176,62 @@ def test_outlinks_emits_resolved_target_url(spark):
                             '<a href="../up">Up</a>')])
     rows = extract_outlinks(pages, spark).collect()
     assert rows[0].dst_url == "https://a.example/up"
+
+
+# --------------------------------------------------------------------------
+# nofollow + robots meta
+# --------------------------------------------------------------------------
+
+def test_collector_rel_nofollow_flag():
+    out = _collect(
+        b'<a href="https://b.example/" rel="nofollow">sp</a>'
+        b'<a href="https://c.example/" rel="sponsored nofollow ugc">m</a>'
+        b'<a href="https://d.example/" rel="author">ok</a>'
+        b'<a href="https://e.example/">plain</a>')
+    assert [(h, nf) for _, h, _, nf in out] == [
+        ("b.example", True), ("c.example", True),
+        ("d.example", False), ("e.example", False)]
+
+
+def test_link_graph_excludes_nofollow_edges(spark):
+    pages = _pages(spark, [
+        ("https://a.example/1",
+         '<a href="https://b.example/">f</a>'
+         '<a href="https://spam.example/" rel="nofollow">s</a>'),
+    ])
+    links = extract_outlinks(pages, spark)
+    # visible in the outlink table ...
+    assert {r.dst_host for r in links.collect()} == \
+        {"b.example", "spam.example"}
+    # ... excluded from the transition graph
+    edges = link_graph(links).collect()
+    assert {r.dst_host for r in edges} == {"b.example"}
+    assert edges[0].weight == pytest.approx(1.0)
+
+
+def test_meta_robots_kernel():
+    from ocr_hardsubx_spark.operators.linkgraph import collect_meta_robots
+
+    assert collect_meta_robots(
+        b'<meta name="robots" content="noindex, follow">') == (True, False)
+    assert collect_meta_robots(
+        b'<META NAME="ROBOTS" CONTENT="NONE">') == (True, True)
+    assert collect_meta_robots(
+        b'<meta name="robots" content="nofollow">') == (False, True)
+    assert collect_meta_robots(b'<meta name="viewport" content="w">') == \
+        (False, False)
+    assert collect_meta_robots(b"\xff garbage <meta") == (False, False)
+
+
+def test_extract_page_flags_stage(spark):
+    from ocr_hardsubx_spark.operators.linkgraph import extract_page_flags
+
+    pages = _pages(spark, [
+        ("https://a.example/1",
+         '<head><meta name="robots" content="noindex"></head><body>x'),
+        ("https://a.example/2", "<body>indexable</body>"),
+    ])
+    got = {r.url: (r.noindex, r.nofollow_page)
+           for r in extract_page_flags(pages, spark).collect()}
+    assert got == {"https://a.example/1": (True, False),
+                   "https://a.example/2": (False, False)}
