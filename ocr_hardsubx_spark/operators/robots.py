@@ -1,0 +1,205 @@
+"""robots.txt crawl-permission evaluation (RFC 9309).
+
+The crawl-frontier query (``plans/dataset_queries.q_crawl_frontier``)
+answers "what could we fetch next"; this module answers "what are we
+ALLOWED to fetch".  A crawler joins the two before scheduling — Common
+Crawl publishes its robots.txt captures as a first-class dataset for
+exactly this reason.
+
+Two stages, split so the per-byte work and the per-url work scale
+independently:
+
+1. ``parse_robots_rules`` — an Arrow-batched ``mapInPandas`` stage over
+   the ROBOTS corpus (one row per host: orders of magnitude smaller
+   than the page corpus).  A from-spec RFC 9309 parser selects the
+   rule group for our user-agent (longest agent-token match,
+   case-insensitive, ``*`` fallback; multiple ``User-agent`` lines
+   stack onto one group), and each Allow/Disallow line becomes one
+   narrow rule row ``(host, allow, pattern, regex, spec)`` where
+   ``regex`` is the pattern compiled to an anchored regular expression
+   (``*`` -> ``.*``, trailing ``$`` -> end anchor, everything else
+   escaped — the escape set is the RE2/Java-regex COMMON subset so the
+   same string means the same thing to Spark and DuckDB) and ``spec``
+   is the RFC's specificity (octet length of the pattern).
+
+2. ``frontier_allowed`` — the DECISION, pure JVM: join candidate urls
+   to rules on host (the robots side is host-level — broadcast at
+   sandbox scale, an ordinary shuffle join on host at 10^8 hosts,
+   never corpus x rules), keep rules whose regex matches the url path
+   (``regexp_like`` with a per-row pattern column stays JVM-side), and
+   pick the winner per url with ONE ``max_by`` aggregation on the
+   struct ``(spec, allow)`` — longest pattern wins, allow wins ties,
+   exactly RFC 9309 §2.2.2.  Urls whose host has no matching rule (or
+   no robots.txt at all) are allowed, via the left join's NULL arm.
+   No window functions, no per-row Python: the whole decision is a
+   join + aggregate that AQE can re-plan.
+
+Reference anchor: the reference pipeline (erfilter.c) has no crawl
+layer; this family is part of the web-scale curation surface the north
+rule adds around the extraction core, alongside the link-graph family
+(``operators/linkgraph.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+RULE_SCHEMA = ("host string, allow boolean, pattern string, "
+               "regex string, spec int")
+
+#: characters escaped when compiling a robots path pattern to a regex.
+#: Deliberately the subset with identical meaning in Java regex (Spark)
+#: and RE2 (DuckDB); robots patterns are url paths, so this covers
+#: every metacharacter that can legally appear in one.
+_REGEX_SPECIALS = set(".^$+?()[]{}|\\")
+
+
+def compile_pattern(pattern: str) -> str:
+    """Robots path pattern -> anchored regex string (RFC 9309 §2.2.3:
+    ``*`` matches any run of octets, a trailing ``$`` anchors the end;
+    an inner ``$`` is literal)."""
+    body, end_anchor = pattern, False
+    if body.endswith("$"):
+        body, end_anchor = body[:-1], True
+    out = ["^"]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _REGEX_SPECIALS:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if end_anchor:
+        out.append("$")
+    return "".join(out)
+
+
+def parse_robots(text: str, agent: str) -> list:
+    """robots.txt body -> ``[(allow, pattern)]`` for ``agent``.
+
+    RFC 9309 group selection: rule lines attach to the most recent run
+    of ``User-agent`` lines; the group chosen is the one whose agent
+    token is the LONGEST case-insensitive substring-token match of our
+    product token, falling back to ``*``.  Unknown directives
+    (Crawl-delay, Sitemap, ...) are ignored but do not break a group.
+    Empty Disallow ("allow everything") emits no rule.  Damage —
+    stray lines, missing colons, a UTF-8 BOM — is non-fatal.
+    """
+    agent_l = agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    in_agent_run = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        cur_agents, cur_rules = [], []
+
+    for raw_line in text.replace("﻿", "", 1).splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                flush()
+                in_agent_run = True
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_agent_run = False
+            if value:
+                cur_rules.append((field == "allow", value))
+        else:
+            in_agent_run = False        # unknown directive ends the run
+    flush()
+
+    best_len, best_rules = -1, []
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                match_len = 0
+            elif a and a in agent_l:
+                match_len = len(a)
+            else:
+                continue
+            if match_len > best_len:
+                best_len, best_rules = match_len, rules
+    return best_rules
+
+
+def parse_robots_rules(robots: "DataFrame", agent: str,
+                       spark: "SparkSession" = None) -> "DataFrame":
+    """(host, robots_txt) -> one row per Allow/Disallow rule of the
+    group selected for ``agent``; hosts whose file yields no rules for
+    us emit nothing (their urls fall out allowed via the left join)."""
+    if spark is not None:
+        from ..plans.packaging import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_hardsubx_spark.operators.robots import (
+            compile_pattern, parse_robots)
+
+        for pdf in batches:
+            hosts, allows, pats, regexes, specs = [], [], [], [], []
+            for host, body in zip(pdf["host"], pdf["robots_txt"]):
+                for allow, pattern in parse_robots(body or "", agent):
+                    hosts.append(host)
+                    allows.append(allow)
+                    pats.append(pattern)
+                    regexes.append(compile_pattern(pattern))
+                    specs.append(len(pattern))
+            yield pd.DataFrame({"host": hosts, "allow": allows,
+                                "pattern": pats, "regex": regexes,
+                                "spec": specs})
+
+    return (robots.select("host", "robots_txt")
+            .mapInPandas(gen, RULE_SCHEMA))
+
+
+def frontier_allowed(urls: "DataFrame", rules: "DataFrame",
+                     broadcast_rules: bool = True) -> "DataFrame":
+    """(url) x (host rules) -> (url, allowed).
+
+    ``urls`` needs a ``url`` column; host + path are derived JVM-side.
+    Longest-match / allow-wins-tie via one ``max_by`` on the struct
+    ``(spec, allow)`` — struct comparison is lexicographic, so a longer
+    pattern always beats a shorter one and at equal length the allow
+    row (true > false) wins.  ``broadcast_rules`` fits the host-level
+    rule table of this sandbox; at 10^8 hosts pass False and the join
+    becomes a plain shuffle on host (still rules-sized, never
+    corpus x rules).
+    """
+    parts = urls.select(
+        "url",
+        F.regexp_replace("url", r"^https?://([^/]*).*$", r"$1")
+         .alias("host"),
+        F.regexp_replace("url", r"^https?://[^/]*", "").alias("path"),
+    ).withColumn("path", F.when(F.col("path") == "", "/")
+                          .otherwise(F.col("path")))
+    r = F.broadcast(rules) if broadcast_rules else rules
+    hit = (F.col("regex").isNotNull() &
+           F.regexp_like("path", F.col("regex")))
+    # non-matching / rule-less rows keep the url alive with a NULL
+    # ordering key; max_by skips NULL keys, so "no rule matched"
+    # surfaces as best_allow IS NULL -> allowed (RFC 9309 default)
+    return (parts.join(r, "host", "left")
+            .groupBy("url")
+            .agg(F.max_by(F.when(hit, F.col("allow")),
+                          F.when(hit, F.struct("spec", "allow")))
+                  .alias("best_allow"))
+            .select("url",
+                    F.coalesce("best_allow", F.lit(True))
+                     .alias("allowed")))

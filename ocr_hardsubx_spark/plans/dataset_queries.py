@@ -6889,3 +6889,224 @@ def q_host_reputation_cut_sql() -> str:
     FROM documents d
     JOIN ranked r ON r.host = 'host' || d.doc_id % 50 || '.example'
     """
+
+
+# --------------------------------------------------------------------------
+# robots.txt crawl permissions (RFC 9309)
+# --------------------------------------------------------------------------
+
+def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-host robots.txt fixture (writer twin of the
+    q_robots_rules oracle): every host carries a ``badbot`` blanket
+    group our agent must NOT select; every 7th-mod-3 host has ONLY
+    that group (no rules for us -> everything allowed); the rest get a
+    ``*`` group with arithmetic-conditional Disallow/Allow lines
+    covering prefix, longest-match-override, wildcard, and $-anchored
+    patterns."""
+    hosts = (_tbl(spark, sf_dir, "documents")
+             .select((F.col("doc_id") % 50).alias("h")).distinct())
+    h = F.col("h")
+    star = F.concat(
+        F.lit("User-agent: *\n"),
+        F.when(h % 3 == 0, F.lit("Disallow: /page\n")).otherwise(F.lit("")),
+        F.when(h % 4 == 0, F.lit("Disallow: /doc/\nAllow: /doc/2\n"))
+         .otherwise(F.lit("")),
+        F.when(h % 5 == 0, F.lit("Disallow: /*?sponsored=\n"))
+         .otherwise(F.lit("")),
+        F.lit("Disallow: /about\nAllow: /about$\n"))
+    body = F.concat(
+        F.lit("# synthesized robots fixture\n"
+              "User-agent: badbot\nDisallow: /\n\n"),
+        F.when(h % 7 == 3, F.lit("")).otherwise(star))
+    return hosts.select(
+        F.concat(F.lit("host"), h.cast("string"), F.lit(".example"))
+         .alias("host"),
+        body.alias("robots_txt"))
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt parse: per-host Allow/Disallow rules of the
+    group selected for our agent (longest agent-token match, ``*``
+    fallback; the ``badbot`` blanket group must be skipped), each
+    pattern compiled to the cross-engine regex form.  Zero-shuffle
+    mapInPandas over the HOST-level robots corpus — orders of
+    magnitude smaller than the page corpus at any scale
+    (operators/robots.py)."""
+    from ocr_hardsubx_spark.operators.robots import parse_robots_rules
+
+    return parse_robots_rules(_robots_corpus(spark, sf_dir),
+                              "curationbot", spark)
+
+
+def q_robots_rules_sql() -> str:
+    return r"""
+    WITH hosts AS (SELECT DISTINCT doc_id % 50 AS h FROM documents),
+    eligible AS (SELECT h FROM hosts WHERE h % 7 <> 3),
+    rules AS (
+      SELECT h, FALSE AS allow, '/page' AS pattern,
+             '^/page' AS regex, 5 AS spec
+      FROM eligible WHERE h % 3 = 0
+      UNION ALL
+      SELECT h, FALSE, '/doc/', '^/doc/', 5 FROM eligible WHERE h % 4 = 0
+      UNION ALL
+      SELECT h, TRUE, '/doc/2', '^/doc/2', 6 FROM eligible WHERE h % 4 = 0
+      UNION ALL
+      SELECT h, FALSE, '/*?sponsored=', '^/.*\?sponsored=', 13
+      FROM eligible WHERE h % 5 = 0
+      UNION ALL
+      SELECT h, FALSE, '/about', '^/about', 6 FROM eligible
+      UNION ALL
+      SELECT h, TRUE, '/about$', '^/about$', 7 FROM eligible
+    )
+    SELECT 'host' || h || '.example' AS host,
+           allow, pattern, regex, CAST(spec AS INT) AS spec
+    FROM rules
+    """
+
+
+#: arithmetic twin of the parsed rule table, for oracles that need the
+#: DECISION (q_frontier_policed) — mirrors q_robots_rules_sql's rows
+_ROBOTS_RULES_SQL = r"""
+    hosts AS (SELECT DISTINCT doc_id % 50 AS h FROM documents),
+    eligible AS (SELECT h FROM hosts WHERE h % 7 <> 3),
+    rules AS (
+      SELECT 'host' || h || '.example' AS host, FALSE AS allow,
+             '^/page' AS regex, 5 AS spec
+      FROM eligible WHERE h % 3 = 0
+      UNION ALL
+      SELECT 'host' || h || '.example', FALSE, '^/doc/', 5
+      FROM eligible WHERE h % 4 = 0
+      UNION ALL
+      SELECT 'host' || h || '.example', TRUE, '^/doc/2', 6
+      FROM eligible WHERE h % 4 = 0
+      UNION ALL
+      SELECT 'host' || h || '.example', FALSE, '^/.*\?sponsored=', 13
+      FROM eligible WHERE h % 5 = 0
+      UNION ALL
+      SELECT 'host' || h || '.example', FALSE, '^/about', 6 FROM eligible
+      UNION ALL
+      SELECT 'host' || h || '.example', TRUE, '^/about$', 7 FROM eligible
+    )
+"""
+
+
+def q_frontier_policed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl permission over the fetch candidates: every distinct
+    outlink target url decided against its host's robots rules —
+    longest-match / allow-wins-tie (RFC 9309 §2.2.2) as ONE
+    join-on-host + max_by aggregation, no window, no per-row Python
+    (operators/robots.frontier_allowed).  The rules side is host-level
+    (broadcast here; a plain shuffle join at 10^8 hosts) — never
+    corpus x rules.  This is the gate a crawler applies between
+    frontier discovery (q_crawl_frontier) and scheduling."""
+    from ocr_hardsubx_spark.operators.linkgraph import extract_outlinks
+    from ocr_hardsubx_spark.operators.robots import (
+        frontier_allowed, parse_robots_rules)
+
+    pages = _linked_pages(spark, sf_dir)
+    cands = (extract_outlinks(pages, spark)
+             .select(F.col("dst_url").alias("url")).distinct())
+    rules = parse_robots_rules(_robots_corpus(spark, sf_dir),
+                               "curationbot", spark)
+    return frontier_allowed(cands, rules)
+
+
+def q_frontier_policed_sql() -> str:
+    # candidates from the link-edge twin; the decision re-derived
+    # RELATIONALLY: same regex strings, same (spec, allow) ordering
+    return f"""
+    WITH {_LINK_EDGE_SQL},
+    cand AS (SELECT DISTINCT dst_url AS url FROM link_rows),
+    parts AS (
+      SELECT url,
+             regexp_extract(url, '^https?://([^/]*)', 1) AS host,
+             CASE WHEN regexp_replace(url, '^https?://[^/]*', '') = ''
+                  THEN '/'
+                  ELSE regexp_replace(url, '^https?://[^/]*', '') END
+               AS path
+      FROM cand
+    ),
+    {_ROBOTS_RULES_SQL.strip()},
+    matched AS (
+      SELECT p.url, r.allow, r.spec
+      FROM parts p JOIN rules r ON r.host = p.host
+      WHERE regexp_matches(p.path, r.regex)
+    ),
+    best AS (
+      -- (spec, allow) lexicographic == spec * 2 + allow, allow in {0,1}
+      -- (DuckDB 1.0 arg_max rejects LIST ordering keys)
+      SELECT url,
+             arg_max(allow, spec * 2 + CAST(allow AS INT)) AS best_allow
+      FROM matched GROUP BY url
+    )
+    SELECT p.url, coalesce(b.best_allow, TRUE) AS allowed
+    FROM parts p LEFT JOIN best b USING (url)
+    """
+
+
+# --------------------------------------------------------------------------
+# transport charset sniff + decode (WHATWG order)
+# --------------------------------------------------------------------------
+
+def _raw_payload_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic raw-bytes fixture (writer twin of the
+    q_charset_decode oracle), one sniff path per doc_id % 4:
+    0 = utf-8 body with an in-band ``<meta charset>``; 1 = cp1252
+    bytes (incl. 0x93/0x94 smart quotes latin-1 cannot decode) under a
+    ``charset=iso-8859-1`` header that must ALIAS to windows-1252;
+    2 = utf-16le with BOM plus a decoy utf-8 header the BOM must
+    override; 3 = no signal at all (utf-8 default)."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    raw = (F.when(m == 0, F.encode(
+                F.concat(F.lit('<meta charset="utf-8">café '), did),
+                "UTF-8"))
+            # 'café “q” ' in cp1252: 63 61 66 E9 20 93 71 94 20
+            .when(m == 1, F.concat(F.unhex(F.lit("636166E92093719420")),
+                                   F.encode(did, "US-ASCII")))
+            .when(m == 2, F.concat(F.unhex(F.lit("FFFE")),
+                                   F.encode(F.concat(F.lit("wide–"), did),
+                                            "UTF-16LE")))
+            .otherwise(F.encode(F.concat(F.lit("plain "), did), "UTF-8")))
+    ct = (F.when(m == 1, F.lit("text/html; charset=iso-8859-1"))
+           .when(m == 2, F.lit("text/html; charset=utf-8"))
+           .when(m == 3, F.lit("text/html"))
+           .otherwise(F.lit(None).cast("string")))
+    return docs.select(
+        F.concat(F.lit("https://host"),
+                 (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example/doc/"), did).alias("url"),
+        raw.alias("raw"), ct.alias("content_type"), "doc_id")
+
+
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG-order charset sniff (BOM > Content-Type header > meta
+    prescan > utf-8 default, labels normalized through the alias table
+    — iso-8859-1 deliberately decodes as windows-1252) + decode with
+    per-row provenance.  Zero-shuffle mapInPandas; the raw bytes die
+    inside the stage (operators/charset.py)."""
+    from ocr_hardsubx_spark.operators.charset import decode_pages
+
+    return decode_pages(_raw_payload_pages(spark, sf_dir), spark)
+
+
+def q_charset_decode_sql() -> str:
+    return """
+    SELECT 'https://host' || doc_id % 50 || '.example/doc/' || doc_id
+             AS url,
+           CASE doc_id % 4
+             WHEN 0 THEN '<meta charset="utf-8">café ' || doc_id
+             WHEN 1 THEN 'café “q” ' || doc_id
+             WHEN 2 THEN 'wide–' || doc_id
+             ELSE 'plain ' || doc_id END AS text,
+           CASE doc_id % 4 WHEN 1 THEN 'windows-1252'
+                           WHEN 2 THEN 'utf-16le'
+                           ELSE 'utf-8' END AS encoding,
+           CASE doc_id % 4 WHEN 0 THEN 'meta'
+                           WHEN 1 THEN 'header'
+                           WHEN 2 THEN 'bom'
+                           ELSE 'default' END AS enc_source,
+           FALSE AS replaced
+    FROM documents
+    """
