@@ -7110,3 +7110,105 @@ def q_charset_decode_sql() -> str:
            FALSE AS replaced
     FROM documents
     """
+
+
+def q_http_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fetch-layer gate, end to end in one fused zero-shuffle
+    stage: each Arrow batch serializes to a REAL multi-record WARC
+    response archive (writer twin: full HTTP/1.1 messages incl. a
+    Content-Encoding: gzip row and a Transfer-Encoding: chunked row),
+    parses it back (sources/warc.parse_warc_http_records), keeps only
+    ``200`` + ``text/html`` responses — 404s, redirects, and non-html
+    payloads never reach extraction — and charset-decodes the
+    survivors with the header charset (operators/charset).  At 100 TB
+    this is the standard Common-Crawl ingest shape: the gate + decode
+    fuse into the archive scan, and ~60% of fetched records die before
+    any text operator sees them.
+
+    Fixture by doc_id % 5: 0 = 200 html, gzip content-encoding,
+    cp1252 header charset (kept); 1 = 404 (dropped); 2 = 200
+    application/pdf (dropped); 3 = 301 redirect (dropped); 4 = 200
+    html, chunked transfer (kept)."""
+    from ..plans.packaging import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import gzip as _gzip
+
+        import pandas as pd
+
+        from ocr_hardsubx_spark.operators.charset import decode_payload
+        from ocr_hardsubx_spark.sources.warc import (
+            build_response_warc_blob, parse_warc_http_records)
+
+        ts = "2025-01-01T00:00:00Z"
+        for pdf in batches:
+            plain, chunked = [], []
+            for doc_id in pdf["doc_id"]:
+                url = (f"https://host{int(doc_id) % 50}.example"
+                       f"/doc/{int(doc_id)}")
+                m = int(doc_id) % 5
+                if m == 0:
+                    body = (b"caf\xe9 \x93q\x94 " +
+                            str(int(doc_id)).encode())
+                    plain.append((url, ts, 200,
+                                  b"text/html; charset=iso-8859-1",
+                                  _gzip.compress(body, mtime=0),
+                                  {b"Content-Encoding": b"gzip"}))
+                elif m == 1:
+                    plain.append((url, ts, 404, b"text/html",
+                                  b"not found", {}))
+                elif m == 2:
+                    plain.append((url, ts, 200, b"application/pdf",
+                                  b"%PDF-1.4", {}))
+                elif m == 3:
+                    plain.append((url, ts, 301, b"text/html", b"",
+                                  {b"Location": b"https://x.example/"}))
+                else:
+                    chunked.append((url, ts, 200, b"text/html",
+                                    f"chunked {int(doc_id)}".encode(),
+                                    {}))
+            blob = (build_response_warc_blob(plain) +
+                    build_response_warc_blob(chunked, chunked=True))
+            urls, statuses, cts, texts, encs, srcs = \
+                [], [], [], [], [], []
+            for url, _ts, status, ct, payload in \
+                    parse_warc_http_records(blob):
+                if status != 200 or not (ct or "").startswith(
+                        "text/html"):
+                    continue
+                text, enc, src, _rep = decode_payload(payload, ct)
+                urls.append(url)
+                statuses.append(status)
+                cts.append(ct)
+                texts.append(text)
+                encs.append(enc)
+                srcs.append(src)
+            yield pd.DataFrame({"url": urls, "status": statuses,
+                                "content_type": cts, "text": texts,
+                                "encoding": encs, "enc_source": srcs})
+
+    return docs.mapInPandas(
+        gen, schema=("url string, status int, content_type string, "
+                     "text string, encoding string, enc_source string"))
+
+
+def q_http_gate_sql() -> str:
+    return """
+    SELECT 'https://host' || doc_id % 50 || '.example/doc/' || doc_id
+             AS url,
+           CAST(200 AS INT) AS status,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'text/html; charset=iso-8859-1'
+                ELSE 'text/html' END AS content_type,
+           CASE WHEN doc_id % 5 = 0 THEN 'café “q” ' || doc_id
+                ELSE 'chunked ' || doc_id END AS text,
+           CASE WHEN doc_id % 5 = 0 THEN 'windows-1252'
+                ELSE 'utf-8' END AS encoding,
+           CASE WHEN doc_id % 5 = 0 THEN 'header'
+                ELSE 'default' END AS enc_source
+    FROM documents
+    WHERE doc_id % 5 IN (0, 4)
+    """

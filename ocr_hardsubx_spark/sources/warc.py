@@ -53,14 +53,10 @@ def parse_warc_records(blob: bytes, rec_types: tuple = (b"response",)):
         yield url, ts, body
 
 
-def parse_warc_records_indexed(blob: bytes,
-                               rec_types: tuple = (b"response",)):
-    """Like parse_warc_records but also yields each record's
-    (offset, length) within the DECOMPRESSED stream — the CDX-index
-    fields that make a record individually addressable (production
-    pairs these with per-record gzip member offsets for HTTP range
-    reads; with whole-stream offsets the seek is into the inflated
-    stream)."""
+def _iter_warc_records(blob: bytes):
+    """Record walk shared by every parse path: yield
+    (headers, raw_body, start, length) for each well-framed record in
+    a (possibly gzip'd) WARC blob; damage skips, never raises."""
     import gzip
     import zlib
 
@@ -96,6 +92,18 @@ def parse_warc_records_indexed(blob: bytes,
             pos = body_start                  # truncated/corrupt: skip
             continue
         pos = body_end                         # next record follows \r\n\r\n
+        yield headers, blob[body_start:body_end], start, body_end - start
+
+
+def parse_warc_records_indexed(blob: bytes,
+                               rec_types: tuple = (b"response",)):
+    """Like parse_warc_records but also yields each record's
+    (offset, length) within the DECOMPRESSED stream — the CDX-index
+    fields that make a record individually addressable (production
+    pairs these with per-record gzip member offsets for HTTP range
+    reads; with whole-stream offsets the seek is into the inflated
+    stream)."""
+    for headers, body, start, length in _iter_warc_records(blob):
         rec_type = headers.get(b"warc-type")
         if rec_type not in rec_types:
             continue
@@ -104,14 +112,128 @@ def parse_warc_records_indexed(blob: bytes,
         ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
         if not url or not ts:
             continue
-        body = blob[body_start:body_end]
         # only response records wrap the payload in an HTTP message; a
         # conversion (WET) body IS the payload — never strip it, even
         # if the text happens to start with "HTTP/"
         if rec_type == b"response" and body[:5] == b"HTTP/":
             http_end = body.find(b"\r\n\r\n")
             body = body[http_end + 4:] if http_end >= 0 else b""
-        yield url, ts, body, start, body_end - start
+        yield url, ts, body, start, length
+
+
+def parse_http_message(body: bytes) -> tuple:
+    """WARC response body (an HTTP/1.x message) ->
+    (status, headers, payload).
+
+    ``status`` is the integer status code or None when the body is not
+    an HTTP message (payload passes through verbatim — some archives
+    store bare bodies).  Transfer-Encoding: chunked is de-chunked and
+    Content-Encoding: gzip/deflate is decompressed — WARC captures the
+    wire bytes, so both occur in real crawls; damage in either leaves
+    the RAW body (honest-degradation, same discipline as the media
+    decoders).  Header keys are lowercased bytes."""
+    import gzip
+    import zlib
+
+    if body[:5] != b"HTTP/":
+        return None, {}, body
+    hdr_end = body.find(b"\r\n\r\n")
+    head, payload = (body[:hdr_end], body[hdr_end + 4:]) \
+        if hdr_end >= 0 else (body, b"")
+    lines = head.split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    headers = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower()] = v.strip()
+
+    if b"chunked" in headers.get(b"transfer-encoding", b"").lower():
+        out, pos, ok = bytearray(), 0, False
+        while True:
+            nl = payload.find(b"\r\n", pos)
+            if nl < 0:
+                break
+            try:
+                size = int(payload[pos:nl].split(b";")[0], 16)
+            except ValueError:
+                break
+            if size == 0:
+                ok = True
+                break
+            chunk_end = nl + 2 + size
+            if chunk_end + 2 > len(payload):
+                break
+            out += payload[nl + 2:chunk_end]
+            pos = chunk_end + 2            # skip the chunk's CRLF
+        if ok:
+            payload = bytes(out)
+    enc = headers.get(b"content-encoding", b"").lower()
+    if enc in (b"gzip", b"x-gzip", b"deflate"):
+        try:
+            payload = gzip.decompress(payload) if b"gzip" in enc \
+                else zlib.decompress(payload)
+        except (OSError, EOFError, zlib.error):
+            pass                           # mislabelled: keep raw bytes
+    return status, headers, payload
+
+
+def parse_warc_http_records(blob: bytes):
+    """Yield (url, iso_ts, status, content_type, payload) for each
+    response record — the FETCH-layer view (status + Content-Type are
+    what a curation gate filters on; the stripped-body readers above
+    discard them)."""
+    for headers, body, _start, _length in _iter_warc_records(blob):
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode(
+            "utf-8", "replace")
+        ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
+        if not url or not ts:
+            continue
+        status, http_headers, payload = parse_http_message(body)
+        ct = http_headers.get(b"content-type", b"").decode(
+            "latin-1", "replace") or None
+        yield url, ts, status, ct, payload
+
+
+def build_response_warc_blob(records, gzip_compress: bool = False,
+                             chunked: bool = False) -> bytes:
+    """(url, iso_ts, status, content_type, payload, extra_headers)
+    rows -> a WARC blob of ``response`` records wrapping full HTTP/1.1
+    messages — the writer twin of ``parse_warc_http_records`` for
+    fixtures and tests (deterministic: no wall clock, gzip mtime=0).
+    ``chunked`` re-encodes each payload with chunked transfer coding
+    to exercise the de-chunking path."""
+    import gzip
+
+    _REASONS = {200: b"OK", 301: b"Moved Permanently", 404: b"Not Found"}
+    out = bytearray()
+    for url, ts, status, content_type, payload, extra in records:
+        http_headers = [(b"Content-Type", content_type)]
+        http_headers += list(extra.items()) if extra else []
+        if chunked:
+            http_headers.append((b"Transfer-Encoding", b"chunked"))
+            payload = (b"%x\r\n" % len(payload) + payload +
+                       b"\r\n0\r\n\r\n") if payload else b"0\r\n\r\n"
+        http = (b"HTTP/1.1 " + str(status).encode() + b" " +
+                _REASONS.get(status, b"Status") + b"\r\n" +
+                b"".join(k + b": " + v + b"\r\n"
+                         for k, v in http_headers) +
+                b"\r\n" + payload)
+        head = (b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                b"WARC-Target-URI: " + str(url).encode("utf-8") + b"\r\n"
+                b"WARC-Date: " + str(ts).encode("ascii") + b"\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"Content-Length: " + str(len(http)).encode() +
+                b"\r\n\r\n")
+        out += head + http + b"\r\n\r\n"
+    data = bytes(out)
+    return gzip.compress(data, mtime=0) if gzip_compress else data
 
 
 #: deterministic warcinfo stamp — the writer must be reproducible
