@@ -1,0 +1,105 @@
+"""Sitemap ingestion: url discovery + freshness for recrawl planning.
+
+The third leg of the crawl-layer surface (with the link graph,
+``operators/linkgraph.py``, and robots permissions,
+``operators/robots.py``): sitemaps are the PUSH channel — the origin
+tells the crawler what exists and when it last changed — complementing
+the PULL channel of outlink discovery.  A curation pipeline uses them
+two ways:
+
+1. **Discovery**: ``<urlset>`` entries union into the crawl frontier
+   alongside outlink targets (urls the link graph never reaches —
+   deep pages, new sections — arrive only this way), and
+   ``<sitemapindex>`` entries are more sitemaps to fetch.
+2. **Freshness**: ``<lastmod>`` against the corpus's crawl timestamp
+   yields the recrawl schedule — fetch again only what the origin
+   says changed, which at 10^12 urls is the difference between a
+   full-recrawl and an incremental one.
+
+The parser is stdlib ``ElementTree`` with namespace-stripped tag
+matching (real sitemaps carry the sitemaps.org namespace, many hand-
+rolled ones don't) and non-fatal damage handling: an unparseable blob
+yields zero entries, never an exception.  Spark shape: zero-shuffle
+Arrow-batched ``mapInPandas`` over the HOST-level sitemap corpus (like
+robots.txt, orders of magnitude smaller than the page corpus); the
+XML dies inside the stage, narrow (host, kind, loc, lastmod) rows come
+out.
+
+Reference anchor: no counterpart in the reference (its input is video
+frames, erfilter.c:1-40); part of the web-scale curation surface the
+north rule adds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+SITEMAP_SCHEMA = "host string, kind string, loc string, lastmod string"
+
+
+def parse_sitemap(xml_bytes: bytes) -> tuple:
+    """-> (kind, [(loc, lastmod_or_None)]) where kind is ``urlset``,
+    ``sitemapindex``, or None for damage / non-sitemap XML.  lastmod
+    stays the raw W3C-datetime STRING (often date-only); casting is a
+    downstream relational concern."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml_bytes.decode("utf-8", "replace"))
+    except ET.ParseError:
+        return None, []
+    kind = root.tag.rsplit("}", 1)[-1]
+    if kind not in ("urlset", "sitemapindex"):
+        return None, []
+    child_tag = "url" if kind == "urlset" else "sitemap"
+    out = []
+    for el in root:
+        if el.tag.rsplit("}", 1)[-1] != child_tag:
+            continue
+        loc = lastmod = None
+        for c in el:
+            name = c.tag.rsplit("}", 1)[-1]
+            if name == "loc":
+                loc = (c.text or "").strip()
+            elif name == "lastmod":
+                lastmod = (c.text or "").strip() or None
+        if loc:
+            out.append((loc, lastmod))
+    return kind, out
+
+
+def extract_sitemap_entries(sitemaps: "DataFrame",
+                            spark: "SparkSession" = None) -> "DataFrame":
+    """(host, sitemap_xml) -> one (host, kind, loc, lastmod) row per
+    entry; ``sitemapindex`` entries are child sitemaps to fetch,
+    ``urlset`` entries are page urls.  Zero-shuffle mapInPandas."""
+    if spark is not None:
+        from ..plans.packaging import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_hardsubx_spark.operators.sitemap import parse_sitemap
+
+        for pdf in batches:
+            hosts, kinds, locs, mods = [], [], [], []
+            for host, xml in zip(pdf["host"], pdf["sitemap_xml"]):
+                kind, entries = parse_sitemap(
+                    xml.encode("utf-8") if isinstance(xml, str)
+                    else bytes(xml or b""))
+                for loc, lastmod in entries:
+                    hosts.append(host)
+                    kinds.append(kind)
+                    locs.append(loc)
+                    mods.append(lastmod)
+            yield pd.DataFrame({"host": hosts, "kind": kinds,
+                                "loc": locs, "lastmod": mods})
+
+    return (sitemaps.select("host", "sitemap_xml")
+            .mapInPandas(gen, SITEMAP_SCHEMA))

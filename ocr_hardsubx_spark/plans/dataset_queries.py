@@ -7212,3 +7212,130 @@ def q_http_gate_sql() -> str:
     FROM documents
     WHERE doc_id % 5 IN (0, 4)
     """
+
+
+# --------------------------------------------------------------------------
+# sitemaps: discovery + recrawl freshness
+# --------------------------------------------------------------------------
+
+def _sitemap_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-host sitemap XML fixture (writer twin of the
+    q_sitemap_urls oracle): every 10th host serves a ``sitemapindex``
+    pointing at two child sitemaps; the rest serve a ``urlset``
+    listing that host's docs with an arithmetic ``lastmod`` day
+    ((doc_id * 3) % 28 + 1 in 2025-01).  Built as JVM expressions —
+    groupBy(host) + sort_array(collect_list) + transform — so the
+    oracle can re-derive every byte."""
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 50).alias("h"))
+    agg = docs.groupBy("h").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    h = F.col("h").cast("string")
+    url_entries = F.array_join(F.transform(
+        F.col("ids"),
+        lambda d: F.concat(
+            F.lit("<url><loc>https://host"), h,
+            F.lit(".example/doc/"), d.cast("string"),
+            F.lit("</loc><lastmod>2025-01-"),
+            F.lpad(((d * 3) % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod></url>"))), "")
+    urlset = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9">'), url_entries, F.lit("</urlset>"))
+    index = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9"><sitemap><loc>https://host'), h,
+        F.lit(".example/sitemap-1.xml</loc></sitemap>"
+              "<sitemap><loc>https://host"), h,
+        F.lit(".example/sitemap-2.xml</loc></sitemap></sitemapindex>"))
+    return agg.select(
+        F.concat(F.lit("host"), h, F.lit(".example")).alias("host"),
+        F.when(F.col("h") % 10 == 0, index).otherwise(urlset)
+         .alias("sitemap_xml"))
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (operators/sitemap.py): parse the host-level
+    sitemap corpus into (host, kind, loc, lastmod) rows — ``urlset``
+    entries feed the crawl frontier, ``sitemapindex`` entries are more
+    sitemaps to fetch.  Zero-shuffle mapInPandas over a table orders
+    of magnitude smaller than the page corpus."""
+    from ocr_hardsubx_spark.operators.sitemap import (
+        extract_sitemap_entries)
+
+    return extract_sitemap_entries(_sitemap_corpus(spark, sf_dir), spark)
+
+
+def q_sitemap_urls_sql() -> str:
+    return """
+    WITH urlset_rows AS (
+      SELECT 'host' || doc_id % 50 || '.example' AS host,
+             'urlset' AS kind,
+             'https://host' || doc_id % 50 || '.example/doc/' || doc_id
+               AS loc,
+             '2025-01-' ||
+               lpad(CAST((doc_id * 3) % 28 + 1 AS VARCHAR), 2, '0')
+               AS lastmod
+      FROM documents WHERE (doc_id % 50) % 10 <> 0
+    ),
+    hosts AS (SELECT DISTINCT doc_id % 50 AS h FROM documents),
+    index_rows AS (
+      SELECT 'host' || h || '.example' AS host,
+             'sitemapindex' AS kind,
+             'https://host' || h || '.example/sitemap-' || n || '.xml'
+               AS loc,
+             CAST(NULL AS VARCHAR) AS lastmod
+      FROM hosts CROSS JOIN (SELECT unnest([1, 2]) AS n) sub
+      WHERE h % 10 = 0
+    )
+    SELECT * FROM urlset_rows UNION ALL SELECT * FROM index_rows
+    """
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl: join sitemap ``lastmod`` against the
+    corpus's crawl date per url; refetch only what the origin says
+    changed since we crawled it — at 10^12 urls the difference between
+    a full recrawl and an incremental one.  ONE url-keyed join (both
+    sides shuffle on url hash; AQE re-plannable); dates compared as
+    DATE, the cross-engine-safe type."""
+    from ocr_hardsubx_spark.operators.sitemap import (
+        extract_sitemap_entries)
+
+    entries = (extract_sitemap_entries(_sitemap_corpus(spark, sf_dir),
+                                       spark)
+               .where(F.col("kind") == "urlset")
+               .select(F.col("loc").alias("url"),
+                       F.to_date("lastmod").alias("lastmod")))
+    crawled = _tbl(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://host"),
+                 (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.make_date(F.lit(2025), F.lit(1),
+                    (F.col("doc_id") % 28 + 1).cast("int"))
+         .alias("crawled"))
+    # DATE comparison JVM-side; ISO strings on the wire (pandas
+    # materializes DuckDB DATEs as datetime64 -> value-hash mismatch)
+    return (crawled.join(entries, "url")
+            .select("url",
+                    F.date_format("lastmod", "yyyy-MM-dd")
+                     .alias("lastmod"),
+                    F.date_format("crawled", "yyyy-MM-dd")
+                     .alias("crawled"),
+                    (F.col("lastmod") > F.col("crawled"))
+                     .alias("refetch")))
+
+
+def q_recrawl_schedule_sql() -> str:
+    return """
+    SELECT 'https://host' || doc_id % 50 || '.example/doc/' || doc_id
+             AS url,
+           strftime(make_date(2025, 1, CAST((doc_id * 3) % 28 + 1
+                                            AS INT)), '%Y-%m-%d')
+             AS lastmod,
+           strftime(make_date(2025, 1, CAST(doc_id % 28 + 1 AS INT)),
+                    '%Y-%m-%d') AS crawled,
+           (doc_id * 3) % 28 > doc_id % 28 AS refetch
+    FROM documents WHERE (doc_id % 50) % 10 <> 0
+    """
