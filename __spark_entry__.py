@@ -78,9 +78,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # robots-meta gate, PageRank host-reputation cut),
 # the minhash/simhash-derived dedup family (shingle-trim
 # + kernel fixes touched their signatures),
-# then as much of the oldest-green (round-4) block as fits — the 33
-# new entries leave room for 1 of them; the rest of that block
-# (q_pair_range_join..q_curation_funnel) is displaced past 50,
+# then as much of the oldest-green (round-4) block as fits — the 34
+# new entries leave room for none of them; that whole block
+# (q_top1_per_group..q_curation_funnel) is displaced past 50,
 # AST-unchanged since its round-5 judge verification, and is first in
 # line next round; everything after it was green in round 5 (incl.
 # q_quality_cut / q_ann_recall_census, displaced AST-unchanged).
@@ -129,6 +129,7 @@ _REGISTRY = [
     ("q_sitemap_urls", dq.q_sitemap_urls, dq.q_sitemap_urls_sql),
     ("q_recrawl_schedule", dq.q_recrawl_schedule,
      dq.q_recrawl_schedule_sql),
+    ("q_mojibake_fix", dq.q_mojibake_fix, dq.q_mojibake_fix_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

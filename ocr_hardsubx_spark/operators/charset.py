@@ -162,3 +162,84 @@ def decode_pages(pages: "DataFrame",
 
     return (pages.select("url", "raw", "content_type")
             .mapInPandas(gen, DECODE_SCHEMA))
+
+
+# --------------------------------------------------------------------------
+# mojibake repair (double-encoding damage)
+# --------------------------------------------------------------------------
+
+#: cp1252's five undefined bytes — WHATWG windows-1252 maps them to the
+#: C1 controls, so the sloppy encoder must round-trip them byte-exact
+_CP1252_HOLES = frozenset((0x81, 0x8D, 0x8F, 0x90, 0x9D))
+
+MOJIBAKE_MAX_PASSES = 2
+
+
+def _encode_sloppy_cp1252(text: str) -> bytes:
+    """windows-1252 encode with the WHATWG hole semantics (U+0081 etc.
+    map to their own byte values instead of erroring) — the inverse of
+    the decoder that CREATED the mojibake."""
+    try:
+        return text.encode("cp1252")
+    except UnicodeEncodeError:
+        out = bytearray()
+        for ch in text:
+            o = ord(ch)
+            if o in _CP1252_HOLES:
+                out.append(o)
+            else:
+                out += ch.encode("cp1252")    # may raise: caller handles
+        return bytes(out)
+
+
+def fix_mojibake(text: str) -> tuple:
+    """-> (fixed_text, was_mojibake).
+
+    Repairs the classic crawl damage where UTF-8 bytes were mis-decoded
+    as windows-1252 somewhere upstream ('café' -> 'cafÃ©'): re-encode
+    through sloppy-cp1252 and strictly re-decode as UTF-8; apply ONLY
+    when the whole round-trip succeeds and changes the text
+    (strictness is the safety: genuine cp1252-looking text fails the
+    UTF-8 decode and passes through untouched).  Up to
+    ``MOJIBAKE_MAX_PASSES`` for doubly-encoded text.  Deterministic,
+    pure — the ftfy idea reduced to its sound core."""
+    changed = False
+    for _ in range(MOJIBAKE_MAX_PASSES):
+        if not any(ord(c) > 127 for c in text):
+            break
+        try:
+            raw = _encode_sloppy_cp1252(text)
+            dec = raw.decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            break
+        if dec == text:
+            break
+        text, changed = dec, True
+    return text, changed
+
+
+def repair_mojibake(docs: "DataFrame", text_col: str = "text",
+                    spark: "SparkSession" = None) -> "DataFrame":
+    """Adds ``fixed`` + ``was_mojibake`` columns; zero-shuffle
+    mapInPandas over (doc_id, text)."""
+    if spark is not None:
+        from ..plans.packaging import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_hardsubx_spark.operators.charset import fix_mojibake
+
+        for pdf in batches:
+            fixed, flags = [], []
+            for t in pdf[text_col]:
+                f, c = fix_mojibake("" if t is None else str(t))
+                fixed.append(f)
+                flags.append(c)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                "text": pdf[text_col].values,
+                                "fixed": fixed, "was_mojibake": flags})
+
+    return (docs.select("doc_id", text_col)
+            .mapInPandas(gen, "doc_id long, text string, fixed string, "
+                              "was_mojibake boolean"))

@@ -7339,3 +7339,43 @@ def q_recrawl_schedule_sql() -> str:
            (doc_id * 3) % 28 > doc_id % 28 AS refetch
     FROM documents WHERE (doc_id % 50) % 10 <> 0
     """
+
+
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (operators/charset.fix_mojibake): re-encode
+    sloppy-cp1252 + strict UTF-8 re-decode, applied only when the
+    whole round-trip succeeds — upstream double-encoding damage
+    ('café' -> 'cafÃ©') is healed, genuine unicode passes through
+    bit-identical, and doubly-mangled text ('cafÃƒÂ©') converges in
+    two passes.  Zero-shuffle mapInPandas; the oracle re-derives both
+    the damage and the repair arithmetically (fixture: every 6th doc
+    doubly-encoded, other %3==0 docs singly, %3==1 genuine unicode,
+    %3==2 ascii)."""
+    from ocr_hardsubx_spark.operators.charset import repair_mojibake
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    text = (F.when(F.col("doc_id") % 6 == 0,
+                   F.concat(F.lit("cafÃƒÂ© "), did))
+             .when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("cafÃ© nÂº "), did))
+             .when(F.col("doc_id") % 3 == 1,
+                   F.concat(F.lit("déjà — "), did))
+             .otherwise(F.concat(F.lit("plain "), did)))
+    return repair_mojibake(docs.withColumn("text", text), spark=spark)
+
+
+def q_mojibake_fix_sql() -> str:
+    return """
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN 'cafÃƒÂ© ' || doc_id
+                WHEN doc_id % 3 = 0 THEN 'cafÃ© nÂº ' || doc_id
+                WHEN doc_id % 3 = 1 THEN 'déjà — ' || doc_id
+                ELSE 'plain ' || doc_id END AS text,
+           CASE WHEN doc_id % 6 = 0 THEN 'café ' || doc_id
+                WHEN doc_id % 3 = 0 THEN 'café nº ' || doc_id
+                WHEN doc_id % 3 = 1 THEN 'déjà — ' || doc_id
+                ELSE 'plain ' || doc_id END AS fixed,
+           doc_id % 3 = 0 AS was_mojibake
+    FROM documents
+    """

@@ -125,3 +125,59 @@ def test_decode_pages_plan_is_map_only(spark):
     plan = decode_pages(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# mojibake repair
+# --------------------------------------------------------------------------
+
+def test_mojibake_single_pass():
+    from ocr_hardsubx_spark.operators.charset import fix_mojibake
+
+    moji = "cafÃ© nÂº"          # 'café nº' via cp1252
+    assert fix_mojibake(moji) == ("café nº", True)
+
+
+def test_mojibake_double_pass():
+    from ocr_hardsubx_spark.operators.charset import fix_mojibake
+
+    double = ("café".encode("utf-8").decode("cp1252")
+              .encode("utf-8").decode("cp1252"))
+    assert fix_mojibake(double) == ("café", True)
+
+
+def test_mojibake_cp1252_hole_byte_roundtrips():
+    from ocr_hardsubx_spark.operators.charset import fix_mojibake
+
+    # '”' is utf-8 E2 80 9D; a WHATWG decoder maps 9D -> U+009D
+    moji = "â€\x9d"
+    assert fix_mojibake(moji) == ("”", True)
+
+
+def test_mojibake_genuine_unicode_untouched():
+    from ocr_hardsubx_spark.operators.charset import fix_mojibake
+
+    for s in ("déjà — fine", "plain ascii", "日本語テキスト", ""):
+        assert fix_mojibake(s) == (s, False)
+
+
+def test_mojibake_lossy_replacement_untouched():
+    from ocr_hardsubx_spark.operators.charset import fix_mojibake
+
+    # a 'replace'-mode mis-decode destroyed the 9D byte: unfixable,
+    # must pass through rather than half-fix
+    damaged = "“quoted”".encode("utf-8") \
+        .decode("cp1252", "replace")
+    assert fix_mojibake(damaged) == (damaged, False)
+
+
+def test_repair_mojibake_stage(spark):
+    from ocr_hardsubx_spark.operators.charset import repair_mojibake
+
+    df = spark.createDataFrame(
+        [(1, "cafÃ©"), (2, "clean text"), (3, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.fixed, r.was_mojibake)
+           for r in repair_mojibake(df, spark=spark).collect()}
+    assert got == {1: ("café", True), 2: ("clean text", False),
+                   3: ("", False)}
