@@ -130,6 +130,9 @@ _REGISTRY = [
     ("q_recrawl_schedule", dq.q_recrawl_schedule,
      dq.q_recrawl_schedule_sql),
     ("q_mojibake_fix", dq.q_mojibake_fix, dq.q_mojibake_fix_sql),
+    ("q_registered_domain", dq.q_registered_domain,
+     dq.q_registered_domain_sql),
+    ("q_domain_rollup", dq.q_domain_rollup, dq.q_domain_rollup_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

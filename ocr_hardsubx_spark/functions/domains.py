@@ -1,0 +1,59 @@
+"""Registered-domain extraction (public-suffix-lite), pure JVM.
+
+Curation decisions that look domain-shaped — UT1-style blocklists, spam
+rollups, per-publisher mixture caps — operate on the REGISTERED domain
+(``shop.co.uk`` -> ``shop.co.uk``? no: ``www.shop.co.uk`` ->
+``shop.co.uk``), not the raw host: one publisher sprawls across
+``www.`` / ``cdn.`` / country subdomains, and grouping by host
+undercounts it everywhere.
+
+``registered_domain`` is a COLUMN EXPRESSION — split/slice/concat_ws/
+isin, fully inside whole-stage codegen — because this runs over every
+url of a 10^12-page corpus; a Python kernel here would be the classic
+UDF-in-the-hot-path mistake.  The suffix table is the load-bearing
+two-label subset of the Mozilla Public Suffix List (the full PSL is
+~9k rules and changes monthly; production swaps in the published list
+as a broadcast table — the expression shape stays identical).  Honest
+limits: exotic three-label suffixes and private-section entries
+(``*.s3.amazonaws.com``) resolve one label short; IPs and single-label
+hosts pass through unchanged.
+
+Reference anchor: no counterpart in the reference (video frames,
+erfilter.c:1-40); part of the web-scale curation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: two-label public suffixes (PSL subset; see module docstring)
+TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in",
+    "co.kr", "or.kr", "go.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "org.mx", "com.ar", "com.tr", "com.tw",
+    "co.za", "org.za", "co.il", "com.sg", "com.hk", "com.my",
+    "co.th", "co.id", "com.vn", "com.ph", "com.pk",
+    "com.eg", "com.sa", "co.ke", "com.ng",
+)
+
+
+def registered_domain(host: Column) -> Column:
+    """host -> registered domain, as a codegen-friendly expression:
+    last two labels, or last three when the last two are a listed
+    public suffix; IPs and hosts with fewer than three labels pass
+    through unchanged."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, n - 1, 2))
+    last3 = F.concat_ws(".", F.slice(parts, n - 2, 3))
+    return (F.when(host.rlike(r"^[0-9.]+$"), host)
+             .when(n <= 2, host)
+             .when(last2.isin(*TWO_LABEL_SUFFIXES), last3)
+             .otherwise(last2))

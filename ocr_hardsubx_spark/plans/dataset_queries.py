@@ -7379,3 +7379,114 @@ def q_mojibake_fix_sql() -> str:
            doc_id % 3 = 0 AS was_mojibake
     FROM documents
     """
+
+
+# --------------------------------------------------------------------------
+# registered domains (public-suffix-lite)
+# --------------------------------------------------------------------------
+
+def _host_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host fixture spanning the registered-domain edge
+    cases: www/deep subdomains, two-label public suffixes (co.uk,
+    com.au), plain gTLDs, IPs, and a single-label host."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    g = (F.col("doc_id") % 20).cast("string")
+    host = (F.when(m == 0, F.concat(F.lit("www.shop"), g,
+                                    F.lit(".co.uk")))
+             .when(m == 1, F.concat(F.lit("a.b.news"), g, F.lit(".com")))
+             .when(m == 2, F.concat(F.lit("blog"), g, F.lit(".org")))
+             .when(m == 3, F.concat(F.lit("cdn.media"), g,
+                                    F.lit(".com.au")))
+             .when(m == 4, F.concat(F.lit("192.168.0."),
+                                    (F.col("doc_id") % 250)
+                                    .cast("string")))
+             .otherwise(F.lit("localhost")))
+    return docs.select("doc_id", host.alias("host"))
+
+
+def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain extraction (functions/domains.py): pure
+    split/slice/isin column expression — whole-stage codegen over
+    every row, zero Python, zero shuffle.  The grouping key for every
+    domain-shaped curation decision (blocklists, publisher caps,
+    spam rollups)."""
+    from ocr_hardsubx_spark.functions.domains import registered_domain
+
+    hosts = _host_corpus(spark, sf_dir)
+    return hosts.select(
+        "doc_id", "host",
+        registered_domain(F.col("host")).alias("registered_domain"))
+
+
+def q_registered_domain_sql() -> str:
+    return """
+    WITH hosts AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'www.shop' || doc_id % 20 || '.co.uk'
+               WHEN 1 THEN 'a.b.news' || doc_id % 20 || '.com'
+               WHEN 2 THEN 'blog' || doc_id % 20 || '.org'
+               WHEN 3 THEN 'cdn.media' || doc_id % 20 || '.com.au'
+               WHEN 4 THEN '192.168.0.' || doc_id % 250
+               ELSE 'localhost' END AS host
+      FROM documents
+    )
+    SELECT doc_id, host,
+           CASE doc_id % 6
+             WHEN 0 THEN 'shop' || doc_id % 20 || '.co.uk'
+             WHEN 1 THEN 'news' || doc_id % 20 || '.com'
+             WHEN 2 THEN 'blog' || doc_id % 20 || '.org'
+             WHEN 3 THEN 'media' || doc_id % 20 || '.com.au'
+             WHEN 4 THEN '192.168.0.' || doc_id % 250
+             ELSE 'localhost' END AS registered_domain
+    FROM hosts
+    """
+
+
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain census — the publisher-level view that
+    feeds blocklist decisions and mixture caps: doc and distinct-host
+    counts plus total text volume, ONE map-side-combinable shuffle on
+    the registered domain (a ~10^7-key aggregation at crawl scale,
+    the classic skew-tolerant groupBy)."""
+    from ocr_hardsubx_spark.functions.domains import registered_domain
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hosts = _host_corpus(spark, sf_dir).join(docs, "doc_id")
+    return (hosts
+            .groupBy(registered_domain(F.col("host"))
+                     .alias("registered_domain"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("host").alias("n_hosts"),
+                 F.sum("n_chars").alias("total_chars"))
+            .select("registered_domain", "n_docs", "n_hosts",
+                    "total_chars"))
+
+
+def q_domain_rollup_sql() -> str:
+    return """
+    WITH hosts AS (
+      SELECT d.doc_id, d.n_chars,
+             CASE d.doc_id % 6
+               WHEN 0 THEN 'www.shop' || d.doc_id % 20 || '.co.uk'
+               WHEN 1 THEN 'a.b.news' || d.doc_id % 20 || '.com'
+               WHEN 2 THEN 'blog' || d.doc_id % 20 || '.org'
+               WHEN 3 THEN 'cdn.media' || d.doc_id % 20 || '.com.au'
+               WHEN 4 THEN '192.168.0.' || d.doc_id % 250
+               ELSE 'localhost' END AS host,
+             CASE d.doc_id % 6
+               WHEN 0 THEN 'shop' || d.doc_id % 20 || '.co.uk'
+               WHEN 1 THEN 'news' || d.doc_id % 20 || '.com'
+               WHEN 2 THEN 'blog' || d.doc_id % 20 || '.org'
+               WHEN 3 THEN 'media' || d.doc_id % 20 || '.com.au'
+               WHEN 4 THEN '192.168.0.' || d.doc_id % 250
+               ELSE 'localhost' END AS registered_domain
+      FROM documents d
+    )
+    SELECT registered_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM hosts GROUP BY 1
+    """
