@@ -133,6 +133,8 @@ _REGISTRY = [
     ("q_registered_domain", dq.q_registered_domain,
      dq.q_registered_domain_sql),
     ("q_domain_rollup", dq.q_domain_rollup, dq.q_domain_rollup_sql),
+    ("q_lang_ppl_buckets", dq.q_lang_ppl_buckets,
+     dq.q_lang_ppl_buckets_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

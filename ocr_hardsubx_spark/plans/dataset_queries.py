@@ -7490,3 +7490,105 @@ def q_domain_rollup_sql() -> str:
            CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM hosts GROUP BY 1
     """
+
+
+# --------------------------------------------------------------------------
+# CCNet per-language perplexity buckets (Wenzek et al. 2020 §4.3)
+# --------------------------------------------------------------------------
+
+#: perplexity-histogram dials for the head/middle/tail split; bin width
+#: 1/256 via *256 (a power of two — the scaling is EXACT in IEEE, so
+#: both engines bin the 4-dp-rounded scores identically; fine enough
+#: that terciles a few hundredths apart land in distinct bins)
+CCNET_PPL_BINS = 2048
+CCNET_PPL_SCALE = 256
+CCNET_HEAD_PERMILLE = 333
+CCNET_MIDDLE_PERMILLE = 667
+
+
+def q_lang_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's defining curation step: split each LANGUAGE's documents
+    into head/middle/tail by LM perplexity terciles (Wenzek et al.
+    2020 §4.3 — train on head, keep middle, drop tail).
+
+    Scale shape: NO per-language global sort.  Per-doc scores (the
+    registered q_lm_perplexity values, 4-dp rounded) bin into a
+    (lang, bin<=63) histogram — ONE map-side-combinable shuffle of at
+    most |langs| x 64 rows — the tercile threshold BINS come off the
+    tiny cumulative histogram (same deterministic rule as
+    q_quantile_sketch: first bin whose cumulative count reaches
+    ceil(q*N/1000)), and the bucket decision joins back BROADCAST as
+    an integer bin comparison.  Sketch-resolution terciles, exact
+    about their own approximation — the 100 TB form of "sort each
+    language by perplexity"."""
+    ppl = q_lm_perplexity(spark, sf_dir)
+    langs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = (ppl.join(langs, "doc_id")
+              .withColumn("bin",
+                          F.least(F.floor(F.col("avg_neg_logp")
+                                          * CCNET_PPL_SCALE),
+                                  F.lit(CCNET_PPL_BINS - 1))
+                           .cast("int")))
+    hist = scored.groupBy("lang", "bin").agg(F.count("*").alias("n"))
+    w = (Window.partitionBy("lang").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.select(
+        "lang", "bin", F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy("lang")).alias("total"))
+    thresholds = (cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") >= F.ceil(
+            F.lit(CCNET_HEAD_PERMILLE) * F.col("total") / 1000),
+            F.col("bin"))).alias("b_head"),
+        F.min(F.when(F.col("cum") >= F.ceil(
+            F.lit(CCNET_MIDDLE_PERMILLE) * F.col("total") / 1000),
+            F.col("bin"))).alias("b_middle")))
+    return (scored.join(F.broadcast(thresholds), "lang")
+            .select("doc_id", "lang", "avg_neg_logp",
+                    F.when(F.col("bin") <= F.col("b_head"), "head")
+                     .when(F.col("bin") <= F.col("b_middle"), "middle")
+                     .otherwise("tail").alias("bucket")))
+
+
+def q_lang_ppl_buckets_sql() -> str:
+    ppl_chain = q_lm_perplexity_sql().strip()
+    assert ppl_chain.startswith("WITH ")
+    body = ppl_chain[len("WITH "):]
+    head_ctes, _sep, final_select = body.rpartition("SELECT bd.doc_id,")
+    # the chain's last CTE ends with ')' and no separator (repo gotcha:
+    # appending CTEs after rpartition needs the explicit comma)
+    return f"""
+    WITH {head_ctes.rstrip()},
+    ppl AS (SELECT bd.doc_id,{final_select}),
+    scored AS (
+      SELECT p.doc_id, d.lang, p.avg_neg_logp,
+             least(CAST(floor(p.avg_neg_logp * {CCNET_PPL_SCALE})
+                        AS INT),
+                   {CCNET_PPL_BINS - 1}) AS bin
+      FROM ppl p JOIN documents d USING (doc_id)
+    ),
+    hist AS (SELECT lang, bin, count(*) AS n
+             FROM scored GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, bin,
+             sum(n) OVER (PARTITION BY lang ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS total
+      FROM hist
+    ),
+    thresholds AS (
+      SELECT lang,
+             min(CASE WHEN cum >= ceil({CCNET_HEAD_PERMILLE}
+                                       * total / 1000)
+                      THEN bin END) AS b_head,
+             min(CASE WHEN cum >= ceil({CCNET_MIDDLE_PERMILLE}
+                                       * total / 1000)
+                      THEN bin END) AS b_middle
+      FROM cum GROUP BY 1
+    )
+    SELECT s.doc_id, s.lang, s.avg_neg_logp,
+           CASE WHEN s.bin <= t.b_head THEN 'head'
+                WHEN s.bin <= t.b_middle THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN thresholds t USING (lang)
+    """
