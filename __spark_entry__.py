@@ -78,12 +78,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # robots-meta gate, PageRank host-reputation cut),
 # the minhash/simhash-derived dedup family (shingle-trim
 # + kernel fixes touched their signatures),
-# then as much of the oldest-green (round-4) block as fits — the 34
-# new entries leave room for none of them; that whole block
-# (q_top1_per_group..q_curation_funnel) is displaced past 50,
-# AST-unchanged since its round-5 judge verification, and is first in
-# line next round; everything after it was green in round 5 (incl.
-# q_quality_cut / q_ann_recall_census, displaced AST-unchanged).
+# then as much of the oldest-green (round-4) block as fits — the 38
+# new entries leave room for none of them, and the tail of the
+# code-changed block (q_dedup_keep_list..q_dup_cluster_census, green
+# in round 5 and in the round-6 driver window until the late-session
+# additions) is also displaced past 50; that whole displaced run
+# (q_dedup_keep_list..q_curation_funnel) is AST-unchanged since its
+# last green/judge verification and is first in line next round;
+# everything after it was green in round 5 (incl. q_quality_cut /
+# q_ann_recall_census, displaced AST-unchanged).
 _REGISTRY = [
     # -- anchors -----------------------------------------------------------
     ("extract_pipeline", q.extract_pipeline, q.extract_pipeline_sql),
@@ -135,6 +138,8 @@ _REGISTRY = [
     ("q_domain_rollup", dq.q_domain_rollup, dq.q_domain_rollup_sql),
     ("q_lang_ppl_buckets", dq.q_lang_ppl_buckets,
      dq.q_lang_ppl_buckets_sql),
+    ("q_crawl_scheduler", dq.q_crawl_scheduler,
+     dq.q_crawl_scheduler_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

@@ -7239,9 +7239,14 @@ def _sitemap_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</loc><lastmod>2025-01-"),
             F.lpad(((d * 3) % 28 + 1).cast("string"), 2, "0"),
             F.lit("</lastmod></url>"))), "")
+    # one NOT-yet-crawled url per host: the sitemap's genuine frontier
+    # contribution (pages the link graph never reaches)
+    fresh = F.concat(
+        F.lit("<url><loc>https://host"), h, F.lit(".example/new/"), h,
+        F.lit("</loc><lastmod>2025-02-01</lastmod></url>"))
     urlset = F.concat(
         F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
-              'sitemap/0.9">'), url_entries, F.lit("</urlset>"))
+              'sitemap/0.9">'), url_entries, fresh, F.lit("</urlset>"))
     index = F.concat(
         F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
               'sitemap/0.9"><sitemap><loc>https://host'), h,
@@ -7279,6 +7284,13 @@ def q_sitemap_urls_sql() -> str:
       FROM documents WHERE (doc_id % 50) % 10 <> 0
     ),
     hosts AS (SELECT DISTINCT doc_id % 50 AS h FROM documents),
+    fresh_rows AS (
+      SELECT 'host' || h || '.example' AS host,
+             'urlset' AS kind,
+             'https://host' || h || '.example/new/' || h AS loc,
+             '2025-02-01' AS lastmod
+      FROM hosts WHERE h % 10 <> 0
+    ),
     index_rows AS (
       SELECT 'host' || h || '.example' AS host,
              'sitemapindex' AS kind,
@@ -7288,7 +7300,9 @@ def q_sitemap_urls_sql() -> str:
       FROM hosts CROSS JOIN (SELECT unnest([1, 2]) AS n) sub
       WHERE h % 10 = 0
     )
-    SELECT * FROM urlset_rows UNION ALL SELECT * FROM index_rows
+    SELECT * FROM urlset_rows
+    UNION ALL SELECT * FROM fresh_rows
+    UNION ALL SELECT * FROM index_rows
     """
 
 
@@ -7591,4 +7605,127 @@ def q_lang_ppl_buckets_sql() -> str:
                 WHEN s.bin <= t.b_middle THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM scored s JOIN thresholds t USING (lang)
+    """
+
+
+def q_crawl_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-layer capstone, composing every registered crawl
+    operator into the table a scheduler actually consumes: candidate
+    urls from BOTH discovery channels (outlink targets, q_outlinks;
+    sitemap urlset entries, q_sitemap_urls) minus the already-crawled
+    corpus (the q_crawl_frontier anti join), each decided against its
+    host's robots.txt rules (q_frontier_policed's join + max_by, RFC
+    9309) and priced with the host's PageRank (q_pagerank's 6-dp
+    scores, broadcast back).  Shapes compose without new hazards: two
+    url-hash shuffles (distinct + anti join), one host-level broadcast
+    decision, one host-level broadcast price — at 10^12 urls the url
+    shuffles dominate exactly as in q_crawl_frontier, and the
+    host-level sides stay rules/ranks-sized."""
+    from ocr_hardsubx_spark.operators.linkgraph import (
+        extract_outlinks, pagerank_hosts)
+    from ocr_hardsubx_spark.operators.robots import (
+        frontier_allowed, parse_robots_rules)
+    from ocr_hardsubx_spark.operators.sitemap import (
+        extract_sitemap_entries)
+
+    pages = _linked_pages(spark, sf_dir)
+    links = extract_outlinks(pages, spark)
+    sm = (extract_sitemap_entries(_sitemap_corpus(spark, sf_dir), spark)
+          .where(F.col("kind") == "urlset")
+          .select(F.col("loc").alias("url")))
+    cand = (links.select(F.col("dst_url").alias("url")).union(sm)
+            .distinct())
+    frontier = cand.join(pages.select("url"), "url", "left_anti")
+    rules = parse_robots_rules(_robots_corpus(spark, sf_dir),
+                               "curationbot", spark)
+    decided = frontier_allowed(frontier, rules)
+    ranks = pagerank_hosts(links, iters=5, damping=0.85)
+    return (decided
+            .withColumn("host",
+                        F.regexp_replace("url", r"^https?://([^/]*).*$",
+                                         r"$1"))
+            .join(F.broadcast(ranks), "host", "left")
+            .select("url", "allowed",
+                    F.coalesce("pr", F.lit(0.0)).alias("pr")))
+
+
+def q_crawl_scheduler_sql() -> str:
+    # splice the full q_pagerank chain (brings base/cross_links/
+    # link_rows/pr5 along), then rebuild the robots rules under
+    # r_-prefixed names (the pagerank chain already owns `hosts`)
+    pr_chain = q_pagerank_sql().strip()
+    assert pr_chain.startswith("WITH ")
+    body = pr_chain[len("WITH "):]
+    head, _sep, _final = body.rpartition("SELECT host, round(pr, 6)")
+    return f"""
+    WITH {head.rstrip()},
+    ranked AS (SELECT host, round(pr, 6) AS pr FROM pr5),
+    sm_cand AS (
+      SELECT 'https://host' || doc_id % 50 || '.example/doc/' || doc_id
+               AS url
+      FROM documents WHERE (doc_id % 50) % 10 <> 0
+      UNION ALL
+      SELECT DISTINCT 'https://host' || doc_id % 50 || '.example/new/'
+               || doc_id % 50
+      FROM documents WHERE (doc_id % 50) % 10 <> 0
+    ),
+    cand AS (
+      SELECT DISTINCT url FROM (
+        SELECT dst_url AS url FROM link_rows
+        UNION ALL SELECT url FROM sm_cand
+      )
+    ),
+    frontier AS (
+      SELECT url FROM cand
+      WHERE url NOT IN (
+        SELECT 'https://host' || doc_id % 50 || '.example/doc/' || doc_id
+        FROM documents)
+    ),
+    parts AS (
+      SELECT url,
+             regexp_extract(url, '^https?://([^/]*)', 1) AS host,
+             CASE WHEN regexp_replace(url, '^https?://[^/]*', '') = ''
+                  THEN '/'
+                  ELSE regexp_replace(url, '^https?://[^/]*', '') END
+               AS path
+      FROM frontier
+    ),
+    r_hosts AS (SELECT DISTINCT doc_id % 50 AS h FROM documents),
+    r_eligible AS (SELECT h FROM r_hosts WHERE h % 7 <> 3),
+    r_rules AS (
+      SELECT 'host' || h || '.example' AS host, FALSE AS allow,
+             '^/page' AS regex, 5 AS spec
+      FROM r_eligible WHERE h % 3 = 0
+      UNION ALL
+      SELECT 'host' || h || '.example', FALSE, '^/doc/', 5
+      FROM r_eligible WHERE h % 4 = 0
+      UNION ALL
+      SELECT 'host' || h || '.example', TRUE, '^/doc/2', 6
+      FROM r_eligible WHERE h % 4 = 0
+      UNION ALL
+      SELECT 'host' || h || '.example', FALSE, '^/.*\\?sponsored=', 13
+      FROM r_eligible WHERE h % 5 = 0
+      UNION ALL
+      SELECT 'host' || h || '.example', FALSE, '^/about', 6
+      FROM r_eligible
+      UNION ALL
+      SELECT 'host' || h || '.example', TRUE, '^/about$', 7
+      FROM r_eligible
+    ),
+    matched AS (
+      SELECT p.url, r.allow, r.spec
+      FROM parts p JOIN r_rules r ON r.host = p.host
+      WHERE regexp_matches(p.path, r.regex)
+    ),
+    best AS (
+      SELECT url,
+             arg_max(allow, spec * 2 + CAST(allow AS INT)) AS best_allow
+      FROM matched GROUP BY url
+    )
+    SELECT p.url,
+           coalesce(b.best_allow, TRUE) AS allowed,
+           coalesce(k.pr, 0.0) AS pr
+    FROM parts p
+    LEFT JOIN best b USING (url)
+    LEFT JOIN ranked k ON k.host = p.host
     """
