@@ -56,6 +56,8 @@ HEADLINE_QUERIES = (
     "q_gopher_repetition", "q_paragraph_dedup", "q_substring_dedup_apply",
     "q_pdf_extract", "q_pdf_main_content",
     "q_outlinks", "q_pagerank", "q_snapshot_dedup",
+    "q_http_gate", "q_crawl_scheduler", "q_mojibake_fix",
+    "q_domain_rollup", "q_lang_ppl_buckets",
 )
 
 

@@ -7629,7 +7629,10 @@ def q_crawl_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_sitemap_entries)
 
     pages = _linked_pages(spark, sf_dir)
-    links = extract_outlinks(pages, spark)
+    # the outlink stage feeds BOTH branches (candidates + PageRank);
+    # materialize it once — without this the MapInPandas extraction
+    # runs twice in the same DAG (measured 1.7x at sf0.1, interleaved)
+    links = extract_outlinks(pages, spark).localCheckpoint()
     sm = (extract_sitemap_entries(_sitemap_corpus(spark, sf_dir), spark)
           .where(F.col("kind") == "urlset")
           .select(F.col("loc").alias("url")))
