@@ -78,7 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # robots-meta gate, PageRank host-reputation cut),
 # the minhash/simhash-derived dedup family (shingle-trim
 # + kernel fixes touched their signatures),
-# then as much of the oldest-green (round-4) block as fits — the 38
+# then as much of the oldest-green (round-4) block as fits — the 39
 # new entries leave room for none of them, and the tail of the
 # code-changed block (q_dedup_keep_list..q_dup_cluster_census, green
 # in round 5 and in the round-6 driver window until the late-session
@@ -140,6 +140,8 @@ _REGISTRY = [
      dq.q_lang_ppl_buckets_sql),
     ("q_crawl_scheduler", dq.q_crawl_scheduler,
      dq.q_crawl_scheduler_sql),
+    ("q_robots_sitemaps", dq.q_robots_sitemaps,
+     dq.q_robots_sitemaps_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

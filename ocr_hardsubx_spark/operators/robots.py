@@ -104,7 +104,7 @@ def parse_robots(text: str, agent: str) -> list:
             groups.append((cur_agents, cur_rules))
         cur_agents, cur_rules = [], []
 
-    for raw_line in text.replace("﻿", "", 1).splitlines():
+    for raw_line in text.lstrip("﻿").splitlines():
         line = raw_line.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue
@@ -203,3 +203,45 @@ def frontier_allowed(urls: "DataFrame", rules: "DataFrame",
             .select("url",
                     F.coalesce("best_allow", F.lit(True))
                      .alias("allowed")))
+
+
+def parse_robots_sitemaps(text: str) -> list:
+    """All ``Sitemap:`` directive urls in a robots.txt body.  Per RFC
+    9309 §2.3 the directive is GROUP-INDEPENDENT (it applies regardless
+    of which user-agent group it sits near), so this collects every
+    occurrence — the bootstrap a crawler uses to find a host's sitemaps
+    without guessing /sitemap.xml."""
+    out = []
+    for raw_line in text.lstrip("﻿").splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            value = value.strip()
+            if value:
+                out.append(value)
+    return out
+
+
+def extract_robots_sitemaps(robots: "DataFrame",
+                            spark: "SparkSession" = None) -> "DataFrame":
+    """(host, robots_txt) -> one (host, sitemap_url) row per Sitemap:
+    directive; zero-shuffle mapInPandas over the host-level corpus."""
+    if spark is not None:
+        from ..plans.packaging import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_hardsubx_spark.operators.robots import (
+            parse_robots_sitemaps)
+
+        for pdf in batches:
+            hosts, urls = [], []
+            for host, body in zip(pdf["host"], pdf["robots_txt"]):
+                for u in parse_robots_sitemaps(body or ""):
+                    hosts.append(host)
+                    urls.append(u)
+            yield pd.DataFrame({"host": hosts, "sitemap_url": urls})
+
+    return (robots.select("host", "robots_txt")
+            .mapInPandas(gen, "host string, sitemap_url string"))

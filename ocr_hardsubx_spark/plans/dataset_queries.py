@@ -6914,10 +6914,13 @@ def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h % 5 == 0, F.lit("Disallow: /*?sponsored=\n"))
          .otherwise(F.lit("")),
         F.lit("Disallow: /about\nAllow: /about$\n"))
+    sitemap_line = F.concat(F.lit("Sitemap: https://host"), h,
+                            F.lit(".example/sitemap.xml\n"))
     body = F.concat(
         F.lit("# synthesized robots fixture\n"
               "User-agent: badbot\nDisallow: /\n\n"),
-        F.when(h % 7 == 3, F.lit("")).otherwise(star))
+        F.when(h % 7 == 3, F.lit("")).otherwise(star),
+        sitemap_line)
     return hosts.select(
         F.concat(F.lit("host"), h.cast("string"), F.lit(".example"))
          .alias("host"),
@@ -7731,4 +7734,26 @@ def q_crawl_scheduler_sql() -> str:
     FROM parts p
     LEFT JOIN best b USING (url)
     LEFT JOIN ranked k ON k.host = p.host
+    """
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery bootstrap: the group-INDEPENDENT ``Sitemap:``
+    directives of every robots.txt (RFC 9309 §2.3) — how a crawler
+    finds a host's sitemaps without guessing /sitemap.xml, closing the
+    robots -> sitemap -> frontier chain (q_robots_rules ->
+    q_sitemap_urls -> q_crawl_scheduler).  Zero-shuffle mapInPandas
+    over the host-level robots corpus."""
+    from ocr_hardsubx_spark.operators.robots import (
+        extract_robots_sitemaps)
+
+    return extract_robots_sitemaps(_robots_corpus(spark, sf_dir), spark)
+
+
+def q_robots_sitemaps_sql() -> str:
+    return """
+    WITH hosts AS (SELECT DISTINCT doc_id % 50 AS h FROM documents)
+    SELECT 'host' || h || '.example' AS host,
+           'https://host' || h || '.example/sitemap.xml' AS sitemap_url
+    FROM hosts
     """

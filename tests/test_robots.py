@@ -170,3 +170,37 @@ def test_frontier_plan_is_join_plus_aggregate(spark):
         .executedPlan().toString()
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# Sitemap: directive (group-independent, RFC 9309 §2.3)
+# --------------------------------------------------------------------------
+
+def test_sitemap_directive_collected_from_any_group():
+    from ocr_hardsubx_spark.operators.robots import parse_robots_sitemaps
+
+    body = ("User-agent: badbot\nDisallow: /\n"
+            "Sitemap: https://a.example/s1.xml\n"
+            "User-agent: *\nDisallow: /x\n"
+            "sitemap: https://a.example/s2.xml  # trailing comment\n"
+            "Sitemap:\n")
+    assert parse_robots_sitemaps(body) == [
+        "https://a.example/s1.xml", "https://a.example/s2.xml"]
+
+
+def test_sitemap_directive_does_not_leak_into_rules():
+    body = ("User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://a.example/s.xml\nAllow: /x/y\n")
+    assert parse_robots(body, "anybot") == [(False, "/x"), (True, "/x/y")]
+
+
+def test_extract_robots_sitemaps_stage(spark):
+    from ocr_hardsubx_spark.operators.robots import extract_robots_sitemaps
+
+    df = spark.createDataFrame(
+        [("a.example", "Sitemap: https://a.example/s.xml\n"),
+         ("b.example", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    got = {(r.host, r.sitemap_url)
+           for r in extract_robots_sitemaps(df, spark).collect()}
+    assert got == {("a.example", "https://a.example/s.xml")}
