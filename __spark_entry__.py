@@ -67,23 +67,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. entries with the OLDEST driver-green row (so every entry lands
 #      a driver-green row at least once every two rounds).
 # Everything else follows after position 50 and rotates forward next
-# round.  This round: 3 never-green (pack/line-dedup oracle casts), 21
-# new (substring apply, trained quality cut, trained recall census,
-# capstone funnel, DSIR, SemDeDup, Gopher rules + repetition battery,
-# C4 clean, shard shuffle, BPE pair count + merge step + trained
-# tokenize, CCNet paragraph dedup, RefinedWeb URL filter, rule-funnel
-# composition, PDF extract roundtrip + PDF layout main-content strip,
-# outlink extraction + host link graph + PageRank, cross-snapshot URL
-# dedup, WET sink roundtrip, anchor-text term df, crawl frontier,
-# robots-meta gate, PageRank host-reputation cut),
-# the minhash/simhash-derived dedup family (shingle-trim
-# + kernel fixes touched their signatures),
-# then as much of the oldest-green (round-4) block as fits — the 39
-# new entries leave room for none of them, and the tail of the
-# code-changed block (q_dedup_keep_list..q_dup_cluster_census, green
-# in round 5 and in the round-6 driver window until the late-session
-# additions) is also displaced past 50; that whole displaced run
-# (q_dedup_keep_list..q_curation_funnel) is AST-unchanged since its
+# round.  This round: 3 never-green (pack/line-dedup oracle casts) and
+# 40 new — the mid-round block (substring apply, trained quality cut,
+# trained recall census, capstone funnel, DSIR, SemDeDup, Gopher rules
+# + repetition battery, C4 clean, shard shuffle, BPE pair count +
+# merge step + trained tokenize, CCNet paragraph dedup, RefinedWeb URL
+# filter, rule-funnel composition, PDF extract + layout strip, outlink
+# + link graph + PageRank, cross-snapshot URL dedup, WET roundtrip,
+# anchor-text df, crawl frontier, robots-meta gate, PageRank
+# host-reputation cut) plus the late-session crawl/input layer
+# (RFC 9309 robots rules + policed frontier + Sitemap: directives,
+# WHATWG charset decode, HTTP fetch gate, sitemap ingestion + recrawl
+# schedule, mojibake repair, registered-domain + rollup, CCNet
+# perplexity buckets, crawl-scheduler capstone, NFC normalize); then
+# the minhash/simhash-derived dedup family head (shingle-trim + kernel
+# fixes touched their signatures).  The 40 new entries leave no room
+# for the oldest-green (round-4) block, and the tail of the
+# code-changed block (q_dup_clusters..q_dup_cluster_census, green
+# in round 5) is also displaced past 50; that whole displaced run
+# (q_dup_clusters..q_curation_funnel) is AST-unchanged since its
 # last green/judge verification and is first in line next round;
 # everything after it was green in round 5 (incl. q_quality_cut /
 # q_ann_recall_census, displaced AST-unchanged).
@@ -142,6 +144,7 @@ _REGISTRY = [
      dq.q_crawl_scheduler_sql),
     ("q_robots_sitemaps", dq.q_robots_sitemaps,
      dq.q_robots_sitemaps_sql),
+    ("q_nfc_normalize", dq.q_nfc_normalize, dq.q_nfc_normalize_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

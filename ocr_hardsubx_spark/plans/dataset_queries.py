@@ -7757,3 +7757,63 @@ def q_robots_sitemaps_sql() -> str:
            'https://host' || h || '.example/sitemap.xml' AS sitemap_url
     FROM hosts
     """
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization census — dedup and exact-match
+    operators upstream assume one byte sequence per grapheme, but real
+    crawl text mixes precomposed ('é' U+00E9) and decomposed
+    ('e' + U+0301) forms that hash apart.  Normalize every doc to NFC
+    and flag which rows changed (the census a pipeline uses to decide
+    whether normalization must precede its hash-based dedup).
+    Zero-shuffle Arrow-batched stage (stdlib unicodedata — a true
+    per-codepoint algorithm, not expressible in JVM functions); the
+    DuckDB oracle runs its OWN independent NFC implementation
+    (nfc_normalize), so this is a genuine cross-implementation check
+    of the normalization itself."""
+    from ..plans.packaging import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    # %3==0: DECOMPOSED combining marks (must change under NFC);
+    # %3==1: precomposed (already NFC); %3==2: ascii
+    text = (F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("cafe\u0301 de\u0327ja\u0300 "),
+                            did))
+             .when(F.col("doc_id") % 3 == 1,
+                   F.concat(F.lit("caf\u00e9 d\u00e9j\u00e0 "), did))
+             .otherwise(F.concat(F.lit("plain "), did)))
+    src = docs.withColumn("text", text)
+
+    def gen(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            out, changed = [], []
+            for t in pdf["text"]:
+                t = "" if t is None else str(t)
+                n = unicodedata.normalize("NFC", t)
+                out.append(n)
+                changed.append(n != t)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                "text_nfc": out, "changed": changed})
+
+    return src.mapInPandas(
+        gen, "doc_id long, text_nfc string, changed boolean")
+
+
+def q_nfc_normalize_sql() -> str:
+    return """
+    SELECT doc_id,
+           nfc_normalize(
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'cafe' || chr(769) || ' de' || chr(807) || 'ja'
+                       || chr(768) || ' ' || doc_id
+                  WHEN doc_id % 3 = 1 THEN 'café déjà ' || doc_id
+                  ELSE 'plain ' || doc_id END) AS text_nfc,
+           doc_id % 3 = 0 AS changed
+    FROM documents
+    """
