@@ -81,28 +81,23 @@ def compile_pattern(pattern: str) -> str:
     return "".join(out)
 
 
-def parse_robots(text: str, agent: str) -> list:
-    """robots.txt body -> ``[(allow, pattern)]`` for ``agent``.
-
-    RFC 9309 group selection: rule lines attach to the most recent run
-    of ``User-agent`` lines; the group chosen is the one whose agent
-    token is the LONGEST case-insensitive substring-token match of our
-    product token, falling back to ``*``.  Unknown directives
-    (Crawl-delay, Sitemap, ...) are ignored but do not break a group.
-    Empty Disallow ("allow everything") emits no rule.  Damage —
-    stray lines, missing colons, a UTF-8 BOM — is non-fatal.
-    """
-    agent_l = agent.lower()
-    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+def _parse_groups(text: str) -> list:
+    """robots.txt body -> ``[(agents, rules, crawl_delay)]`` per group.
+    Rule lines attach to the most recent run of ``User-agent`` lines;
+    unknown directives are ignored but do not break a group; empty
+    Disallow emits no rule; damage (stray lines, missing colons, a
+    UTF-8 BOM) is non-fatal."""
+    groups: list[tuple[list, list, object]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
+    cur_delay = None
     in_agent_run = False
 
     def flush():
-        nonlocal cur_agents, cur_rules
+        nonlocal cur_agents, cur_rules, cur_delay
         if cur_agents:
-            groups.append((cur_agents, cur_rules))
-        cur_agents, cur_rules = [], []
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
 
     for raw_line in text.lstrip("﻿").splitlines():
         line = raw_line.split("#", 1)[0].strip()
@@ -120,13 +115,26 @@ def parse_robots(text: str, agent: str) -> list:
             in_agent_run = False
             if value:
                 cur_rules.append((field == "allow", value))
+        elif field == "crawl-delay":
+            in_agent_run = False
+            try:
+                cur_delay = float(value)
+            except ValueError:
+                pass                    # malformed delay: ignore
         else:
             in_agent_run = False        # unknown directive ends the run
     flush()
+    return groups
 
-    best_len, best_rules = -1, []
-    for agents, rules in groups:
-        for a in agents:
+
+def _select_group(groups: list, agent: str):
+    """RFC 9309 group selection: the group whose agent token is the
+    LONGEST case-insensitive substring match of our product token,
+    falling back to ``*``; None when nothing matches."""
+    agent_l = agent.lower()
+    best_len, best = -1, None
+    for group in groups:
+        for a in group[0]:
             if a == "*":
                 match_len = 0
             elif a and a in agent_l:
@@ -134,8 +142,26 @@ def parse_robots(text: str, agent: str) -> list:
             else:
                 continue
             if match_len > best_len:
-                best_len, best_rules = match_len, rules
-    return best_rules
+                best_len, best = match_len, group
+    return best
+
+
+def parse_robots(text: str, agent: str) -> list:
+    """robots.txt body -> ``[(allow, pattern)]`` for ``agent``
+    (see _parse_groups/_select_group for the grammar and selection)."""
+    group = _select_group(_parse_groups(text), agent)
+    return group[1] if group else []
+
+
+def parse_crawl_delay(text: str, agent: str,
+                      default: float = 1.0) -> float:
+    """The selected group's ``Crawl-delay`` seconds (a de-facto
+    extension most crawlers honor; not in RFC 9309), or ``default``
+    when absent/malformed — the politeness dial per host."""
+    group = _select_group(_parse_groups(text), agent)
+    if group and group[2] is not None:
+        return group[2]
+    return default
 
 
 def parse_robots_rules(robots: "DataFrame", agent: str,
@@ -245,3 +271,27 @@ def extract_robots_sitemaps(robots: "DataFrame",
 
     return (robots.select("host", "robots_txt")
             .mapInPandas(gen, "host string, sitemap_url string"))
+
+
+def extract_crawl_delays(robots: "DataFrame", agent: str,
+                         spark: "SparkSession" = None) -> "DataFrame":
+    """(host, robots_txt) -> (host, delay_s) for the group selected
+    for ``agent`` (default 1.0 where unspecified); zero-shuffle
+    mapInPandas over the host-level corpus."""
+    if spark is not None:
+        from ..plans.packaging import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_hardsubx_spark.operators.robots import parse_crawl_delay
+
+        for pdf in batches:
+            hosts, delays = [], []
+            for host, body in zip(pdf["host"], pdf["robots_txt"]):
+                hosts.append(host)
+                delays.append(parse_crawl_delay(body or "", agent))
+            yield pd.DataFrame({"host": hosts, "delay_s": delays})
+
+    return (robots.select("host", "robots_txt")
+            .mapInPandas(gen, "host string, delay_s double"))

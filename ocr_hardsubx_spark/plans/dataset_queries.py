@@ -6913,7 +6913,9 @@ def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.lit("")),
         F.when(h % 5 == 0, F.lit("Disallow: /*?sponsored=\n"))
          .otherwise(F.lit("")),
-        F.lit("Disallow: /about\nAllow: /about$\n"))
+        F.lit("Disallow: /about\nAllow: /about$\n"),
+        F.concat(F.lit("Crawl-delay: "),
+                 (h % 3 + 1).cast("string"), F.lit("\n")))
     sitemap_line = F.concat(F.lit("Sitemap: https://host"), h,
                             F.lit(".example/sitemap.xml\n"))
     body = F.concat(
@@ -7816,4 +7818,60 @@ def q_nfc_normalize_sql() -> str:
                   ELSE 'plain ' || doc_id END) AS text_nfc,
            doc_id % 3 = 0 AS changed
     FROM documents
+    """
+
+
+def q_fetch_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling — the last crawl-layer step after the
+    scheduler says WHAT and WHETHER: assign each allowed frontier url
+    a fetch offset honoring its host's ``Crawl-delay`` (de-facto
+    extension; default 1s).  slot k of a host fetches at
+    ``k * delay_s`` seconds.
+
+    Scale shape: ONE window per HOST ordered by url — per-host
+    sequences are the honest form of politeness (a host's queue is
+    serialized by definition); partitions are host-bounded, and a
+    pathological 10^9-url host is capped upstream by the scheduler's
+    per-host budget, not here.  The delay table is host-level
+    (broadcast; plain shuffle join at 10^8 hosts)."""
+    from ocr_hardsubx_spark.operators.robots import extract_crawl_delays
+
+    sched = q_crawl_scheduler(spark, sf_dir).where(F.col("allowed"))
+    delays = extract_crawl_delays(_robots_corpus(spark, sf_dir),
+                                  "curationbot", spark)
+    w = Window.partitionBy("host").orderBy("url")
+    return (sched
+            .withColumn("host",
+                        F.regexp_replace("url", r"^https?://([^/]*).*$",
+                                         r"$1"))
+            .join(F.broadcast(delays), "host", "left")
+            .withColumn("delay_s", F.coalesce("delay_s", F.lit(1.0)))
+            .select("url", "host", "delay_s",
+                    ((F.row_number().over(w) - 1) * F.col("delay_s"))
+                     .alias("fetch_at_s")))
+
+
+def q_fetch_slots_sql() -> str:
+    sched_chain = q_crawl_scheduler_sql().strip()
+    assert sched_chain.startswith("WITH ")
+    body = sched_chain[len("WITH "):]
+    head, _sep, final_select = body.rpartition("SELECT p.url,")
+    return f"""
+    WITH {head.rstrip()},
+    sched AS (SELECT p.url,{final_select}),
+    slotted AS (
+      SELECT url,
+             regexp_extract(url, '^https?://([^/]*)', 1) AS host
+      FROM sched WHERE allowed
+    ),
+    delays AS (
+      SELECT 'host' || h || '.example' AS host,
+             CASE WHEN h % 7 = 3 THEN 1.0
+                  ELSE CAST(h % 3 + 1 AS DOUBLE) END AS delay_s
+      FROM r_hosts
+    )
+    SELECT s.url, s.host, d.delay_s,
+           (row_number() OVER (PARTITION BY s.host ORDER BY s.url) - 1)
+             * d.delay_s AS fetch_at_s
+    FROM slotted s JOIN delays d USING (host)
     """

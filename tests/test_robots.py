@@ -204,3 +204,38 @@ def test_extract_robots_sitemaps_stage(spark):
     got = {(r.host, r.sitemap_url)
            for r in extract_robots_sitemaps(df, spark).collect()}
     assert got == {("a.example", "https://a.example/s.xml")}
+
+
+# --------------------------------------------------------------------------
+# Crawl-delay (de-facto extension)
+# --------------------------------------------------------------------------
+
+def test_crawl_delay_group_scoped():
+    from ocr_hardsubx_spark.operators.robots import parse_crawl_delay
+
+    body = ("User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+            "User-agent: curationbot\nCrawl-delay: 0.5\n")
+    assert parse_crawl_delay(body, "curationbot") == 0.5
+    assert parse_crawl_delay(body, "otherbot") == 2.0
+
+
+def test_crawl_delay_default_and_damage():
+    from ocr_hardsubx_spark.operators.robots import parse_crawl_delay
+
+    assert parse_crawl_delay("User-agent: *\nDisallow: /\n", "x") == 1.0
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n",
+                             "x") == 1.0
+    assert parse_crawl_delay("", "x", default=3.0) == 3.0
+
+
+def test_extract_crawl_delays_stage(spark):
+    from ocr_hardsubx_spark.operators.robots import extract_crawl_delays
+
+    df = spark.createDataFrame(
+        [("a.example", "User-agent: *\nCrawl-delay: 4\n"),
+         ("b.example", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    got = {r.host: r.delay_s
+           for r in extract_crawl_delays(df, "curationbot",
+                                         spark).collect()}
+    assert got == {"a.example": 4.0, "b.example": 1.0}
