@@ -7875,3 +7875,96 @@ def q_fetch_slots_sql() -> str:
              * d.delay_s AS fetch_at_s
     FROM slotted s JOIN delays d USING (host)
     """
+
+
+#: fuzzy-decontamination flag threshold: matching band minima out of
+#: N_BANDS (2/4 ~ estimated Jaccard >= 0.5)
+DECON_FUZZY_MIN_BANDS = 2
+
+
+def q_decon_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (the GPT-3-appendix complement
+    of exact-gram q_decontaminate): estimate each corpus doc's Jaccard
+    against every eval doc from the N_BANDS MinHash band minima
+    (matching minima / N_BANDS) and flag docs whose best estimate
+    clears DECON_FUZZY_MIN_BANDS — catches lightly-edited benchmark
+    copies that exact n-gram overlap misses.
+
+    Scale shape: signatures are the q_minhash_bands one-pass groupBy;
+    the EVAL side is tiny by construction (eval suites are MBs), so
+    the compare is a broadcast crossJoin of N_BANDS-column rows — the
+    stump-table broadcast class, never corpus x corpus — followed by
+    one map-side-combinable max per doc."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size("toks") - 3, F.lit(0))),
+            lambda i: F.trim(F.concat_ws(
+                " ",
+                F.try_element_at(F.col("toks"), i + 1),
+                F.try_element_at(F.col("toks"), i + 2),
+                F.try_element_at(F.col("toks"), i + 3),
+            )),
+        )).alias("shingle"),
+    ).where(F.col("shingle") != "")
+    h = shingles.select("doc_id", F.md5("shingle").alias("h"))
+    mins = h.groupBy("doc_id").agg(*[
+        F.min(F.substring("h", 8 * b + 1, 8)).alias(f"m{b}")
+        for b in range(N_BANDS)
+    ])
+    bench = mins.where(F.col("doc_id") < DECON_BENCH_DOCS).select(
+        *[F.col(f"m{b}").alias(f"b{b}") for b in range(N_BANDS)])
+    corpus = mins.where(F.col("doc_id") >= DECON_BENCH_DOCS)
+    nmatch = sum(
+        F.when(F.col(f"m{b}") == F.col(f"b{b}"), 1).otherwise(0)
+        for b in range(N_BANDS))
+    best = (corpus.crossJoin(F.broadcast(bench))
+            .groupBy("doc_id")
+            .agg(F.max(nmatch).alias("best_bands")))
+    return (docs.where(F.col("doc_id") >= DECON_BENCH_DOCS)
+            .select("doc_id")
+            .join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("best_bands", F.lit(0)).alias("best_bands"),
+                F.round(F.coalesce("best_bands", F.lit(0))
+                        / N_BANDS, 2).alias("est_jaccard"),
+                (F.coalesce("best_bands", F.lit(0))
+                 >= DECON_FUZZY_MIN_BANDS).alias("flagged")))
+
+
+def q_decon_fuzzy_sql() -> str:
+    match_expr = " + ".join(
+        f"CAST(c.m{b} = b.m{b} AS INT)" for b in range(N_BANDS))
+    min_cols = ", ".join(
+        f"min(substring(h, {8 * b + 1}, 8)) AS m{b}"
+        for b in range(N_BANDS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, md5(trim(array_to_string(t[i:i+2], ' '))) AS h
+      FROM toks, LATERAL (SELECT unnest(range(1,
+           greatest(len(t) - 2, 0) + 1)) AS i)
+      WHERE trim(array_to_string(t[i:i+2], ' ')) <> ''
+    ),
+    mins AS (SELECT doc_id, {min_cols} FROM sh GROUP BY doc_id),
+    bench AS (SELECT * FROM mins WHERE doc_id < {DECON_BENCH_DOCS}),
+    corpus AS (SELECT * FROM mins WHERE doc_id >= {DECON_BENCH_DOCS}),
+    best AS (
+      SELECT c.doc_id, max({match_expr}) AS best_bands
+      FROM corpus c CROSS JOIN bench b GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(t.best_bands, 0) AS INT) AS best_bands,
+           round(COALESCE(t.best_bands, 0) / {N_BANDS}, 2)
+             AS est_jaccard,
+           COALESCE(t.best_bands, 0) >= {DECON_FUZZY_MIN_BANDS}
+             AS flagged
+    FROM documents d LEFT JOIN best t USING (doc_id)
+    WHERE d.doc_id >= {DECON_BENCH_DOCS}
+    """
