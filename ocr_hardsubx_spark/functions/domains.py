@@ -49,6 +49,9 @@ def registered_domain(host: Column) -> Column:
     last two labels, or last three when the last two are a listed
     public suffix; IPs and hosts with fewer than three labels pass
     through unchanged."""
+    # a fully-qualified trailing dot ('example.com.') is legal DNS;
+    # strip it so the label slices don't see an empty last label
+    host = F.regexp_replace(host, r"\.$", "")
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.slice(parts, n - 1, 2))

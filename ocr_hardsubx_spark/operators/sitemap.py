@@ -51,8 +51,16 @@ def parse_sitemap(xml_bytes: bytes) -> tuple:
     import xml.etree.ElementTree as ET
 
     try:
-        root = ET.fromstring(xml_bytes.decode("utf-8", "replace"))
+        # bytes first: ET honors the BOM / declared encoding (utf-16
+        # sitemaps exist); fall back to a replace-decode for blobs
+        # whose bytes are invalid in their declared encoding
+        root = ET.fromstring(xml_bytes)
     except ET.ParseError:
+        try:
+            root = ET.fromstring(xml_bytes.decode("utf-8", "replace"))
+        except (ET.ParseError, ValueError):
+            return None, []
+    except ValueError:
         return None, []
     kind = root.tag.rsplit("}", 1)[-1]
     if kind not in ("urlset", "sitemapindex"):

@@ -7181,7 +7181,9 @@ def q_http_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [], [], [], [], [], []
             for url, _ts, status, ct, payload in \
                     parse_warc_http_records(blob):
-                if status != 200 or not (ct or "").startswith(
+                # media-type compare is case-insensitive (RFC 9110
+                # §8.3.1: 'Text/HTML' serves in the wild)
+                if status != 200 or not (ct or "").lower().startswith(
                         "text/html"):
                     continue
                 text, enc, src, _rep = decode_payload(payload, ct)

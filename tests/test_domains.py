@@ -14,6 +14,7 @@ CASES = [
     ("localhost", "localhost"),
     ("co.uk", "co.uk"),
     ("example.co.kr", "example.co.kr"),
+    ("www.example.com.", "example.com"),
 ]
 
 

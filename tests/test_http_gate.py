@@ -114,3 +114,12 @@ def test_chunked_and_gzip_inside_record():
     blob = build_response_warc_blob(rows, chunked=True)
     (_u, _ts, status, ct, body), = parse_warc_http_records(blob)
     assert (status, ct, body) == (200, "text/html", b"chunk me")
+
+
+def test_mixed_case_content_type_passes_gate():
+    """RFC 9110: media-type comparison is case-insensitive."""
+    rows = [("https://a.example/m", "2025-01-01T00:00:00Z", 200,
+             b"Text/HTML; Charset=UTF-8", b"<html>cased</html>", {})]
+    blob = build_response_warc_blob(rows)
+    (_u, _ts, status, ct, body), = parse_warc_http_records(blob)
+    assert status == 200 and ct.lower().startswith("text/html")

@@ -73,3 +73,14 @@ def test_extract_stage_plan_map_only(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_xml_declaration_and_utf16():
+    xml = (b'<?xml version="1.0" encoding="UTF-8"?>'
+           b"<urlset><url><loc>https://a.example/1</loc></url></urlset>")
+    assert parse_sitemap(xml) == ("urlset", [("https://a.example/1", None)])
+    xml16 = ('<?xml version="1.0" encoding="UTF-16"?>'
+             "<urlset><url><loc>https://a.example/w</loc></url></urlset>"
+             ).encode("utf-16")
+    assert parse_sitemap(xml16) == ("urlset",
+                                    [("https://a.example/w", None)])
