@@ -160,7 +160,7 @@ def parse_crawl_delay(text: str, agent: str,
     when absent/malformed — the politeness dial per host."""
     group = _select_group(_parse_groups(text), agent)
     if group and group[2] is not None:
-        return group[2]
+        return max(0.0, group[2])      # a negative delay clamps to 0
     return default
 
 

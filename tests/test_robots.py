@@ -226,6 +226,8 @@ def test_crawl_delay_default_and_damage():
     assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n",
                              "x") == 1.0
     assert parse_crawl_delay("", "x", default=3.0) == 3.0
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -5\n",
+                             "x") == 0.0
 
 
 def test_extract_crawl_delays_stage(spark):
