@@ -93,3 +93,55 @@ def stream_host_rates(spark: "SparkSession", input_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_documents_warc_stream(spark: "SparkSession",
+                               input_path: str,
+                               max_files_per_trigger: int = 8
+                               ) -> "DataFrame":
+    """Crawl-native streaming ingest: WARC files landing in a directory
+    become an incremental (url, warc_ts, html, lang) stream.
+
+    ``binaryFile`` is a streaming-capable file source, so the
+    parallelism unit stays the ARCHIVE FILE — exactly the batch
+    reader's sharding (sources/warc.read_documents_warc) and exactly
+    how crawls land (Common Crawl publishes ~100k WARCs per snapshot
+    as they are written).  The record parse is the SAME pure function
+    as the batch path, so batch and streaming share one set of
+    parsing/damage guarantees; the checkpoint tracks which archives
+    are done, giving exactly-once ingest across restarts."""
+    import pandas as pd
+
+    from ..plans.packaging import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+
+    def parse_files(it):
+        from ocr_hardsubx_spark.sources.warc import parse_warc_records
+
+        for pdf in it:
+            rows = []
+            for blob in pdf["content"]:
+                for url, ts, html in parse_warc_records(bytes(blob)):
+                    try:
+                        when = pd.Timestamp(ts)
+                    except ValueError:
+                        continue
+                    rows.append((url, when, html, None))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "lang"])
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.warc*")
+        .load(input_path)
+        .select("content")
+    )
+    from ..sources.warc import WARC_PAGE_SCHEMA
+
+    return files.mapInPandas(parse_files, schema=WARC_PAGE_SCHEMA)
