@@ -7970,3 +7970,49 @@ def q_decon_fuzzy_sql() -> str:
     FROM documents d LEFT JOIN best t USING (doc_id)
     WHERE d.doc_id >= {DECON_BENCH_DOCS}
     """
+
+
+def q_ccnet_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet decision table: per (lang, bucket) doc/token mass and
+    the policy action (head -> train the next LM, middle -> keep,
+    tail -> drop — Wenzek et al. 2020 §4.3's disposition of the
+    terciles).  The table a 100 TB curation run actually reads to size
+    its per-language keeps; one map-side-combinable groupBy over the
+    registered bucket assignment joined to per-doc token counts."""
+    buckets = q_lang_ppl_buckets(spark, sf_dir)
+    toks = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    action = (F.when(F.col("bucket") == "head", "train_lm")
+               .when(F.col("bucket") == "middle", "keep")
+               .otherwise("drop"))
+    return (buckets.join(toks, "doc_id")
+            .groupBy("lang", "bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"))
+            .select("lang", "bucket", "n_docs",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    action.alias("action")))
+
+
+def q_ccnet_mixture_sql() -> str:
+    buckets_chain = q_lang_ppl_buckets_sql().strip()
+    assert buckets_chain.startswith("WITH ")
+    body = buckets_chain[len("WITH "):]
+    head, _sep, final_select = body.rpartition("SELECT s.doc_id,")
+    return f"""
+    WITH {head.rstrip()},
+    buckets AS (SELECT s.doc_id,{final_select}),
+    tokc AS (
+      -- 'toks' is taken by the spliced LM chain (CTE-name collision)
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT b.lang, b.bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+           CASE b.bucket WHEN 'head' THEN 'train_lm'
+                         WHEN 'middle' THEN 'keep'
+                         ELSE 'drop' END AS action
+    FROM buckets b JOIN tokc t USING (doc_id)
+    GROUP BY 1, 2
+    """
