@@ -68,7 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      a driver-green row at least once every two rounds).
 # Everything else follows after position 50 and rotates forward next
 # round.  This round: 3 never-green (pack/line-dedup oracle casts) and
-# 43 new — the mid-round block (substring apply, trained quality cut,
+# 44 new — the mid-round block (substring apply, trained quality cut,
 # trained recall census, capstone funnel, DSIR, SemDeDup, Gopher rules
 # + repetition battery, C4 clean, shard shuffle, BPE pair count +
 # merge step + trained tokenize, CCNet paragraph dedup, RefinedWeb URL
@@ -80,9 +80,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # WHATWG charset decode, HTTP fetch gate, sitemap ingestion + recrawl
 # schedule, mojibake repair, registered-domain + rollup, CCNet
 # perplexity buckets, crawl-scheduler capstone, NFC normalize, politeness fetch
-# slots, fuzzy decontamination, CCNet mixture table); then
+# slots, fuzzy decontamination, CCNet mixture table, bloom frontier); then
 # the minhash/simhash-derived dedup family head (shingle-trim + kernel
-# fixes touched their signatures).  The 43 new entries leave no room
+# fixes touched their signatures).  The 44 new entries leave no room
 # for the oldest-green (round-4) block, and the tail of the
 # code-changed block (q_dup_clusters..q_dup_cluster_census, green
 # in round 5) is also displaced past 50; that whole displaced run
@@ -149,6 +149,7 @@ _REGISTRY = [
     ("q_fetch_slots", dq.q_fetch_slots, dq.q_fetch_slots_sql),
     ("q_decon_fuzzy", dq.q_decon_fuzzy, dq.q_decon_fuzzy_sql),
     ("q_ccnet_mixture", dq.q_ccnet_mixture, dq.q_ccnet_mixture_sql),
+    ("q_frontier_bloom", dq.q_frontier_bloom, dq.q_frontier_bloom_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

@@ -8016,3 +8016,107 @@ def q_ccnet_mixture_sql() -> str:
     FROM buckets b JOIN tokc t USING (doc_id)
     GROUP BY 1, 2
     """
+
+
+def _frontier_bloom_words(spark: SparkSession, sf_dir: str) -> list:
+    """Bloom words over the CRAWLED url set (md5-of-url, the
+    _bloom_positions slices), cached per (session, sf_dir) like the
+    decontamination filter."""
+    key, stamp, fresh, _ = _stamped_state(
+        _BLOOM_CACHE, spark, "frontier_bloom", sf_dir, "documents")
+    if fresh is not None:
+        return fresh
+    crawled = _tbl(spark, sf_dir, "documents").select(
+        F.md5(F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"))).alias("g"))
+    pos_rows = (crawled.select(F.explode(F.array(
+        *_bloom_positions(F.col("g")))).alias("p"))
+        .distinct().collect())
+    words = [0] * (BLOOM_M // 64)
+    for r in pos_rows:
+        words[r["p"] >> 6] |= 1 << (r["p"] & 63)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    _BLOOM_CACHE[key] = (stamp, words)
+    return words
+
+
+def q_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frontier dedup: probe each candidate url against a
+    BLOOM of the crawled set instead of anti-joining it — the scale
+    trick when the visited set is too large to shuffle per scheduling
+    pass.  No false negatives (a definitely-new url always fetches);
+    a false positive costs one skipped (re-discoverable) url, the
+    classic crawler tradeoff.
+
+    Honest sizing: a broadcast bloom fits a BOUNDED window of the
+    visited set — the current snapshot's ~10^9 urls is ~1.2 GB at
+    10 bits/url (executor-broadcast class) — while the full 10^12-url
+    history stays the exact anti join (q_crawl_frontier).  This
+    sandbox filter is the 8 KB teaching-size instance of the same
+    bits.  The ``actually_crawled`` column exists to make the FP rate
+    OBSERVABLE (census discipline); production reads only the bloom
+    verdict and pays zero joins."""
+    from ocr_hardsubx_spark.operators.linkgraph import extract_outlinks
+
+    pages = _linked_pages(spark, sf_dir)
+    cand = (extract_outlinks(pages, spark)
+            .select(F.col("dst_url").alias("url")).distinct())
+    bloom = F.array(*[F.lit(w)
+                      for w in _frontier_bloom_words(spark, sf_dir)])
+    checks = [
+        F.call_function(
+            "shiftrightunsigned",
+            F.element_at(bloom, (p.cast("int") / 64).cast("int") + 1),
+            (p % 64).cast("int")).bitwiseAND(F.lit(1)) == 1
+        for p in _bloom_positions(F.md5(F.col("url")))
+    ]
+    maybe = checks[0]
+    for c in checks[1:]:
+        maybe = maybe & c
+    return (cand
+            .withColumn("maybe_crawled", maybe)
+            .join(pages.select("url")
+                  .withColumn("actually_crawled", F.lit(True)),
+                  "url", "left")
+            .select("url", "maybe_crawled",
+                    F.coalesce("actually_crawled", F.lit(False))
+                     .alias("actually_crawled"),
+                    (~F.col("maybe_crawled")).alias("fetch")))
+
+
+def q_frontier_bloom_sql() -> str:
+    pos = ", ".join(
+        f"CAST(CAST(concat('0x', substring(md5(url), {1 + 4 * j}, 4))"
+        f" AS UBIGINT) % {BLOOM_M} AS BIGINT)"
+        for j in range(BLOOM_K))
+    return f"""
+    WITH {_LINK_EDGE_SQL},
+    cand AS (SELECT DISTINCT dst_url AS url FROM link_rows),
+    crawled AS (
+      SELECT 'https://host' || doc_id % 50 || '.example/doc/' || doc_id
+               AS url
+      FROM documents
+    ),
+    cbits AS (
+      SELECT DISTINCT unnest([{pos}]) AS p FROM crawled
+    ),
+    probe AS (
+      SELECT url, unnest([{pos}]) AS p FROM cand
+    ),
+    counts AS (
+      -- all-K-set iff every probe row finds its bit (duplicate
+      -- positions count per row on both sides, mirroring the Spark
+      -- conjunction — the q_decon_bloom oracle discipline)
+      SELECT pr.url, count(b.p) AS n_set
+      FROM probe pr LEFT JOIN cbits b ON pr.p = b.p
+      GROUP BY pr.url
+    )
+    SELECT c.url,
+           n.n_set = {BLOOM_K} AS maybe_crawled,
+           c.url IN (SELECT url FROM crawled) AS actually_crawled,
+           n.n_set <> {BLOOM_K} AS fetch
+    FROM cand c JOIN counts n USING (url)
+    """
