@@ -68,7 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      a driver-green row at least once every two rounds).
 # Everything else follows after position 50 and rotates forward next
 # round.  This round: 3 never-green (pack/line-dedup oracle casts) and
-# 44 new — the mid-round block (substring apply, trained quality cut,
+# 46 new — the mid-round block (substring apply, trained quality cut,
 # trained recall census, capstone funnel, DSIR, SemDeDup, Gopher rules
 # + repetition battery, C4 clean, shard shuffle, BPE pair count +
 # merge step + trained tokenize, CCNet paragraph dedup, RefinedWeb URL
@@ -80,9 +80,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # WHATWG charset decode, HTTP fetch gate, sitemap ingestion + recrawl
 # schedule, mojibake repair, registered-domain + rollup, CCNet
 # perplexity buckets, crawl-scheduler capstone, NFC normalize, politeness fetch
-# slots, fuzzy decontamination, CCNet mixture table, bloom frontier); then
+# slots, fuzzy decontamination, CCNet mixture table, bloom frontier,
+# temperature sampling weights, sliding-window chunking); then
 # the minhash/simhash-derived dedup family head (shingle-trim + kernel
-# fixes touched their signatures).  The 44 new entries leave no room
+# fixes touched their signatures).  The 46 new entries leave no room
 # for the oldest-green (round-4) block, and the tail of the
 # code-changed block (q_dup_clusters..q_dup_cluster_census, green
 # in round 5) is also displaced past 50; that whole displaced run
@@ -150,6 +151,9 @@ _REGISTRY = [
     ("q_decon_fuzzy", dq.q_decon_fuzzy, dq.q_decon_fuzzy_sql),
     ("q_ccnet_mixture", dq.q_ccnet_mixture, dq.q_ccnet_mixture_sql),
     ("q_frontier_bloom", dq.q_frontier_bloom, dq.q_frontier_bloom_sql),
+    ("q_lang_temperature_weights", dq.q_lang_temperature_weights,
+     dq.q_lang_temperature_weights_sql),
+    ("q_chunk_windows", dq.q_chunk_windows, dq.q_chunk_windows_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

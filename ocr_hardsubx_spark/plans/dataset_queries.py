@@ -8120,3 +8120,115 @@ def q_frontier_bloom_sql() -> str:
            n.n_set <> {BLOOM_K} AS fetch
     FROM cand c JOIN counts n USING (url)
     """
+
+
+#: multilingual rebalancing temperature (Conneau & Lample 2019 §3.1 /
+#: the mT5 alpha): p_i^alpha / sum_j p_j^alpha over token mass
+MIXTURE_ALPHA = 0.7
+
+
+def q_lang_temperature_weights(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights — the standard
+    multilingual rebalancing (alpha < 1 up-samples low-resource
+    languages): per-language token mass -> p_i = mass_i / total ->
+    w_i = p_i^alpha / sum_j p_j^alpha, plus the expected token draw
+    per language at the corpus budget.
+
+    Scale shape: one map-side-combinable groupBy(lang) to ~10^2 rows;
+    everything after runs on that tiny table (a second 1-row aggregate
+    + broadcast-style crossJoin, never corpus-sized).  Cross-engine
+    float discipline: p and w round to 6 decimals (pow is libm double
+    on both engines)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    mass = (docs.select("lang",
+                        F.size(F.split("text", " ")).alias("n"))
+            .groupBy("lang").agg(F.sum("n").alias("tokens")))
+    total = mass.agg(F.sum("tokens").alias("total"))
+    p = F.col("tokens") / F.col("total")
+    scored = (mass.crossJoin(F.broadcast(total))
+              .withColumn("p", F.round(p, 6))
+              .withColumn("pa", F.pow(F.round(p, 6), MIXTURE_ALPHA)))
+    z = scored.agg(F.sum("pa").alias("z"))
+    return (scored.crossJoin(F.broadcast(z))
+            .select("lang",
+                    F.col("tokens").cast("long").alias("tokens"),
+                    "p",
+                    F.round(F.col("pa") / F.col("z"), 6).alias("weight"),
+                    F.round(F.col("pa") / F.col("z")
+                            * F.col("total"), 1)
+                     .alias("expected_tokens")))
+
+
+def q_lang_temperature_weights_sql() -> str:
+    return f"""
+    WITH mass AS (
+      SELECT lang, sum(len(string_split(text, ' '))) AS tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(tokens) AS total FROM mass),
+    scored AS (
+      SELECT lang, tokens, round(tokens / total, 6) AS p,
+             pow(round(tokens / total, 6), {MIXTURE_ALPHA}) AS pa,
+             total
+      FROM mass CROSS JOIN tot
+    ),
+    z AS (SELECT sum(pa) AS z FROM scored)
+    SELECT lang, CAST(tokens AS BIGINT) AS tokens, p,
+           round(pa / z, 6) AS weight,
+           round(pa / z * total, 1) AS expected_tokens
+    FROM scored CROSS JOIN z
+    """
+
+
+#: sliding-window chunking dials (retrieval/embedding prep)
+CHUNK_W = 32        # tokens per window
+CHUNK_STRIDE = 24   # tokens between window starts (8-token overlap)
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — the retrieval/embedding prep step: a
+    long document explodes into overlapping CHUNK_W-token windows at
+    CHUNK_STRIDE spacing (the final partial window is kept so trailing
+    tokens are never lost; a doc shorter than one window is one
+    chunk).  Pure JVM sequence/slice/array_join expressions — a
+    map-only explode whose output is bounded by tokens/STRIDE rows per
+    doc, no Python, no shuffle."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((F.size("t") - 1), F.lit(0)),
+        F.lit(CHUNK_STRIDE))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            starts,
+            lambda st: F.array_join(
+                F.slice(F.col("t"), st + 1, CHUNK_W), " "))
+        ).alias("chunk_id", "chunk"))
+    return (chunks
+            .where(F.col("chunk") != "")
+            .select("doc_id", "chunk_id", "chunk",
+                    F.size(F.split("chunk", " ")).alias("n_tokens")))
+
+
+def q_chunk_windows_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((st - 1) / {CHUNK_STRIDE} AS INT) AS chunk_id,
+             array_to_string(t[st:st + {CHUNK_W - 1}], ' ') AS chunk
+      -- range is end-EXCLUSIVE: +2 so the last start (index len-1,
+      -- 1-based st = len) survives when len-1 is a stride multiple
+      FROM toks, LATERAL (SELECT unnest(range(
+           1, greatest(len(t) - 1, 0) + 2, {CHUNK_STRIDE})) AS st)
+    )
+    SELECT doc_id, chunk_id, chunk,
+           CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens
+    FROM chunks WHERE chunk <> ''
+    """
