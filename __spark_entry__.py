@@ -83,7 +83,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots, fuzzy decontamination, CCNet mixture table, bloom frontier,
 # temperature sampling weights, sliding-window chunking); then
 # the minhash/simhash-derived dedup family head (shingle-trim + kernel
-# fixes touched their signatures).  The 46 new entries leave no room
+# fixes touched their signatures).  The 46 new entries overflow the window
+# by one — q_chunk_windows (the simplest of them, judge-replica-green
+# in tests/test_entry_contract.py this round) sits at position 51 and
+# is first of the new block next round — and leave no room
 # for the oldest-green (round-4) block, and the tail of the
 # code-changed block (q_dup_clusters..q_dup_cluster_census, green
 # in round 5) is also displaced past 50; that whole displaced run
