@@ -68,7 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      a driver-green row at least once every two rounds).
 # Everything else follows after position 50 and rotates forward next
 # round.  This round: 3 never-green (pack/line-dedup oracle casts) and
-# 46 new — the mid-round block (substring apply, trained quality cut,
+# 47 new — the mid-round block (substring apply, trained quality cut,
 # trained recall census, capstone funnel, DSIR, SemDeDup, Gopher rules
 # + repetition battery, C4 clean, shard shuffle, BPE pair count +
 # merge step + trained tokenize, CCNet paragraph dedup, RefinedWeb URL
@@ -83,10 +83,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots, fuzzy decontamination, CCNet mixture table, bloom frontier,
 # temperature sampling weights, sliding-window chunking); then
 # the minhash/simhash-derived dedup family head (shingle-trim + kernel
-# fixes touched their signatures).  The 46 new entries overflow the window
-# by one — q_chunk_windows (the simplest of them, judge-replica-green
-# in tests/test_entry_contract.py this round) sits at position 51 and
-# is first of the new block next round — and leave no room
+# fixes touched their signatures).  The 47 new entries overflow the window
+# by two — q_chunk_windows and q_gopher_stops_multilang (the simplest of them, judge-replica-green
+# in tests/test_entry_contract.py this round) sit at positions 51-52
+# and are first of the new block next round — and leave no room
 # for the oldest-green (round-4) block, and the tail of the
 # code-changed block (q_dup_clusters..q_dup_cluster_census, green
 # in round 5) is also displaced past 50; that whole displaced run
@@ -157,6 +157,8 @@ _REGISTRY = [
     ("q_lang_temperature_weights", dq.q_lang_temperature_weights,
      dq.q_lang_temperature_weights_sql),
     ("q_chunk_windows", dq.q_chunk_windows, dq.q_chunk_windows_sql),
+    ("q_gopher_stops_multilang", dq.q_gopher_stops_multilang,
+     dq.q_gopher_stops_multilang_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

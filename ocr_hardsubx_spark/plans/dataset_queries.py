@@ -8232,3 +8232,91 @@ def q_chunk_windows_sql() -> str:
            CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens
     FROM chunks WHERE chunk <> ''
     """
+
+
+#: per-language required stopword sets (FineWeb-2 / Penedo et al. 2024
+#: localize Gopher's English list; these are the 8 highest-frequency
+#: function words per language)
+GOPHER_STOPS_BY_LANG = {
+    "en": ("the", "be", "to", "of", "and", "that", "have", "with"),
+    "de": ("der", "die", "und", "in", "den", "von", "zu", "das"),
+    "fr": ("le", "la", "et", "les", "des", "en", "un", "du"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不"),
+}
+
+
+def q_gopher_stops_multilang(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """LANGUAGE-AWARE required-stopword rule (the FineWeb-2 fix to
+    Gopher's English-centric battery): each doc is checked against ITS
+    language's function-word set; the ``n_en_stopwords`` control
+    column shows why the en-only rule cannot ship multilingually (it
+    zeroes out on well-formed non-English text).
+
+    Fixture: every doc carries a 4-stopword preamble in its own
+    language except every 4th doc (which must fail the rule); the
+    oracle re-derives preamble and counts arithmetically.  Zero
+    shuffle — lang dispatch is a chained CASE over broadcast-literal
+    arrays, all JVM."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                   "text")
+    pre = None
+    for lang, stops in GOPHER_STOPS_BY_LANG.items():
+        piece = F.lit(" ".join(stops[:4]) + " ")
+        pre = (F.when(F.col("lang") == lang, piece) if pre is None
+               else pre.when(F.col("lang") == lang, piece))
+    pre = pre.otherwise(F.lit(""))
+    fixture = F.when(F.col("doc_id") % 4 == 0, F.col("text")) \
+               .otherwise(F.concat(pre, F.col("text")))
+    d = docs.select("doc_id", "lang",
+                    F.array_distinct(F.split(fixture, " ")).alias("ws"))
+
+    def count_for(stops):
+        return F.size(F.array_intersect(
+            "ws", F.array(*[F.lit(w) for w in stops])))
+
+    n_own = None
+    for lang, stops in GOPHER_STOPS_BY_LANG.items():
+        c = count_for(stops)
+        n_own = (F.when(F.col("lang") == lang, c) if n_own is None
+                 else n_own.when(F.col("lang") == lang, c))
+    n_own = n_own.otherwise(F.lit(0))
+    return d.select(
+        "doc_id", "lang",
+        n_own.cast("int").alias("n_req_stopwords"),
+        count_for(GOPHER_STOPS_BY_LANG["en"]).cast("int")
+            .alias("n_en_stopwords"),
+        (n_own >= 2).alias("keep"))
+
+
+def q_gopher_stops_multilang_sql() -> str:
+    pre_arms = " ".join(
+        f"WHEN '{lang}' THEN '{' '.join(stops[:4])} '"
+        for lang, stops in GOPHER_STOPS_BY_LANG.items())
+    own_arms = " ".join(
+        "WHEN '{l}' THEN len(list_intersect(ws, [{ws}]))".format(
+            l=lang, ws=", ".join(f"'{w}'" for w in stops))
+        for lang, stops in GOPHER_STOPS_BY_LANG.items())
+    en = ", ".join(f"'{w}'" for w in GOPHER_STOPS_BY_LANG["en"])
+    return f"""
+    WITH fixture AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 4 = 0 THEN text
+                  ELSE (CASE lang {pre_arms} ELSE '' END) || text END
+               AS ftext
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(ftext, ' ')) AS ws
+      FROM fixture
+    )
+    SELECT doc_id, lang,
+           CAST(CASE lang {own_arms} ELSE 0 END AS INT)
+             AS n_req_stopwords,
+           CAST(len(list_intersect(ws, [{en}])) AS INT)
+             AS n_en_stopwords,
+           (CASE lang {own_arms} ELSE 0 END) >= 2 AS keep
+    FROM d
+    """
