@@ -8320,3 +8320,134 @@ def q_gopher_stops_multilang_sql() -> str:
            (CASE lang {own_arms} ELSE 0 END) >= 2 AS keep
     FROM d
     """
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003 — the MOSS algorithm)
+# --------------------------------------------------------------------------
+
+WINNOW_K = 4        # tokens per k-gram
+WINNOW_W = 4        # k-gram hashes per winnowing window
+WINNOW_CAP = 10     # max docs sharing one fingerprint before the
+                    # bucket is dropped (boilerplate guard, observable)
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) — each doc's winnowed fingerprint set: min k-gram
+    hash per sliding window of WINNOW_W hashes, deduplicated.  All
+    JVM array expressions; the hash is the first 48 bits of the
+    k-gram's md5 (numeric so ``array_min`` orders it identically on
+    both engines)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    gram_idx = F.when(
+        F.size("t") >= WINNOW_K,
+        F.sequence(F.lit(0), F.size("t") - WINNOW_K)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "doc_id",
+        F.transform(gram_idx, lambda i: F.conv(
+            F.substring(F.md5(F.array_join(
+                F.slice(F.col("t"), i + 1, WINNOW_K), " ")), 1, 12),
+            16, 10).cast("long")).alias("hs"))
+    win_idx = F.when(
+        F.size("hs") >= WINNOW_W,
+        F.sequence(F.lit(0), F.size("hs") - WINNOW_W)
+    ).otherwise(F.array().cast("array<int>"))
+    return (grams.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            win_idx,
+            lambda j: F.array_min(F.slice(F.col("hs"), j + 1,
+                                          WINNOW_W))))).alias("fp")))
+
+
+_WINNOW_FPS_SQL = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(t) - {WINNOW_K} + 1, 0) + 1),
+               i -> CAST(CAST(concat('0x', substring(
+                      md5(array_to_string(t[i:i + {WINNOW_K - 1}], ' ')),
+                      1, 12)) AS UBIGINT) AS BIGINT)) AS hs
+      FROM toks
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM grams,
+           LATERAL (SELECT unnest(list_transform(
+             range(1, greatest(len(hs) - {WINNOW_W} + 1, 0) + 1),
+             j -> list_min(hs[j:j + {WINNOW_W - 1}]))) AS fp)
+    )
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003): per-doc fingerprint census.
+    The guarantee the MOSS algorithm is used for: any shared token run
+    of length >= W + K - 1 (here 7) shares at least one fingerprint,
+    while only ~1/W of the grams are retained — partial-overlap
+    detection at a fraction of the exact-substring census's shuffle
+    volume.  Map-only explode + one distinct; fingerprints are 8-byte
+    longs, the text never shuffles."""
+    fps = _winnow_fps(spark, sf_dir)
+    return (fps.groupBy("doc_id")
+            .agg(F.count("*").alias("n_fps"),
+                 F.min("fp").alias("min_fp")))
+
+
+def q_winnow_fingerprints_sql() -> str:
+    return f"""
+    WITH {_WINNOW_FPS_SQL.strip()}
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+           min(fp) AS min_fp
+    FROM fps GROUP BY doc_id
+    """
+
+
+def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-fingerprint candidate pairs: docs sharing >= 2 winnowed
+    fingerprints, via the bucketed shape (groupBy fp -> bounded pair
+    explode) with the boilerplate cap — a fingerprint shared by more
+    than WINNOW_CAP docs is dropped (observable, the q_minhash
+    discipline), so no hot fingerprint ever goes quadratic."""
+    fps = _winnow_fps(spark, sf_dir)
+    buckets = (fps.groupBy("fp")
+               .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+               .where((F.size("ds") >= 2) &
+                      (F.size("ds") <= WINNOW_CAP)))
+    pairs = buckets.select(
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.lit(0), F.size("ds") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ds") - 1),
+                lambda j: F.struct(
+                    F.element_at("ds", i + 1).alias("a"),
+                    F.element_at("ds", j + 1).alias("b")))))).alias("p"))
+    return (pairs.select(F.col("p.a").alias("doc_a"),
+                         F.col("p.b").alias("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= 2))
+
+
+def q_winnow_candidates_sql() -> str:
+    return f"""
+    WITH {_WINNOW_FPS_SQL.strip()},
+    sized AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING count(*) BETWEEN 2 AND {WINNOW_CAP}
+    ),
+    pairs AS (
+      SELECT f1.doc_id AS doc_a, f2.doc_id AS doc_b
+      FROM fps f1
+      JOIN sized s ON f1.fp = s.fp
+      JOIN fps f2 ON f2.fp = f1.fp AND f2.doc_id > f1.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """
