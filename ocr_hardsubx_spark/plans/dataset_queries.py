@@ -8451,3 +8451,31 @@ def q_winnow_candidates_sql() -> str:
     FROM pairs GROUP BY 1, 2
     HAVING count(*) >= 2
     """
+
+
+def q_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (the reweighting alternative to dropping — SoftDeDup,
+    Xue et al. ACL 2024): every doc keeps a sampling weight of
+    1 / n_copies of its exact content hash, so duplicated content
+    contributes the same expected token mass as a single copy while
+    no document is discarded.  ONE groupBy on the 16-byte md5 + a join
+    back on the same key (co-partitioned, AQE-reusable); weight
+    rounded 6dp cross-engine."""
+    docs = _tbl(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    counts = hashed.groupBy("h").agg(F.count("*").alias("n_copies"))
+    return (hashed.join(counts, "h")
+            .select("doc_id",
+                    F.col("n_copies").cast("long").alias("n_copies"),
+                    F.round(F.lit(1.0) / F.col("n_copies"), 6)
+                     .alias("weight")))
+
+
+def q_softdedup_weights_sql() -> str:
+    return """
+    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    counts AS (SELECT h, count(*) AS n_copies FROM hashed GROUP BY h)
+    SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+           round(1.0 / n_copies, 6) AS weight
+    FROM hashed JOIN counts USING (h)
+    """
