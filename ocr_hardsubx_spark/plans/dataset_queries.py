@@ -8479,3 +8479,103 @@ def q_softdedup_weights_sql() -> str:
            round(1.0 / n_copies, 6) AS weight
     FROM hashed JOIN counts USING (h)
     """
+
+
+NOVELTY_NGRAM = 3
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty — each doc's unique contribution to the corpus:
+    the fraction of its distinct NOVELTY_NGRAM-grams that appear in NO
+    other document.  The diversity/selection dial (a near-dup of
+    existing content scores ~0; a doc full of corpus-unique content
+    scores ~1) used to pick what a marginal training token actually
+    buys.
+
+    Scale shape: distinct (doc, gram-md5) rows shuffle once on the
+    16-byte gram key with map-side partials for the doc-frequency
+    census, join back on the same key (co-partitioned), then one
+    groupBy(doc).  Text never shuffles; fraction rounded 4dp."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    idx = F.when(
+        F.size("t") >= NOVELTY_NGRAM,
+        F.sequence(F.lit(0), F.size("t") - NOVELTY_NGRAM)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (toks.select(
+        "doc_id",
+        F.explode(F.transform(idx, lambda i: F.md5(F.array_join(
+            F.slice(F.col("t"), i + 1, NOVELTY_NGRAM), " "))))
+         .alias("g"))
+        .distinct())
+    df = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    return (grams.join(df, "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_distinct_grams"),
+                 F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+                  .alias("n_novel_grams"))
+            .select("doc_id",
+                    F.col("n_distinct_grams").cast("long")
+                     .alias("n_distinct_grams"),
+                    F.col("n_novel_grams").cast("long")
+                     .alias("n_novel_grams"),
+                    F.round(F.col("n_novel_grams")
+                            / F.col("n_distinct_grams"), 4)
+                     .alias("novelty")))
+
+
+def q_ngram_novelty_sql() -> str:
+    return f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(t[i:i + {NOVELTY_NGRAM - 1}], ' '))
+               AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents),
+           LATERAL (SELECT unnest(range(1,
+                greatest(len(t) - {NOVELTY_NGRAM - 1}, 0) + 1)) AS i)
+    ),
+    df AS (SELECT g, count(DISTINCT doc_id) AS n_docs
+           FROM grams GROUP BY g)
+    SELECT g2.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel_grams,
+           round(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+                 / count(*), 4) AS novelty
+    FROM grams g2 JOIN df USING (g)
+    GROUP BY g2.doc_id
+    """
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training pairs from the chunk stream (the
+    deterministic analog of Contriever's independent cropping): two
+    ADJACENT overlapping windows of the same document form a positive
+    pair — same topic, partially distinct surface — and in-batch
+    negatives come free downstream.  One self-join on
+    (doc_id, chunk_id+1): co-partitioned, never cross-doc."""
+    chunks = q_chunk_windows(spark, sf_dir)
+    a = chunks.select("doc_id", F.col("chunk_id").alias("cid"),
+                      F.col("chunk").alias("anchor"))
+    b = chunks.select("doc_id", (F.col("chunk_id") - 1).alias("cid"),
+                      F.col("chunk").alias("positive"))
+    return (a.join(b, ["doc_id", "cid"])
+            .select("doc_id", F.col("cid").alias("pair_id"),
+                    "anchor", "positive"))
+
+
+def q_contrastive_pairs_sql() -> str:
+    chunk_chain = q_chunk_windows_sql().strip()
+    assert chunk_chain.startswith("WITH ")
+    body = chunk_chain[len("WITH "):]
+    head, _sep, final_select = body.rpartition("SELECT doc_id, chunk_id,")
+    return f"""
+    WITH {head.rstrip()},
+    cw AS (SELECT doc_id, chunk_id,{final_select})
+    SELECT a.doc_id, a.chunk_id AS pair_id,
+           a.chunk AS anchor, b.chunk AS positive
+    FROM cw a JOIN cw b
+      ON b.doc_id = a.doc_id AND b.chunk_id = a.chunk_id + 1
+    """
