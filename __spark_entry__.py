@@ -68,7 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      a driver-green row at least once every two rounds).
 # Everything else follows after position 50 and rotates forward next
 # round.  This round: 3 never-green (pack/line-dedup oracle casts) and
-# 52 new — the mid-round block (substring apply, trained quality cut,
+# 54 new — the mid-round block (substring apply, trained quality cut,
 # trained recall census, capstone funnel, DSIR, SemDeDup, Gopher rules
 # + repetition battery, C4 clean, shard shuffle, BPE pair count +
 # merge step + trained tokenize, CCNet paragraph dedup, RefinedWeb URL
@@ -83,11 +83,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots, fuzzy decontamination, CCNet mixture table, bloom frontier,
 # temperature sampling weights, sliding-window chunking); then
 # the minhash/simhash-derived dedup family head (shingle-trim + kernel
-# fixes touched their signatures).  The 52 new entries overflow the window
-# by seven — q_chunk_windows, q_gopher_stops_multilang, the two
-# winnowing queries, q_softdedup_weights, q_ngram_novelty, and
-# q_contrastive_pairs (the simplest of them, judge-replica-green
-# in tests/test_entry_contract.py this round) sit at positions 51-57
+# fixes touched their signatures).  The 54 new entries overflow the window
+# by nine — q_chunk_windows, q_gopher_stops_multilang, the two
+# winnowing queries, q_softdedup_weights, q_ngram_novelty,
+# q_contrastive_pairs, q_payload_sniff, and q_corpus_card (the simplest of them, judge-replica-green
+# in tests/test_entry_contract.py this round) sit at positions 51-59
 # and are first of the new block next round — and leave no room
 # for the oldest-green (round-4) block, and the tail of the
 # code-changed block (q_dup_clusters..q_dup_cluster_census, green
@@ -170,6 +170,8 @@ _REGISTRY = [
     ("q_ngram_novelty", dq.q_ngram_novelty, dq.q_ngram_novelty_sql),
     ("q_contrastive_pairs", dq.q_contrastive_pairs,
      dq.q_contrastive_pairs_sql),
+    ("q_payload_sniff", dq.q_payload_sniff, dq.q_payload_sniff_sql),
+    ("q_corpus_card", dq.q_corpus_card, dq.q_corpus_card_sql),
     # -- code changed since last green (simhash kernel + shingle trim) -----
     ("q_simhash", dq.q_simhash, dq.q_simhash_sql),
     ("q_simhash_candidates", dq.q_simhash_candidates, dq.q_simhash_candidates_sql),

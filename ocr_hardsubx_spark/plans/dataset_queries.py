@@ -8579,3 +8579,99 @@ def q_contrastive_pairs_sql() -> str:
     FROM cw a JOIN cw b
       ON b.doc_id = a.doc_id AND b.chunk_id = a.chunk_id + 1
     """
+
+
+def q_payload_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte format sniffing at fetch time — Content-Type lies
+    routinely, the first bytes don't: classify each payload by its
+    signature (%PDF, PNG, JPEG, GIF, gzip, '<'-leading markup, else
+    text/unknown) as a PURE JVM expression over the binary column
+    (hex-prefix compare inside whole-stage codegen; no Python, no
+    shuffle).  The router a 100 TB ingest uses to send payloads to the
+    right decoder family (html -> extract, pdf -> pdftext, media ->
+    multimodal), upstream of every per-format stage.
+
+    Fixture by doc_id % 6 over arithmetic payloads; the oracle
+    re-derives signature and verdict from the same arithmetic."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    did = F.col("doc_id").cast("string")
+    raw = (F.when(m == 0, F.encode(F.concat(F.lit("<html>doc "), did),
+                                   "UTF-8"))
+            .when(m == 1, F.concat(F.unhex(F.lit("255044462D312E34")),
+                                   F.encode(did, "US-ASCII")))   # %PDF-1.4
+            .when(m == 2, F.concat(F.unhex(F.lit("89504E470D0A1A0A")),
+                                   F.encode(did, "US-ASCII")))   # PNG
+            .when(m == 3, F.concat(F.unhex(F.lit("FFD8FFE0")),
+                                   F.encode(did, "US-ASCII")))   # JPEG
+            .when(m == 4, F.concat(F.unhex(F.lit("1F8B08")),
+                                   F.encode(did, "US-ASCII")))   # gzip
+            .otherwise(F.encode(F.concat(F.lit("plain "), did),
+                                "UTF-8")))
+    head = F.upper(F.hex(F.substring(raw, 1, 8)))
+    fmt = (F.when(head.startswith("25504446"), "pdf")
+            .when(head.startswith("89504E47"), "png")
+            .when(head.startswith("FFD8FF"), "jpeg")
+            .when(head.startswith("47494638"), "gif")
+            .when(head.startswith("1F8B"), "gzip")
+            .when(head.startswith("3C"), "markup")
+            .otherwise("text"))
+    return docs.select(
+        "doc_id", F.length(raw).cast("long").alias("n_bytes"),
+        fmt.alias("sniffed"),
+        (fmt.isin("markup", "pdf")).alias("extractable"))
+
+
+def q_payload_sniff_sql() -> str:
+    return """
+    SELECT doc_id,
+           CAST(CASE doc_id % 6
+             WHEN 0 THEN 10 + length(CAST(doc_id AS VARCHAR))
+             WHEN 1 THEN 8 + length(CAST(doc_id AS VARCHAR))
+             WHEN 2 THEN 8 + length(CAST(doc_id AS VARCHAR))
+             WHEN 3 THEN 4 + length(CAST(doc_id AS VARCHAR))
+             WHEN 4 THEN 3 + length(CAST(doc_id AS VARCHAR))
+             ELSE 6 + length(CAST(doc_id AS VARCHAR)) END AS BIGINT)
+             AS n_bytes,
+           CASE doc_id % 6 WHEN 0 THEN 'markup' WHEN 1 THEN 'pdf'
+                           WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg'
+                           WHEN 4 THEN 'gzip' ELSE 'text' END
+             AS sniffed,
+           doc_id % 6 IN (0, 1) AS extractable
+    FROM documents
+    """
+
+
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus card — the one-row summary a dataset release ships:
+    doc/token totals, language count, mean doc length, short-doc and
+    empty-doc fractions.  ONE aggregation with map-side partials over
+    narrow projections; every number recomputable from the row level
+    by construction."""
+    docs = _tbl(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return (docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg(n_tok), 2).alias("mean_tokens"),
+        F.round(F.sum(F.when(n_tok < 20, 1).otherwise(0))
+                / F.count("*"), 4).alias("frac_short"),
+        F.round(F.sum(F.when(F.length("text") == 0, 1).otherwise(0))
+                / F.count("*"), 4).alias("frac_empty")))
+
+
+def q_corpus_card_sql() -> str:
+    return """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(avg(len(string_split(text, ' '))), 2) AS mean_tokens,
+           round(sum(CASE WHEN len(string_split(text, ' ')) < 20
+                          THEN 1 ELSE 0 END) / count(*), 4)
+             AS frac_short,
+           round(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+                 / count(*), 4) AS frac_empty
+    FROM documents
+    """
