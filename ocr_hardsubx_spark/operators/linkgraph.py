@@ -188,13 +188,16 @@ def pagerank_hosts(outlinks: "DataFrame", iters: int = 5,
     edges = link_graph(outlinks).select(
         F.col("src_host").alias("src"), F.col("dst_host").alias("dst"),
         "weight")
+    # edges + hosts + the dangling set are reused every step: materialize
+    # edges FIRST and derive hosts/dangling from the checkpointed frame —
+    # deriving them from the pre-checkpoint plan would re-run the whole
+    # upstream outlink extraction (the mapInPandas html parse) once per
+    # derived frame (measured 2x at sf1.0; the same shared-subtree hazard
+    # as the crawl scheduler's double outlink stage)
+    edges = edges.localCheckpoint()
     hosts = (edges.select(F.col("src").alias("host"))
              .union(edges.select(F.col("dst").alias("host")))
-             .distinct())
-    # edges + hosts + the dangling set are reused every step:
-    # materialize once
-    edges = edges.localCheckpoint()
-    hosts = hosts.localCheckpoint()
+             .distinct().localCheckpoint())
     dangling = hosts.join(edges.select(F.col("src").alias("host"))
                           .distinct(), "host", "left_anti"
                           ).localCheckpoint()

@@ -25,6 +25,18 @@ def get_spark(app_name: str = "ocr-hardsubx-spark", cores: int | None = None,
         .config("spark.sql.shuffle.partitions", str(max(DEFAULT_SHUFFLE_PARTITIONS, cores)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Scan-parallelism floor (optimization guide §6): without it a
+        # table whose BYTES fit one 128 MB split scans as ONE task no
+        # matter how much per-row compute follows (the sandbox fact
+        # tables are byte-light/CPU-heavy).  Scale-adaptive by
+        # construction: split size = min(maxPartitionBytes,
+        # totalBytes/minPartitionNum), so at production scale (splits
+        # >> cores) the floor is inert and maxPartitionBytes governs.
+        # Parquet caveat: a single-ROW-GROUP file still cannot split —
+        # dataset_queries._tbl handles that case with an explicit
+        # fan-out repartition.
+        .config("spark.sql.files.minPartitionNum",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", str(cores)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS_PER_BATCH))
