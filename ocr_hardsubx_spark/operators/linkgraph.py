@@ -222,8 +222,12 @@ def pagerank_hosts(outlinks: "DataFrame", iters: int = 5,
                                  + F.lit(damping)
                                  * F.coalesce(F.col("mass"), F.lit(0.0)),
                                  STEP_ROUND).alias("pr")))
-        # cut lineage: step K must not replay steps 1..K-1
-        ranks = ranks.localCheckpoint()
+        # cut lineage: step K must not replay steps 1..K-1.  Lazy
+        # (eager=False): the checkpoint still truncates lineage at first
+        # materialization, but the loop no longer launches one blocking
+        # job per step — all steps evaluate inside the consumer's single
+        # action (dangling graphs evaluate per step anyway via `dang`)
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("host", F.round("pr", FINAL_ROUND).alias("pr"))
 
 

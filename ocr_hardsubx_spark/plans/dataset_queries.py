@@ -114,7 +114,11 @@ _TABLE_CACHE: dict = {}
 #: hash kernels, Python batch stages), not scan bytes — the only ones the
 #: _tbl fan-out applies to.  Dimension tables (nation/region/supplier/...)
 #: stay un-repartitioned so broadcast joins keep their single-task build.
-_FANOUT_TABLES = frozenset({"documents", "embeddings", "events"})
+#: embeddings is deliberately EXCLUDED: its consumers are single-matmul
+#: BLAS kernels whose per-batch setup dominates at < ~500 rows/batch —
+#: fanning 20k vectors across 64 partitions measured ~2x SLOWER
+#: (q_ann_ivf_topk 0.7s -> 1.9s) than one worker streaming full batches.
+_FANOUT_TABLES = frozenset({"documents", "events"})
 
 
 def _fanout_parts(spark: SparkSession, path: str) -> int:
@@ -442,7 +446,13 @@ def _simhash_kernel_udf():
         res[~has] = pd.NA
         return res
 
-    return simhash64
+    # the fingerprint query filters on this column (isNotNull); without
+    # the non-deterministic mark the optimizer pushes that filter below
+    # the projection and DUPLICATES the kernel — two ArrowEvalPython
+    # nodes, the lower one below the fan-out exchange (single-task), was
+    # ~2x the query wall at sf1.0 (optimization guide §4.4).  The kernel
+    # is pure; the mark only pins its single evaluation point.
+    return simhash64.asNondeterministic()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,7 +833,10 @@ def _code_udf(planes: list[list[float]]):
             out[valid] = pd.array(bits @ W, dtype="Int32")
         return pd.Series(out)
 
-    return code
+    # pure kernel; the mark stops the optimizer pushing code-column
+    # filters below the projection and evaluating the BLAS kernel twice
+    # (optimization guide §4.4, the q_simhash finding)
+    return code.asNondeterministic()
 
 
 def _code_sql(planes: list[list[float]]) -> str:
@@ -1073,7 +1086,9 @@ def _ivf_assign_udf(cents_norm: list[list[float]]):
             out[valid] = vals
         return pd.Series(out)
 
-    return assign
+    # pure kernel; non-deterministic mark = single evaluation point
+    # (guide §4.4 — list_id filters otherwise duplicate the matmul)
+    return assign.asNondeterministic()
 
 
 _IVF_SIMS_SQL = f"""
@@ -1715,7 +1730,9 @@ def _cosine_batch(a, b):
             return pd.Series(out, dtype="Float64").mask(
                 norms == 0, pd.NA)
 
-        _COS_UDF = cos
+        # pure kernel; the cos_sim >= threshold filter otherwise
+        # duplicates the einsum per candidate (guide §4.4)
+        _COS_UDF = cos.asNondeterministic()
     return _COS_UDF(a, b)
 
 
@@ -3358,7 +3375,8 @@ def _pq_assign_udf(codebook):
             "recon_mse": np.floor(err / EMB_DIM * 1e4 + 0.5) / 1e4,
         })
 
-    return assign
+    # pure kernel; single-evaluation mark (guide §4.4)
+    return assign.asNondeterministic()
 
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3555,7 +3573,8 @@ def _ivfpq_assign_udf(cents_norm, codebook):
                       for ok, c in zip(nz, codes)],
         })
 
-    return assign
+    # pure kernel; single-evaluation mark (guide §4.4)
+    return assign.asNondeterministic()
 
 
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4484,8 +4503,13 @@ def _substr_grams(docs: DataFrame) -> DataFrame:
             idx,
             lambda i: F.struct(
                 i.alias("i"),
-                F.md5(F.array_join(
-                    F.slice(toks, i + 1, SUBSTR_NGRAM), " ")).alias("g")),
+                # unhex: ship the digest as its 16 raw bytes, not the
+                # 32-char hex string — g is equality-only and internal
+                # to both substring queries, so this halves every gram
+                # shuffle byte-for-byte (the docstrings always promised
+                # a 16-byte hash)
+                F.unhex(F.md5(F.array_join(
+                    F.slice(toks, i + 1, SUBSTR_NGRAM), " "))).alias("g")),
         )).alias("p"),
     ).select("doc_id", F.col("p.i").alias("i"), F.col("p.g").alias("g"))
 
@@ -6038,7 +6062,9 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.size("toks") - F.col("n")))
             .otherwise(F.array().cast("array<int>"))).alias("i"),
         "toks",
-    ).select("doc_id", "n", F.md5(gram).alias("h"),
+        # unhex: the gram digest is equality-only (aggregated away
+        # before output) — 16 raw bytes shuffle instead of 32 hex chars
+    ).select("doc_id", "n", F.unhex(F.md5(gram)).alias("h"),
              F.length(gram).alias("len"))
     counts = (grams.groupBy("doc_id", "n", "h", "len")
               .agg(F.count("*").alias("cnt")))
