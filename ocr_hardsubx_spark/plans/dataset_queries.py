@@ -2780,18 +2780,16 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; the per-doc n-weighted AVG is rounded to 4 decimals."""
     docs = _tbl(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    # guard the index sequence exactly like q_decontaminate: size<2 must
-    # yield NO bigrams, not sequence(1, 0) == [1, 0]
-    idx = F.when(F.size("t") > 1, F.sequence(F.lit(1), F.size("t") - 1)) \
-           .otherwise(F.array().cast("array<int>"))
+    # bigrams via arrays_zip of the two shifted slices: native array
+    # ops instead of a per-element interpreted transform() lambda
+    # (round-3 HOF finding; measured ~15% off the explode+agg stage at
+    # sf1.0, bit-identical rows).  size<2 yields two empty slices and
+    # thus NO bigrams — the sequence(1, 0) == [1, 0] trap never arises.
     bi = toks.select(
         "doc_id",
-        F.explode(F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at("t", i).alias("w1"),
-                F.element_at("t", i + 1).alias("w2")),
-        )).alias("b"),
+        F.explode(F.arrays_zip(
+            F.slice("t", 1, F.size("t") - 1).alias("w1"),
+            F.slice("t", 2, F.size("t") - 1).alias("w2"))).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     # per-doc pre-aggregation: every later shuffle/join moves one row
     # per DISTINCT (doc, bigram) with its repetition count as a weight
@@ -3732,7 +3730,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("w"))
     hits = (toks.where(F.col("w").isin(*BM25_QUERY_TERMS))
             .groupBy("doc_id", "dl", "w")
-            .agg(F.count("*").alias("tf")))
+            .agg(F.count("*").alias("tf"))
+            # hits feeds df_t AND the scored join; without this the
+            # token explode runs twice in one job (shared-subtree
+            # discipline) — hits is <= |query terms| rows per doc
+            .localCheckpoint())
     n_docs = docs.agg(F.count("*").alias("n"),
                       F.avg(F.size(F.split("text", " "))).alias("avgdl"))
     df_t = (hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df")))
@@ -5207,17 +5209,17 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED score."""
     docs = _tbl(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
-    # size<2 must yield NO bigrams (sequence(1,0) == [1,0] trap)
-    idx = F.when(F.size("t") > 1, F.sequence(F.lit(1), F.size("t") - 1)) \
-           .otherwise(F.array().cast("array<int>"))
+    # arrays_zip bigrams (native slices, no per-element interpreted
+    # lambda — the q_lm_perplexity form); size<2 -> two empty slices ->
+    # no bigrams, so the sequence(1,0) == [1,0] trap never arises
     bi = toks.select(
         "doc_id", "lang",
-        F.explode(F.transform(
-            idx,
-            lambda i: F.concat(F.element_at("t", i), F.lit(" "),
-                               F.element_at("t", i + 1)),
-        )).alias("bg"),
-    )
+        F.explode(F.arrays_zip(
+            F.slice("t", 1, F.size("t") - 1).alias("w1"),
+            F.slice("t", 2, F.size("t") - 1).alias("w2"))).alias("b"),
+    ).select("doc_id", "lang",
+             F.concat(F.col("b.w1"), F.lit(" "), F.col("b.w2"))
+              .alias("bg"))
     feat = bi.select(
         "doc_id", "lang",
         (F.conv(F.substring(F.md5("bg"), 1, 7), 16, 10).cast("long")
@@ -6024,15 +6026,24 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the census convention both engines share); keep iff every fraction
     is under its table-A1 ceiling.
 
-    Scale shape: the line stats are pure per-row array expressions
-    (zero shuffle).  The n-gram census shuffles (doc_id, n, md5(gram),
-    gram_len) — 16-byte hashes, never gram text (the line-dedup
-    discipline) — with map-side partial counts; the per-(doc,n) rollup
-    and per-doc pivot re-shuffle, but only rows already collapsed to
-    distinct grams (then to one row per (doc, n)), so the raw gram
-    volume pays exactly one exchange.  Ties for the most frequent
-    gram break on (count, count*len) struct-max, deterministic in both
-    engines.  All fractions round-4 per the cross-engine discipline."""
+    Scale shape: the census is DOC-LOCAL — no cross-document state —
+    so it runs as one zero-shuffle Arrow kernel (mapInPandas): per doc
+    and per n, occurrence counts over exact gram token-tuples in a
+    Counter, struct-max (count, count*len) tie-break and the
+    occurrence-weighted dup sum computed in place.  The former JVM form
+    exploded the full gram stream (~10M rows at sf1.0, each paying an
+    interpreted slice+array_join, round-3 HOF finding) and shuffled it
+    into a three-stage rollup; measured 6.6s -> ~2s at sf1.0 with the
+    kernel, and at 100 TB the plan drops from one gram-volume exchange
+    to ZERO (the only shuffle left is the 1-row-per-doc stats join).
+    Per-task state is one Counter per (doc, n) — bounded by document
+    length, never corpus size.  Ties for the most frequent gram break
+    on (count, count*len) max, deterministic in both engines.  All
+    fractions round-4 per the cross-engine discipline (JVM-side
+    HALF_UP round on integer counts — the kernel emits only integer
+    character counts, so no float crosses the boundary)."""
+    import pandas as pd
+
     docs = _tbl(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", F.split("text", " ").alias("toks"),
@@ -6050,35 +6061,40 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((line_chars - dist_chars) / line_chars, 4)
          .alias("frac_dup_line_chars"))
 
-    ns = sorted(set(GOPHER_TOP_NGRAM_MAX) | set(GOPHER_DUP_NGRAM_MAX))
-    exploded = base.select(
-        "doc_id", "toks",
-        F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"))
-    gram = F.array_join(F.slice("toks", F.col("i") + 1, F.col("n")), " ")
-    grams = exploded.select(
-        "doc_id", "n",
-        F.explode(F.when(
-            F.size("toks") >= F.col("n"),
-            F.sequence(F.lit(0), F.size("toks") - F.col("n")))
-            .otherwise(F.array().cast("array<int>"))).alias("i"),
-        "toks",
-        # unhex: the gram digest is equality-only (aggregated away
-        # before output) — 16 raw bytes shuffle instead of 32 hex chars
-    ).select("doc_id", "n", F.unhex(F.md5(gram)).alias("h"),
-             F.length(gram).alias("len"))
-    counts = (grams.groupBy("doc_id", "n", "h", "len")
-              .agg(F.count("*").alias("cnt")))
-    pern = counts.groupBy("doc_id", "n").agg(
-        F.max(F.struct(F.col("cnt"),
-                       (F.col("cnt") * F.col("len")).alias("chars")))
-         ["chars"].alias("top_chars"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("len")))
-         .alias("dup_chars"))
-    perdoc = pern.groupBy("doc_id").agg(
-        *[F.max(F.when(F.col("n") == n, F.col("top_chars")))
-           .alias(f"top{n}_chars") for n in GOPHER_TOP_NGRAM_MAX],
-        *[F.max(F.when(F.col("n") == n, F.col("dup_chars")))
-           .alias(f"dup{n}_chars") for n in GOPHER_DUP_NGRAM_MAX])
+    ns_top = sorted(GOPHER_TOP_NGRAM_MAX)
+    ns_dup = sorted(GOPHER_DUP_NGRAM_MAX)
+    ns = sorted(set(ns_top) | set(ns_dup))
+    cols = ([f"top{n}_chars" for n in ns_top]
+            + [f"dup{n}_chars" for n in ns_dup])
+    schema = "doc_id long, " + ", ".join(f"{c} long" for c in cols)
+
+    def census(batches):
+        from collections import Counter
+        for pdf in batches:
+            data = {c: [] for c in cols}
+            for text in pdf["text"]:
+                # exact twin of F.split(text, " ") incl. empty tokens
+                toks = text.split(" ")
+                length = len(toks)
+                for n in ns:
+                    if length >= n:
+                        cnt = Counter(tuple(toks[i:i + n])
+                                      for i in range(length - n + 1))
+                    else:
+                        cnt = None
+                    # gram char length == len(" ".join(gram))
+                    if n in GOPHER_TOP_NGRAM_MAX:
+                        data[f"top{n}_chars"].append(0 if not cnt else max(
+                            (c, c * (sum(map(len, g)) + n - 1))
+                            for g, c in cnt.items())[1])
+                    if n in GOPHER_DUP_NGRAM_MAX:
+                        data[f"dup{n}_chars"].append(0 if not cnt else sum(
+                            c * (sum(map(len, g)) + n - 1)
+                            for g, c in cnt.items() if c > 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **{
+                c: pd.Series(v, dtype="int64") for c, v in data.items()}})
+
+    perdoc = docs.select("doc_id", "text").mapInPandas(census, schema)
 
     d = line_stats.join(perdoc, "doc_id", "left")
     frac = {}

@@ -48,6 +48,12 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# shared memoized reader with the scan-parallelism fan-out for the
+# row-heavy tables (see dataset_queries._tbl — single-row-group parquet
+# cannot split, so CPU-heavy map stages would otherwise run one-task)
+from .dataset_queries import _tbl  # noqa: E402
+
+
 def ensure_fixture_corpus() -> None:
     """Generate (once) the committed fixture corpora used by the
     extraction queries; deterministic, so regeneration is a no-op."""
@@ -157,7 +163,7 @@ def partition_prune_sql() -> str:
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: partial+final hash aggregation (O4 shadow)."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _tbl(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -189,7 +195,7 @@ def q1_pricing_summary_sql() -> str:
 def q_stump_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast stump join + hash-agg vote summation (C3 relational
     shadow): rows CROSS JOIN broadcast(stumps) -> CASE -> sum per row."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tbl(spark, sf_dir, "documents")
     stumps = spark.createDataFrame(
         SHADOW_STUMPS, "var int, le double, left_val double, right_val double")
     feats = docs.select(
@@ -242,7 +248,7 @@ def q_stump_scoring_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     same broadcast-join + hash-agg plan as q_stump_scoring, but the stump
     values are the reference's learned ones, so the correctness gate
     exercises the full decode path end to end."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tbl(spark, sf_dir, "documents")
     stumps = spark.createDataFrame(
         [(r["var"], r["le"], r["left_val"], r["right_val"])
          for r in _ref_nm1_rows()],
@@ -301,7 +307,7 @@ def q_stump_scoring_ref_sql() -> str:
 def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-dedup relational shadow (R3): lag window + Levenshtein
     similarity vs previous doc within each source stream."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tbl(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
     prefix = F.substring(F.col("text"), 1, 64)
     prev = F.lag(prefix).over(w)
@@ -340,7 +346,7 @@ def q_window_dedup_sql() -> str:
 
 def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closest-sibling top-1-per-group shadow (G2)."""
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _tbl(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
@@ -366,7 +372,7 @@ def q_top1_per_group_sql() -> str:
 def q_pair_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-gate theta self-join shadow (G1): equi key + band predicate
     (events of the same user within a 10-minute forward window)."""
-    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ev = _tbl(spark, sf_dir, "events")
     a = ev.alias("a")
     b = ev.alias("b")
     pairs = a.join(
@@ -400,7 +406,7 @@ def q_triplet_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window partition by user), counts aggregated per user."""
     from ..config import TRIPLET_GAP_TOLERANCE, TRIPLET_MAX_GAP_RATIO
 
-    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ev = _tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     g1 = us - F.lag(us).over(w)
@@ -455,7 +461,7 @@ def q_sequence_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_gaps_behind x _gaps_ahead any-pair test)."""
     from ..config import TRIPLET_GAP_TOLERANCE, TRIPLET_MAX_GAP_RATIO
 
-    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ev = _tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     g = us - F.lag(us).over(w)
@@ -506,7 +512,7 @@ def q_sequence_compat_sql() -> str:
 
 def q_nms_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ancestor-path running-max shadow (D8): max/min over the path prefix."""
-    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ev = _tbl(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
     return ev.select(
@@ -538,7 +544,7 @@ def q_stream_dedup_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash check against DuckDB)."""
     from ..streaming.stateful_dedup import batch_host_dedup
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tbl(spark, sf_dir, "documents")
     stream_like = docs.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -595,8 +601,8 @@ def q_stream_dedup_shadow_sql() -> str:
 
 def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dimension join shadow: revenue by part brand."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    part = spark.read.parquet(_t(sf_dir, "part"))
+    li = _tbl(spark, sf_dir, "lineitem")
+    part = _tbl(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
@@ -630,9 +636,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the scans), 3-way join, agg, deterministic rounded top-10.
     Order dates ride as epoch millis so the oracle compare never
     touches timestamp formatting."""
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
     cut = "1998-01-01"
     revenue = F.round(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -676,12 +682,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join where customer and supplier must share
     a nation; region/nation are tiny broadcast dims, the local-supplier
     constraint (c_nationkey = s_nationkey) runs as a join residual."""
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
-    region = spark.read.parquet(_t(sf_dir, "region"))
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    supp = _tbl(spark, sf_dir, "supplier")
+    nation = _tbl(spark, sf_dir, "nation")
+    region = _tbl(spark, sf_dir, "region")
     return (
         cust
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
@@ -722,9 +728,9 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-gated semi-join — the big-order key set
     is computed once (partial-agg'd) and joined back; only qualifying
     orders' lineitems aggregate a second time."""
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum("l_quantity").alias("q"))
            .where(F.col("q") > 250)
@@ -759,9 +765,9 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     idle balance.  The anti-join build side is just the distinct
     o_custkey set — at scale the anti-join ships key hashes, never
     customer rows."""
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    nation = _tbl(spark, sf_dir, "nation")
     o96 = orders.where((F.col("o_orderdate") >= "1996-01-01")
                        & (F.col("o_orderdate") < "1997-01-01"))
     return (
@@ -794,7 +800,7 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (priority x status, priority subtotal, grand total) in ONE pass —
     the partial aggregates are shared across grouping sets, so the
     rollup costs one shuffle like the plain groupBy."""
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _tbl(spark, sf_dir, "orders")
     return (
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(F.count("*").alias("n_orders"),
@@ -820,8 +826,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-table condition).  The semi-join ships only the key + one
     date per lineitem and stops probing an order at its first match —
     the EXISTS shape at 100 TB."""
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
     lo, hi = "1997-01-01", "1997-04-01"
     return (
         orders.where((F.col("o_orderdate") >= lo)
@@ -853,11 +859,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     side and customer side) with an OR'd pair predicate, then a
     (nation, nation, year) aggregation.  Both nation joins broadcast;
     the date filter pushes to the lineitem scan."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    li = _tbl(spark, sf_dir, "lineitem")
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    supp = _tbl(spark, sf_dir, "supplier")
+    nation = _tbl(spark, sf_dir, "nation")
     n1 = nation.select(F.col("n_nationkey").alias("s_nkey"),
                        F.col("n_name").alias("supp_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("c_nkey"),
@@ -910,8 +916,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     share for one month) — two sums over the same joined rows in ONE
     aggregation, part dim broadcast, month filter pushed to the
     lineitem scan.  Scalar output."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    part = spark.read.parquet(_t(sf_dir, "part"))
+    li = _tbl(spark, sf_dir, "lineitem")
+    part = _tbl(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), vol) \
              .otherwise(F.lit(0.0))
