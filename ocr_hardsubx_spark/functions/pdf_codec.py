@@ -78,6 +78,12 @@ class UnsupportedPdf(ValueError):
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+# single-match lexer fast paths (same character classes as _WS/_DELIM):
+# one regex call replaces the per-byte Python loops in skip_ws /
+# _read_number_or_kw / _read_name — the content-stream tokenizer is the
+# extract_spans hot path (~2/3 of parse CPU before this change)
+_WSC_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_BARE_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 
 
 class Ref:
@@ -128,20 +134,22 @@ class _Lexer:
         self.pos = pos
 
     def skip_ws(self) -> None:
-        d, n = self.data, len(self.data)
-        while self.pos < n:
-            c = d[self.pos]
-            if c in _WS:
-                self.pos += 1
-            elif c == 0x25:  # '%' comment to EOL
-                while self.pos < n and d[self.pos] not in (0x0A, 0x0D):
-                    self.pos += 1
-            else:
-                return
+        # whitespace runs and '%' comments (to EOL, EOL not consumed by
+        # the comment arm — the next ws run takes it) in ONE regex match
+        m = _WSC_RE.match(self.data, self.pos)
+        if m:
+            self.pos = m.end()
 
     def _read_name(self) -> Name:
         d, n = self.data, len(self.data)
         self.pos += 1  # '/'
+        # fast path: names without '#xx' escapes (the overwhelming
+        # majority) are one regex token
+        m = _BARE_RE.match(d, self.pos)
+        tok = m.group()
+        if 0x23 not in tok:
+            self.pos = m.end()
+            return Name(tok.decode("latin-1"))
         out = bytearray()
         while self.pos < n:
             c = d[self.pos]
@@ -220,24 +228,28 @@ class _Lexer:
         return bytes.fromhex(digits.decode("latin-1"))
 
     def _read_number_or_kw(self):
-        d, n = self.data, len(self.data)
-        start = self.pos
-        while self.pos < n and d[self.pos] not in _WS \
-                and d[self.pos] not in _DELIM:
-            self.pos += 1
-        tok = d[start:self.pos]
-        try:
-            if b"." in tok:
-                return float(tok)
-            return int(tok)
-        except ValueError:
-            if tok == b"true":
-                return True
-            if tok == b"false":
-                return False
-            if tok == b"null":
-                return None
-            return _Keyword(tok.decode("latin-1"))
+        m = _BARE_RE.match(self.data, self.pos)
+        tok = m.group()
+        self.pos = m.end()
+        # only tokens that LOOK numeric (leading digit/sign/dot) enter
+        # the int/float parse: operator keywords (Tf, Tj, BT...) used to
+        # pay a raised-and-caught ValueError each — ~40% of all content
+        # tokens — which dominated this function's profile
+        if tok and (0x30 <= tok[0] <= 0x39 or tok[0] in (0x2B, 0x2D,
+                                                         0x2E)):
+            try:
+                if b"." in tok:
+                    return float(tok)
+                return int(tok)
+            except ValueError:
+                pass
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        return _Keyword(tok.decode("latin-1"))
 
     def next_token(self):
         """One lexical token: scalar, Name, bytes (string), _Keyword, or
@@ -1109,7 +1121,13 @@ def extract_text(data: bytes, strip: bool = False,
 # Deterministic writer (fixtures + roundtrip oracle queries)
 # --------------------------------------------------------------------------
 
+_ESC_NEEDED_RE = re.compile(rb"[\\()\x00-\x1f\x7f-\xff]")
+_ASCII_SAFE_RE = re.compile(r"[\x20-\x7f]*\Z")
+
+
 def _esc_literal(b: bytes) -> bytes:
+    if _ESC_NEEDED_RE.search(b) is None:   # common case: nothing to do
+        return b
     out = bytearray()
     for c in b:
         if c in b"\\()":
@@ -1122,6 +1140,10 @@ def _esc_literal(b: bytes) -> bytes:
 
 
 def _encode_winansi(text: str) -> bytes:
+    # fast path: WinAnsi is the identity on 0x20-0x7f (checked against
+    # _WINANSI_REV), which covers typical corpus text wholesale
+    if _ASCII_SAFE_RE.match(text):
+        return text.encode("latin-1")
     out = bytearray()
     for ch in text:
         code = _WINANSI_REV.get(ch)

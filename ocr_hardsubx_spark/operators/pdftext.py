@@ -93,6 +93,67 @@ def pdf_corpus_from_text(df: "DataFrame", id_col: str = "doc_id",
     return df.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
+def _extract_columns(payloads, strip: bool, margin_band: tuple | None):
+    """Shared per-batch decode loop: payload iterable -> column lists."""
+    texts, n_pages, n_spans, reals = [], [], [], []
+    for payload in payloads:
+        try:
+            data = bytes(payload)
+            pages, real = pdf_codec.extract_spans(data)
+            if strip:
+                lines_pp = pdf_codec.strip_furniture(
+                    pages, margin_band=margin_band)
+            else:
+                lines_pp = [pdf_codec.page_lines(sp) for sp in pages]
+            text = "\n".join(ln["text"] for lines in lines_pp
+                             for ln in lines)
+            texts.append(text)
+            n_pages.append(len(pages))
+            n_spans.append(sum(len(sp) for sp in pages))
+            reals.append(bool(real))
+        except (pdf_codec.UnsupportedPdf, ValueError, KeyError,
+                IndexError, TypeError, EOFError, OverflowError):
+            texts.append(None)
+            n_pages.append(0)
+            n_spans.append(0)
+            reals.append(False)
+    return texts, n_pages, n_spans, reals
+
+
+def pdf_roundtrip_table(df: "DataFrame", id_col: str = "doc_id",
+                        text_col: str = "text", chunk: int = 120,
+                        per_page: int = 5, furniture: bool = False,
+                        strip: bool = False,
+                        margin_band: tuple | None = None) -> "DataFrame":
+    """Fused synthesize->parse roundtrip in ONE mapInPandas stage.
+
+    Equivalent to ``pdf_extract_table(pdf_corpus_from_text(df, ...))``
+    (equality pinned in tests/test_pdf_operator.py) but the PDF payload
+    bytes never cross the JVM<->Python boundary: the chained two-stage
+    form serializes every payload out of the writer stage and back into
+    the parser stage — pure Arrow transfer cost for the roundtrip
+    queries, measured ~20-25% of their wall at sf1.0 (guide §4.1: you
+    control how many columns/bytes cross)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = (
+                pdf_codec.write_pdf(synth_pages(t, chunk, per_page,
+                                                furniture))
+                for t in pdf[text_col]
+            )
+            texts, n_pages, n_spans, reals = _extract_columns(
+                payloads, strip, margin_band)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "extracted_text": texts,
+                "n_pages": n_pages,
+                "n_spans": n_spans,
+                "decoded_real": reals,
+            })
+
+    return df.select(id_col, text_col).mapInPandas(gen, PDF_TEXT_SCHEMA)
+
+
 def pdf_extract_table(df: "DataFrame", id_col: str = "doc_id",
                       payload_col: str = "payload", strip: bool = False,
                       margin_band: tuple | None = None) -> "DataFrame":
@@ -106,28 +167,8 @@ def pdf_extract_table(df: "DataFrame", id_col: str = "doc_id",
     """
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts, n_pages, n_spans, reals = [], [], [], []
-            for payload in pdf[payload_col]:
-                try:
-                    data = bytes(payload)
-                    pages, real = pdf_codec.extract_spans(data)
-                    if strip:
-                        lines_pp = pdf_codec.strip_furniture(
-                            pages, margin_band=margin_band)
-                    else:
-                        lines_pp = [pdf_codec.page_lines(sp) for sp in pages]
-                    text = "\n".join(ln["text"] for lines in lines_pp
-                                     for ln in lines)
-                    texts.append(text)
-                    n_pages.append(len(pages))
-                    n_spans.append(sum(len(sp) for sp in pages))
-                    reals.append(bool(real))
-                except (pdf_codec.UnsupportedPdf, ValueError, KeyError,
-                        IndexError, TypeError, EOFError, OverflowError):
-                    texts.append(None)
-                    n_pages.append(0)
-                    n_spans.append(0)
-                    reals.append(False)
+            texts, n_pages, n_spans, reals = _extract_columns(
+                pdf[payload_col], strip, margin_band)
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].values,
                 "extracted_text": texts,

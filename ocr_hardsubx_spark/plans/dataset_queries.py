@@ -6484,12 +6484,13 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same separator, so pagination cannot desync the text), and
     n_pages = ceil(n_chunks / 5).
     """
-    from ocr_hardsubx_spark.operators.pdftext import (
-        pdf_corpus_from_text, pdf_extract_table)
+    from ocr_hardsubx_spark.operators.pdftext import pdf_roundtrip_table
 
     docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    pdfs = pdf_corpus_from_text(docs, chunk=120, per_page=5)
-    out = pdf_extract_table(pdfs)
+    # fused single-stage roundtrip: the PDF payloads never re-cross the
+    # JVM<->Python boundary between writer and parser (pinned equal to
+    # the chained two-stage form in tests/test_pdf_operator.py)
+    out = pdf_roundtrip_table(docs, chunk=120, per_page=5)
     return out.select("doc_id", "extracted_text", "n_pages", "decoded_real")
 
 
@@ -6525,11 +6526,12 @@ def q_pdf_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE on n_pages rather than pretending the rule is magic.
     """
     from ocr_hardsubx_spark.operators.pdftext import (
-        FURNITURE_BAND, pdf_corpus_from_text, pdf_extract_table)
+        FURNITURE_BAND, pdf_roundtrip_table)
 
     docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    pdfs = pdf_corpus_from_text(docs, chunk=60, per_page=2, furniture=True)
-    out = pdf_extract_table(pdfs, strip=True, margin_band=FURNITURE_BAND)
+    # fused single-stage roundtrip (see q_pdf_extract)
+    out = pdf_roundtrip_table(docs, chunk=60, per_page=2, furniture=True,
+                              strip=True, margin_band=FURNITURE_BAND)
     return out.select("doc_id", "extracted_text", "n_pages", "decoded_real")
 
 

@@ -60,6 +60,26 @@ def test_xref_stream_corpus_roundtrip(spark, docs):
     assert (out["n_pages"] >= 1).all()
 
 
+def test_fused_roundtrip_equals_chained(spark, docs):
+    """pdf_roundtrip_table (one fused stage, payloads never re-cross the
+    Python boundary) must be row-identical to the chained
+    write->extract composition it optimizes."""
+    from ocr_hardsubx_spark.operators.pdftext import pdf_roundtrip_table
+
+    chained = pdf_extract_table(
+        pdf_corpus_from_text(docs, chunk=60, per_page=2, furniture=True),
+        strip=True, margin_band=FURNITURE_BAND)
+    fused = pdf_roundtrip_table(docs, chunk=60, per_page=2,
+                                furniture=True, strip=True,
+                                margin_band=FURNITURE_BAND)
+    a = chained.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = fused.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1       # genuinely one stage
+    assert "Exchange" not in plan
+
+
 def test_plan_is_mapinpandas_only(spark, docs):
     pdfs = pdf_corpus_from_text(docs, chunk=120, per_page=5)
     out = pdf_extract_table(pdfs)
