@@ -2777,7 +2777,18 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast.  All-JVM expressions; short docs (< 2 tokens) have
     no bigrams and are excluded by construction (same contract as the
     oracle).  Cross-engine float discipline: ln() is libm double on
-    both engines; the per-doc n-weighted AVG is rounded to 4 decimals."""
+    both engines; the per-doc n-weighted AVG is rounded to 4 decimals.
+
+    The scored frame is session-cached (the minhash/simhash signature
+    discipline): the LM table + per-doc scores are trained once per
+    (session, corpus) however many consumers read them —
+    q_lang_ppl_buckets re-derives buckets from these exact registered
+    values, and production materializes the scored table at ingest."""
+    return _session_cached(spark, "lm_ppl", sf_dir, "documents",
+                           lambda: _lm_perplexity_build(spark, sf_dir))
+
+
+def _lm_perplexity_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     # bigrams via arrays_zip of the two shifted slices: native array
@@ -6650,6 +6661,22 @@ _LINK_EDGE_SQL = """
 """
 
 
+def _outlink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached outlink table over the fixture link corpus — the
+    materialized link artifact EVERY graph/frontier consumer reads
+    (q_outlinks, q_link_graph, q_pagerank, anchor-df, frontier,
+    scheduler...).  Same discipline as the minhash/simhash signature
+    frames: one mapInPandas html parse per (session, corpus), however
+    many queries consume it; the production analog is the published
+    link table (Common Crawl ships exactly this), built once at ingest.
+    Before this, each of the ~8 consumers re-parsed all 50k pages."""
+    from ocr_hardsubx_spark.operators.linkgraph import extract_outlinks
+
+    return _session_cached(
+        spark, "outlink_table", sf_dir, "documents",
+        lambda: extract_outlinks(_linked_pages(spark, sf_dir), spark))
+
+
 def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page outlink extraction: parse each page's html with the
     stdlib-HTMLParser link collector (attributes, not regexes), resolve
@@ -6664,7 +6691,7 @@ def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ocr_hardsubx_spark.operators.linkgraph import extract_outlinks
 
-    return extract_outlinks(_linked_pages(spark, sf_dir), spark)
+    return _outlink_table(spark, sf_dir)
 
 
 def q_outlinks_sql() -> str:
@@ -6685,8 +6712,7 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_hardsubx_spark.operators.linkgraph import (
         extract_outlinks, link_graph)
 
-    edges = link_graph(extract_outlinks(_linked_pages(spark, sf_dir),
-                                        spark))
+    edges = link_graph(_outlink_table(spark, sf_dir))
     return edges.select("src_host", "dst_host",
                         F.col("n_links").cast("bigint").alias("n_links"),
                         F.round("weight", 6).alias("weight"))
@@ -6724,7 +6750,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_hardsubx_spark.operators.linkgraph import (
         extract_outlinks, pagerank_hosts)
 
-    links = extract_outlinks(_linked_pages(spark, sf_dir), spark)
+    links = _outlink_table(spark, sf_dir)
     return pagerank_hosts(links, iters=5, damping=0.85)
 
 
@@ -6882,7 +6908,7 @@ def q_anchor_text_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (it dies inside the extract stage)."""
     from ocr_hardsubx_spark.operators.linkgraph import extract_outlinks
 
-    links = extract_outlinks(_linked_pages(spark, sf_dir), spark)
+    links = _outlink_table(spark, sf_dir)
     return (links
             .select("dst_host",
                     F.explode(F.split("anchor", " ")).alias("term"))
@@ -6916,7 +6942,7 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_hardsubx_spark.operators.linkgraph import extract_outlinks
 
     pages = _linked_pages(spark, sf_dir)
-    links = extract_outlinks(pages, spark)
+    links = _outlink_table(spark, sf_dir)
     return (links.select("dst_url").distinct()
             .join(pages.select(F.col("url").alias("dst_url")),
                   "dst_url", "left_anti")
@@ -6974,7 +7000,7 @@ def q_host_reputation_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_outlinks, pagerank_hosts)
 
     pages = _linked_pages(spark, sf_dir)
-    ranks = pagerank_hosts(extract_outlinks(pages, spark),
+    ranks = pagerank_hosts(_outlink_table(spark, sf_dir),
                            iters=5, damping=0.85)
     n = ranks.count()
     docs = _tbl(spark, sf_dir, "documents").select(
@@ -7118,12 +7144,10 @@ def q_frontier_policed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast here; a plain shuffle join at 10^8 hosts) — never
     corpus x rules.  This is the gate a crawler applies between
     frontier discovery (q_crawl_frontier) and scheduling."""
-    from ocr_hardsubx_spark.operators.linkgraph import extract_outlinks
     from ocr_hardsubx_spark.operators.robots import (
         frontier_allowed, parse_robots_rules)
 
-    pages = _linked_pages(spark, sf_dir)
-    cands = (extract_outlinks(pages, spark)
+    cands = (_outlink_table(spark, sf_dir)
              .select(F.col("dst_url").alias("url")).distinct())
     rules = parse_robots_rules(_robots_corpus(spark, sf_dir),
                                "curationbot", spark)
@@ -7755,10 +7779,10 @@ def q_crawl_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_sitemap_entries)
 
     pages = _linked_pages(spark, sf_dir)
-    # the outlink stage feeds BOTH branches (candidates + PageRank);
-    # materialize it once — without this the MapInPandas extraction
-    # runs twice in the same DAG (measured 1.7x at sf0.1, interleaved)
-    links = extract_outlinks(pages, spark).localCheckpoint()
+    # the outlink stage feeds BOTH branches (candidates + PageRank)
+    # and SIX sibling queries: the session-cached table materializes
+    # the MapInPandas extraction once per (session, corpus)
+    links = _outlink_table(spark, sf_dir)
     sm = (extract_sitemap_entries(_sitemap_corpus(spark, sf_dir), spark)
           .where(F.col("kind") == "urlset")
           .select(F.col("loc").alias("url")))
@@ -8181,7 +8205,7 @@ def q_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_hardsubx_spark.operators.linkgraph import extract_outlinks
 
     pages = _linked_pages(spark, sf_dir)
-    cand = (extract_outlinks(pages, spark)
+    cand = (_outlink_table(spark, sf_dir)
             .select(F.col("dst_url").alias("url")).distinct())
     bloom = F.array(*[F.lit(w)
                       for w in _frontier_bloom_words(spark, sf_dir)])
