@@ -6734,6 +6734,21 @@ def q_link_graph_sql() -> str:
     """
 
 
+def _pagerank_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached host PageRank over the shared outlink table (the
+    _outlink_table discipline one level up): the 5-step power iteration
+    runs once per (session, corpus); q_pagerank registers the scores and
+    the scheduler / host-reputation consumers read the SAME frame — the
+    production analog is the periodically refreshed host-rank table a
+    crawler serves from."""
+    from ocr_hardsubx_spark.operators.linkgraph import pagerank_hosts
+
+    return _session_cached(
+        spark, "pagerank_table", sf_dir, "documents",
+        lambda: pagerank_hosts(_outlink_table(spark, sf_dir),
+                               iters=5, damping=0.85))
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank, 5 power-iteration steps, damping 0.85 —
     the domain-reputation score a URL filter / mixture planner consumes.
@@ -6750,8 +6765,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_hardsubx_spark.operators.linkgraph import (
         extract_outlinks, pagerank_hosts)
 
-    links = _outlink_table(spark, sf_dir)
-    return pagerank_hosts(links, iters=5, damping=0.85)
+    return _pagerank_table(spark, sf_dir)
 
 
 def q_pagerank_sql() -> str:
@@ -7000,8 +7014,7 @@ def q_host_reputation_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_outlinks, pagerank_hosts)
 
     pages = _linked_pages(spark, sf_dir)
-    ranks = pagerank_hosts(_outlink_table(spark, sf_dir),
-                           iters=5, damping=0.85)
+    ranks = _pagerank_table(spark, sf_dir)
     n = ranks.count()
     docs = _tbl(spark, sf_dir, "documents").select(
         "doc_id",
@@ -7792,7 +7805,7 @@ def q_crawl_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = parse_robots_rules(_robots_corpus(spark, sf_dir),
                                "curationbot", spark)
     decided = frontier_allowed(frontier, rules)
-    ranks = pagerank_hosts(links, iters=5, damping=0.85)
+    ranks = _pagerank_table(spark, sf_dir)
     return (decided
             .withColumn("host",
                         F.regexp_replace("url", r"^https?://([^/]*).*$",
