@@ -307,7 +307,7 @@ def q_stump_scoring_ref_sql() -> str:
 def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-dedup relational shadow (R3): lag window + Levenshtein
     similarity vs previous doc within each source stream."""
-    docs = _tbl(spark, sf_dir, "documents")
+    docs = _tbl(spark, sf_dir, "documents", fanout=False)
     w = Window.partitionBy("source").orderBy("doc_id")
     prefix = F.substring(F.col("text"), 1, 64)
     prev = F.lag(prefix).over(w)
@@ -372,7 +372,7 @@ def q_top1_per_group_sql() -> str:
 def q_pair_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-gate theta self-join shadow (G1): equi key + band predicate
     (events of the same user within a 10-minute forward window)."""
-    ev = _tbl(spark, sf_dir, "events")
+    ev = _tbl(spark, sf_dir, "events", fanout=False)
     a = ev.alias("a")
     b = ev.alias("b")
     pairs = a.join(
@@ -406,7 +406,7 @@ def q_triplet_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window partition by user), counts aggregated per user."""
     from ..config import TRIPLET_GAP_TOLERANCE, TRIPLET_MAX_GAP_RATIO
 
-    ev = _tbl(spark, sf_dir, "events")
+    ev = _tbl(spark, sf_dir, "events", fanout=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     g1 = us - F.lag(us).over(w)
@@ -461,7 +461,7 @@ def q_sequence_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_gaps_behind x _gaps_ahead any-pair test)."""
     from ..config import TRIPLET_GAP_TOLERANCE, TRIPLET_MAX_GAP_RATIO
 
-    ev = _tbl(spark, sf_dir, "events")
+    ev = _tbl(spark, sf_dir, "events", fanout=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     g = us - F.lag(us).over(w)
@@ -512,7 +512,7 @@ def q_sequence_compat_sql() -> str:
 
 def q_nms_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ancestor-path running-max shadow (D8): max/min over the path prefix."""
-    ev = _tbl(spark, sf_dir, "events")
+    ev = _tbl(spark, sf_dir, "events", fanout=False)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
     return ev.select(
@@ -544,7 +544,7 @@ def q_stream_dedup_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash check against DuckDB)."""
     from ..streaming.stateful_dedup import batch_host_dedup
 
-    docs = _tbl(spark, sf_dir, "documents")
+    docs = _tbl(spark, sf_dir, "documents", fanout=False)
     stream_like = docs.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example/"),
                  F.col("doc_id").cast("string")).alias("url"),
