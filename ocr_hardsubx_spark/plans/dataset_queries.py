@@ -4510,25 +4510,26 @@ def _substr_grams(docs: DataFrame) -> DataFrame:
     0-based start position (the position makes span coverage
     computable downstream; the _decon_grams guard keeps short docs at
     zero grams, never sequence(1, 0))."""
-    toks = F.split("text", " ")
-    n = F.greatest(F.size(toks) - (SUBSTR_NGRAM - 1), F.lit(0))
+    # explode the window positions FIRST, then build each gram in a
+    # codegen'd post-Generate projection: inside a transform() lambda
+    # the slice+join+md5 run through the interpreted HOF evaluator per
+    # element (the round-3 HOF finding), and this stage hashes ~20x the
+    # corpus text bytes.  Measured 1.2 -> 0.54 s warm on the 50k-doc
+    # corpus, bit-identical output (exceptAll both ways == 0).
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.greatest(F.size("t") - (SUBSTR_NGRAM - 1), F.lit(0))
     idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
            .otherwise(F.array().cast("array<int>"))
-    return docs.select(
-        "doc_id",
-        F.explode(F.transform(
-            idx,
-            lambda i: F.struct(
-                i.alias("i"),
-                # unhex: ship the digest as its 16 raw bytes, not the
-                # 32-char hex string — g is equality-only and internal
-                # to both substring queries, so this halves every gram
-                # shuffle byte-for-byte (the docstrings always promised
-                # a 16-byte hash)
+    return (
+        t.select("doc_id", "t", F.explode(idx).alias("i"))
+        # unhex: ship the digest as its 16 raw bytes, not the 32-char
+        # hex string — g is equality-only and internal to both
+        # substring queries, so this halves every gram shuffle
+        # byte-for-byte (the docstrings always promised a 16-byte hash)
+        .select("doc_id", "i",
                 F.unhex(F.md5(F.array_join(
-                    F.slice(toks, i + 1, SUBSTR_NGRAM), " "))).alias("g")),
-        )).alias("p"),
-    ).select("doc_id", F.col("p.i").alias("i"), F.col("p.g").alias("g"))
+                    F.slice("t", F.col("i") + 1, SUBSTR_NGRAM), " ")))
+                 .alias("g")))
 
 
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4547,11 +4548,20 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream.  No driver-side state; every count re-derives from the
     row."""
     docs = _tbl(spark, sf_dir, "documents")
-    grams = _substr_grams(docs)
+    # shared-subtree discipline (the substring_dedup_apply shape): the
+    # gram stream feeds the census AND the occurrence join, and the
+    # joined hits feed BOTH rollups — without the checkpoints the
+    # explode+md5 pipeline re-runs once per consumer in the same job
+    grams = _substr_grams(docs).localCheckpoint()
+    # "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+    # one plain min/max shuffle with full map-side partials instead of
+    # the countDistinct Expand + double exchange (the nd value itself
+    # is never output)
     dupg = (grams.groupBy("g")
-            .agg(F.countDistinct("doc_id").alias("nd"))
-            .where(F.col("nd") >= 2).select("g"))
-    hits = grams.join(dupg, "g")
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .where(F.col("mn") != F.col("mx")).select("g"))
+    # hits = only occurrences of duplicated grams (the small fraction)
+    hits = grams.join(dupg, "g").localCheckpoint()
     ndup = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
     covered = (
         hits.select("doc_id", F.explode(
@@ -4647,12 +4657,16 @@ def substring_dedup_apply(docs: DataFrame) -> DataFrame:
     grams = _substr_grams(docs).localCheckpoint()
     # census + first-occurrence in ONE aggregation pass (was two
     # groupBys over two recomputations of `grams`): a gram is
-    # duplicated iff nd >= 2, and its keeper is the min (doc_id, i)
-    # struct — identical semantics, half the gram-shuffle volume
+    # duplicated iff it appears in >= 2 distinct docs — i.e.
+    # min(doc_id) != max(doc_id), and min(doc_id) is exactly the
+    # keeper struct's doc_id (lexicographic min), so the test needs NO
+    # countDistinct (whose plan is an Expand + double exchange; plain
+    # min/max aggregate map-side in one shuffle) — identical
+    # semantics, half the gram-shuffle volume vs the round-6 form
     gstat = (grams.groupBy("g")
-             .agg(F.countDistinct("doc_id").alias("nd"),
-                  F.min(F.struct("doc_id", "i")).alias("f"))
-             .where(F.col("nd") >= 2))
+             .agg(F.min(F.struct("doc_id", "i")).alias("f"),
+                  F.max("doc_id").alias("mx"))
+             .where(F.col("mx") != F.col("f.doc_id")))
     removable = (
         grams.join(gstat, "g")
         .where(~((F.col("doc_id") == F.col("f.doc_id"))
@@ -4662,9 +4676,12 @@ def substring_dedup_apply(docs: DataFrame) -> DataFrame:
         removable.select("doc_id", F.explode(
             F.sequence(F.col("i"), F.col("i") + (SUBSTR_NGRAM - 1)))
             .alias("pos"))
-        .distinct()
-        # removed/affected feed four consumers (anti-join, affected x3)
-        # and are the small post-dedup span set — materialize once
+        # NO .distinct(): both consumers are duplicate-insensitive (a
+        # left-anti probe and a distinct-doc projection), so the
+        # interval union needs no dedup shuffle of its own — the span
+        # explode materializes map-only
+        # removed/affected feed the downstream consumers — materialize
+        # once (small post-dedup span set)
         .localCheckpoint())
     affected = removed.select("doc_id").distinct()
     toks = F.split("text", " ")
@@ -4685,22 +4702,23 @@ def substring_dedup_apply(docs: DataFrame) -> DataFrame:
                 " ").alias("text_dedup"),
             F.count("*").cast("long").alias("n_tokens_kept"),
         ))
-    touched = (
-        base.join(affected, "doc_id")
+    # single pass over base (was touched-union-untouched: two base
+    # scans, an extra anti-join and the union): affected-ness rides as
+    # a broadcast flag and the two output columns select by CASE.
+    # every token removed -> affected but no rebuilt row -> empty doc
+    return (
+        base.join(affected.withColumn("aff", F.lit(True)),
+                  "doc_id", "left")
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id", "n_tokens",
-            # every token removed -> no rebuilt row -> empty doc
-            F.coalesce("n_tokens_kept", F.lit(0).cast("long"))
-             .alias("n_tokens_kept"),
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.when(F.col("aff").isNotNull(),
+                   F.coalesce("n_tokens_kept", F.lit(0).cast("long")))
+             .otherwise(F.col("n_tokens")).alias("n_tokens_kept"),
+            F.when(F.col("aff").isNotNull(),
+                   F.coalesce("text_dedup", F.lit("")))
+             .otherwise(F.col("text")).alias("text_dedup"),
         ))
-    untouched = (
-        base.join(affected, "doc_id", "left_anti")
-        .select("doc_id", "n_tokens",
-                F.col("n_tokens").alias("n_tokens_kept"),
-                F.col("text").alias("text_dedup")))
-    return touched.unionByName(untouched)
 
 
 def q_substring_dedup_apply(spark: SparkSession,
