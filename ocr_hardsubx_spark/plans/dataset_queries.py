@@ -5278,18 +5278,22 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheapest frame in the chain to materialize; production would
     # persist it to reliable storage instead.
     db = db.localCheckpoint()
-    tgt = (db.where(F.col("lang") == DSIR_TARGET_LANG)
-           .groupBy("bucket").agg(F.sum("n").alias("t_cnt")))
-    raw = db.groupBy("bucket").agg(F.sum("n").alias("r_cnt"))
-    totals = (db.agg(
+    # target/raw/total counts in ONE pass over db (was three separate
+    # aggregations, each its own shuffle + job over the doc-bucket
+    # frame): the conditional sum gives 0 where the old left join gave
+    # NULL — both feed the same (x + 1) smoothing — and the totals are
+    # the bucket sums re-summed, all exact long arithmetic
+    stats = db.groupBy("bucket").agg(
+        F.sum("n").alias("r_cnt"),
         F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("n"))
-              .otherwise(F.lit(0))).alias("tt"),
-        F.sum("n").alias("rt")))
-    ratio = (raw.join(tgt, "bucket", "left")
+              .otherwise(F.lit(0))).alias("t_cnt"))
+    totals = stats.agg(F.sum("t_cnt").alias("tt"),
+                       F.sum("r_cnt").alias("rt"))
+    ratio = (stats
              .crossJoin(F.broadcast(totals))
              .select(
                  "bucket",
-                 (F.log((F.coalesce("t_cnt", F.lit(0)) + 1)
+                 (F.log((F.col("t_cnt") + 1)
                         / (F.col("tt") + F.lit(float(DSIR_BUCKETS))))
                   - F.log((F.col("r_cnt") + 1)
                           / (F.col("rt") + F.lit(float(DSIR_BUCKETS)))))
@@ -6269,33 +6273,47 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", r"\. ")).alias("pos", "para"),
     ).where(F.col("para") != "")
+    # the normalized form is computed ONCE (the round-6 form ran the
+    # [^a-z] regex twice per para, and hashed fed two consumers with no
+    # subtree reuse — 4 regex passes total); hashed is the NARROW
+    # per-para frame (hash + packed key, no text) and is materialized
+    # once for its two consumers
+    norm = F.regexp_replace(F.lower("para"), "[^a-z]", "")
     hashed = paras.select(
-        "doc_id", "pos", "para",
-        F.md5(F.regexp_replace(F.lower("para"), "[^a-z]", ""))
-         .alias("h"),
+        "doc_id", "pos",
+        F.md5(norm).alias("h"),
         (F.col("doc_id") * PARA_POS_PACK + F.col("pos")).alias("key"),
-        (F.regexp_replace(F.lower("para"), "[^a-z]", "") == "")
-         .alias("unmatchable"))
+        (norm == "").alias("unmatchable")).localCheckpoint()
     census = (hashed.where(~F.col("unmatchable"))
               .groupBy("h").agg(F.min("key").alias("first_key")))
     joined = hashed.join(census, "h", "left")
     keep = F.col("unmatchable") | (F.col("key") == F.col("first_key"))
-    return (
-        joined.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_paras"),
-            F.sum(F.when(keep, 0).otherwise(1)).cast("bigint")
-             .alias("n_dropped"),
-            F.md5(F.array_join(
-                F.transform(
-                    F.array_sort(F.filter(
-                        F.collect_list(F.struct(
-                            "pos", "para", keep.alias("keep"))),
-                        lambda x: x["keep"])),
-                    lambda x: x["para"]),
-                ". ")).alias("kept_md5"),
-        )
-    )
+    # ship only the DROPPED positions back to the doc (tiny lists on
+    # the small duplicated fraction) and rebuild kept_md5 from the
+    # original text with an index filter — the round-6 form shuffled
+    # every paragraph's text into the doc rollup's collect_list, i.e.
+    # the whole corpus crossed the final exchange as payload (guide
+    # §2.3: shuffle keys and metadata, re-attach to the payload once).
+    # Docs with zero non-empty paras emit no row in either form (the
+    # n_paras > 0 gate replicates the old inner groupBy domain).
+    dropped = (joined.where(~keep).groupBy("doc_id")
+               .agg(F.collect_list("pos").alias("dl"),
+                    F.count("*").cast("bigint").alias("nd")))
+    arr = F.split("text", r"\. ")
+    return (docs.join(dropped, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.size(F.filter(arr, lambda x: x != ""))
+                 .cast("bigint").alias("n_paras"),
+                F.coalesce("nd", F.lit(0).cast("bigint"))
+                 .alias("n_dropped"),
+                F.md5(F.array_join(
+                    F.filter(arr, lambda x, i:
+                             (x != "") & ~F.coalesce(
+                                 F.array_contains(F.col("dl"), i),
+                                 F.lit(False))),
+                    ". ")).alias("kept_md5"))
+            .where(F.col("n_paras") > 0))
 
 
 def q_paragraph_dedup_sql() -> str:
