@@ -209,29 +209,35 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    # window positions explode FIRST and the shingle string is built in
+    # a codegen'd post-Generate projection — the _substr_grams finding
+    # (a transform() lambda runs interpreted per element).  The
+    # EXPRESSION is untouched, only its evaluation venue moves, so the
+    # sub-3-token partial-shingle edge is preserved verbatim
+    # (exceptAll both ways == 0 at sf0.01, which contains those edge
+    # docs, and on the 50k corpus; warm 1.5 -> 1.3 s, cold 6.1 -> 2.0).
     shingles = toks.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0)))).alias("i"),
+    ).select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0))),
-                # try_element_at: ANSI mode (Spark 4) makes a plain
-                # element_at THROW past the end, so a sub-3-token doc
-                # crashed the old form (latent until the kernel's edge
-                # fixtures).  NULLs vanish in concat_ws, but EMPTY
-                # tokens (doubled/leading/trailing spaces in the doc)
-                # do not — they leave stray edge spaces the oracle's
-                # trim(...) strips, so the shingle md5s diverged on
-                # such docs (round-6 ADVICE).  F.trim mirrors the
-                # oracle exactly: internal runs of spaces survive on
-                # both engines, edge spaces survive on neither.
-                lambda i: F.trim(F.concat_ws(
-                    " ",
-                    F.try_element_at(F.col("toks"), i + 1),
-                    F.try_element_at(F.col("toks"), i + 2),
-                    F.try_element_at(F.col("toks"), i + 3),
-                )),
-            )
-        ).alias("shingle"),
+        # try_element_at: ANSI mode (Spark 4) makes a plain
+        # element_at THROW past the end, so a sub-3-token doc
+        # crashed the old form (latent until the kernel's edge
+        # fixtures).  NULLs vanish in concat_ws, but EMPTY
+        # tokens (doubled/leading/trailing spaces in the doc)
+        # do not — they leave stray edge spaces the oracle's
+        # trim(...) strips, so the shingle md5s diverged on
+        # such docs (round-6 ADVICE).  F.trim mirrors the
+        # oracle exactly: internal runs of spaces survive on
+        # both engines, edge spaces survive on neither.
+        F.trim(F.concat_ws(
+            " ",
+            F.try_element_at(F.col("toks"), F.col("i") + 1),
+            F.try_element_at(F.col("toks"), F.col("i") + 2),
+            F.try_element_at(F.col("toks"), F.col("i") + 3),
+        )).alias("shingle"),
     ).where(F.col("shingle") != "")
     h = shingles.select("doc_id", F.md5("shingle").alias("h"))
     mins = h.groupBy("doc_id").agg(*[
@@ -2541,18 +2547,16 @@ DECON_BENCH_DOCS = 10  # docs 0..9 stand in for the benchmark/eval set
 def _decon_grams(docs: DataFrame) -> DataFrame:
     """(doc_id, g) with g = md5 of each DECON_NGRAM-token gram (the
     same guarded generation as q_decontaminate)."""
-    toks = F.split("text", " ")
-    n = F.greatest(F.size(toks) - (DECON_NGRAM - 1), F.lit(0))
+    # explode-first + codegen'd gram build (the _substr_grams finding)
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.greatest(F.size("t") - (DECON_NGRAM - 1), F.lit(0))
     idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
            .otherwise(F.array().cast("array<int>"))
-    return docs.select(
-        "doc_id",
-        F.explode(F.transform(
-            idx,
-            lambda i: F.md5(F.array_join(
-                F.slice(toks, i + 1, DECON_NGRAM), " ")),
-        )).alias("g"),
-    )
+    return (t.select("doc_id", "t", F.explode(idx).alias("i"))
+            .select("doc_id",
+                    F.md5(F.array_join(
+                        F.slice("t", F.col("i") + 1, DECON_NGRAM), " "))
+                     .alias("g")))
 
 
 
@@ -8708,12 +8712,14 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t") >= NOVELTY_NGRAM,
         F.sequence(F.lit(0), F.size("t") - NOVELTY_NGRAM)
     ).otherwise(F.array().cast("array<int>"))
-    grams = (toks.select(
-        "doc_id",
-        F.explode(F.transform(idx, lambda i: F.md5(F.array_join(
-            F.slice(F.col("t"), i + 1, NOVELTY_NGRAM), " "))))
-         .alias("g"))
-        .distinct())
+    # explode-first + codegen'd gram build (the _substr_grams finding)
+    grams = (toks.select("doc_id", "t", F.explode(idx).alias("i"))
+             .select(
+                 "doc_id",
+                 F.md5(F.array_join(
+                     F.slice(F.col("t"), F.col("i") + 1, NOVELTY_NGRAM),
+                     " ")).alias("g"))
+             .distinct())
     df = grams.groupBy("g").agg(
         F.countDistinct("doc_id").alias("n_docs"))
     return (grams.join(df, "g")
