@@ -2487,27 +2487,37 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", r"\. ")).alias("pos", "line"),
     ).where(F.col("line") != "")
-    hashed = lines.select("doc_id", "pos", "line",
-                          F.md5("line").alias("h"))
-    census = hashed.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("n_docs"))
-    joined = hashed.join(census, "h")
-    kept = (
-        joined.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.when(F.col("n_docs") >= LINE_DUP_MIN_DOCS, 1)
-                  .otherwise(0)).alias("n_dup_lines"),
-            F.md5(F.array_join(
-                F.transform(
-                    F.array_sort(F.filter(
-                        F.collect_list(F.struct("pos", "line", "n_docs")),
-                        lambda x: x["n_docs"] < LINE_DUP_MIN_DOCS)),
-                    lambda x: x["line"]),
-                ". ")).alias("kept_md5"),
-        )
-    )
-    return kept
+    # narrow per-line frame (hash + position, no text): the census and
+    # the dup-probe share it via one materialization
+    hashed = lines.select("doc_id", "pos",
+                          F.md5("line").alias("h")).localCheckpoint()
+    # only hashes AT the dup threshold matter downstream — ship the
+    # DROPPED positions back per doc and rebuild kept_md5 from the
+    # original text with an index filter (the q_paragraph_dedup shape:
+    # line text no longer crosses any exchange; docs with zero
+    # non-empty lines emit no row in either form)
+    dup_h = (hashed.groupBy("h")
+             .agg(F.countDistinct("doc_id").alias("n_docs"))
+             .where(F.col("n_docs") >= LINE_DUP_MIN_DOCS).select("h"))
+    dropped = (hashed.join(dup_h, "h")
+               .groupBy("doc_id")
+               .agg(F.collect_list("pos").alias("dl"),
+                    F.count("*").alias("nd")))
+    arr = F.split("text", r"\. ")
+    return (docs.join(dropped, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.size(F.filter(arr, lambda x: x != ""))
+                 .cast("bigint").alias("n_lines"),
+                F.coalesce("nd", F.lit(0).cast("bigint"))
+                 .alias("n_dup_lines"),
+                F.md5(F.array_join(
+                    F.filter(arr, lambda x, i:
+                             (x != "") & ~F.coalesce(
+                                 F.array_contains(F.col("dl"), i),
+                                 F.lit(False))),
+                    ". ")).alias("kept_md5"))
+            .where(F.col("n_lines") > 0))
 
 
 def q_line_dedup_sql() -> str:
@@ -8411,13 +8421,14 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         F.greatest((F.size("t") - 1), F.lit(0)),
         F.lit(CHUNK_STRIDE))
-    chunks = toks.select(
-        "doc_id",
-        F.posexplode(F.transform(
-            starts,
-            lambda st: F.array_join(
-                F.slice(F.col("t"), st + 1, CHUNK_W), " "))
-        ).alias("chunk_id", "chunk"))
+    # explode-first + codegen'd window join (the _substr_grams finding);
+    # chunk_id stays the position within the starts sequence
+    chunks = (toks.select(
+        "doc_id", "t",
+        F.posexplode(starts).alias("chunk_id", "st"))
+        .select("doc_id", "chunk_id",
+                F.array_join(F.slice(F.col("t"), F.col("st") + 1, CHUNK_W),
+                             " ").alias("chunk")))
     return (chunks
             .where(F.col("chunk") != "")
             .select("doc_id", "chunk_id", "chunk",
