@@ -198,11 +198,20 @@ def pagerank_hosts(outlinks: "DataFrame", iters: int = 5,
     hosts = (edges.select(F.col("src").alias("host"))
              .union(edges.select(F.col("dst").alias("host")))
              .distinct().localCheckpoint())
-    dangling = hosts.join(edges.select(F.col("src").alias("host"))
-                          .distinct(), "host", "left_anti"
-                          ).localCheckpoint()
-    n = hosts.count()
-    has_dangling = dangling.limit(1).count() > 0
+    srcs = edges.select(F.col("src").alias("host")).distinct()
+    # host count + dangling existence in ONE tiny job over the
+    # host-level table (was two separate actions plus an eager
+    # checkpoint of the dangling frame even when it is empty); the
+    # dangling set is only materialized when the graph actually has
+    # dangling hosts — the per-step mass scalar is the sole consumer
+    n, n_dangling = (
+        hosts.join(srcs.withColumn("_s", F.lit(1)), "host", "left")
+        .agg(F.count("*"),
+             F.sum(F.when(F.col("_s").isNull(), 1).otherwise(0)))
+        .first())
+    has_dangling = (n_dangling or 0) > 0
+    dangling = (hosts.join(srcs, "host", "left_anti").localCheckpoint()
+                if has_dangling else None)
 
     ranks = hosts.select("host", F.lit(round(1.0 / n, STEP_ROUND))
                          .alias("pr"))
