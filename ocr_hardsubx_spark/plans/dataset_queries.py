@@ -2496,9 +2496,20 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # original text with an index filter (the q_paragraph_dedup shape:
     # line text no longer crosses any exchange; docs with zero
     # non-empty lines emit no row in either form)
-    dup_h = (hashed.groupBy("h")
-             .agg(F.countDistinct("doc_id").alias("n_docs"))
-             .where(F.col("n_docs") >= LINE_DUP_MIN_DOCS).select("h"))
+    if LINE_DUP_MIN_DOCS == 2:
+        # ">= 2 distinct docs" == min(doc_id) != max(doc_id): one plain
+        # min/max shuffle with full map-side partials instead of the
+        # countDistinct Expand + double exchange (the substring-dedup
+        # census trick; the count value itself is never output)
+        dup_h = (hashed.groupBy("h")
+                 .agg(F.min("doc_id").alias("mn"),
+                      F.max("doc_id").alias("mx"))
+                 .where(F.col("mn") != F.col("mx")).select("h"))
+    else:  # pragma: no cover — general threshold needs the real count
+        dup_h = (hashed.groupBy("h")
+                 .agg(F.countDistinct("doc_id").alias("n_docs"))
+                 .where(F.col("n_docs") >= LINE_DUP_MIN_DOCS)
+                 .select("h"))
     dropped = (hashed.join(dup_h, "h")
                .groupBy("doc_id")
                .agg(F.collect_list("pos").alias("dl"),
@@ -8731,8 +8742,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.slice(F.col("t"), F.col("i") + 1, NOVELTY_NGRAM),
                      " ")).alias("g"))
              .distinct())
+    # grams feeds the census AND the join-back — materialize once
+    grams = grams.localCheckpoint()
+    # grams is already distinct on (doc_id, g), so the per-gram count of
+    # distinct docs IS the plain row count — no countDistinct Expand
     df = grams.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("n_docs"))
+        F.count("*").alias("n_docs"))
     return (grams.join(df, "g")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_distinct_grams"),
